@@ -1,0 +1,706 @@
+package graft.analytics
+
+import graft.core.{QueryDef, Tables}
+import graft.functions.{Hashing, Text, Vectors}
+import graft.multimodal.Multimodal
+import graft.operators.{DateDim, Dedup, Similarity, Upsert}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's declared, oracle-checked query inventory (SURVEY.md §2.8
+  * Q01–Q22 plus the dedup / text / similarity / multimodal / streaming
+  * surfaces). Each entry is a lazy DataFrame program together with an
+  * ANSI-SQL twin the driver runs in DuckDB over the same parquet tables;
+  * the results must hash-match.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - every aggregate / computed column is aliased IDENTICALLY in both
+  *    programs (the driver sorts columns by name before hashing);
+  *  - double sums go through DECIMAL(18,4/6) so the result is exact and
+  *    independent of partition/accumulation order ([[dsum]]);
+  *  - integer-ish outputs are cast to BIGINT on both sides (Spark window
+  *    ranks are INT, DuckDB's are BIGINT; DuckDB `year()` is BIGINT,
+  *    Spark's is INT, …);
+  *  - hash-derived logic uses md5 ([[Hashing]]) — identical bit-for-bit
+  *    in both engines;
+  *  - timestamp outputs are truncated/cast identically (events.ts is
+  *    ns-typed parquet: Spark reads µs, the oracle casts to µs).
+  */
+object Queries {
+
+  // ---- cross-engine helpers -------------------------------------------------
+
+  /** Order-insensitive exact double sum: cast to decimal, sum (exact),
+    * cast back. DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE). */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private def dsumSql(expr: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Spark-side tokens (whitespace split, empties removed); DuckDB twin
+    * is [[toksSql]]. */
+  private def toksSql(textExpr: String): String =
+    s"list_filter(string_split($textExpr, ' '), x -> x != '')"
+
+  private val P = Dedup.P
+
+  // ---- the registry ---------------------------------------------------------
+
+  def all: Vector[QueryDef] = Vector(
+    // ======================= core relational surface =======================
+    QueryDef(
+      "q01_scan_project",
+      (s, d) =>
+        Tables.lineitem(s, d).select(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").as("line_no"),
+          floor(col("l_quantity")).cast("long").as("qty_floor"),
+          concat(col("l_returnflag"), col("l_linestatus")).as("flag")
+        ),
+      Some("""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+             |CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+             |concat(l_returnflag, l_linestatus) AS flag FROM lineitem""".stripMargin)
+    ),
+    QueryDef(
+      "q02_filter",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+              col("l_returnflag").isin("A", "R") && col("l_discount") > 0.05
+          )
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            // dates travel as strings: parquet date32 vs DuckDB DATE land
+            // in different pandas dtypes on the compare side
+            to_date(col("l_shipdate")).cast("string").as("ship_date"),
+            col("l_returnflag"), col("l_discount")
+          ),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+             |l_returnflag, l_discount FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |AND l_returnflag IN ('A','R') AND l_discount > 0.05""".stripMargin)
+    ),
+    QueryDef(
+      "q03_groupby_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(
+            to_date(date_trunc("month", col("l_shipdate"))).cast("string").as("ship_month"),
+            col("l_returnflag").as("returnflag")
+          )
+          .agg(
+            count(lit(1)).as("n_rows"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            min(col("l_discount")).as("min_disc"),
+            max(col("l_tax")).as("max_tax")
+          ),
+      Some(s"""SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS ship_month,
+              |l_returnflag AS returnflag, count(*) AS n_rows,
+              |${dsumSql("l_quantity")} AS sum_qty,
+              |round(avg(l_extendedprice), 4) AS avg_price,
+              |min(l_discount) AS min_disc, max(l_tax) AS max_tax
+              |FROM lineitem GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      "q04_count_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp")
+          ),
+      Some("""SELECT l_returnflag AS returnflag,
+             |count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+             |count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
+      "q05_broadcast_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal")),
+      Some(s"""SELECT r_name AS region, n_name AS nation, count(*) AS n_cust,
+              |${dsumSql("c_acctbal")} AS total_bal
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      "q06_large_join",
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")
+          ),
+      Some(s"""SELECT o_orderpriority AS priority, count(*) AS n_items,
+              |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
+      "q07_full_outer_coalesce",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val o = Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(dsum(col("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+            coalesce(col("spend"), lit(0.0)).as("spend"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders")
+          )
+      },
+      Some(s"""SELECT coalesce(c_custkey, o_custkey) AS custkey,
+              |coalesce(c_acctbal, 0.0) AS acctbal, coalesce(spend, 0.0) AS spend,
+              |coalesce(n_orders, 0) AS n_orders
+              |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+              |FULL OUTER JOIN (SELECT o_custkey, ${dsumSql("o_totalprice")} AS spend,
+              |count(*) AS n_orders FROM orders GROUP BY 1) o ON c_custkey = o_custkey""".stripMargin)
+    ),
+    QueryDef(
+      "q08_semi_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("has_orders").as("status"))
+        val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("status"))
+        semi.unionByName(anti)
+      },
+      Some("""SELECT c_custkey, 'has_orders' AS status FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, 'no_orders' AS status FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+    ),
+    QueryDef(
+      "q09_keep_latest",
+      (s, d) =>
+        Dedup.keepLatest(Tables.events(s, d), Seq("user_id"), "ts", "event_id")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+             |SELECT user_id, event_id, event_type, value,
+             |row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |FROM events) WHERE rn = 1""".stripMargin)
+    ),
+    QueryDef(
+      "q10_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables.customer(s, d)
+          .select(
+            col("c_mktsegment").as("segment"), col("c_custkey"), col("c_acctbal"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            ntile(4).over(w).cast("long").as("quartile")
+          )
+          .filter(col("rnk") <= 100)
+      },
+      Some("""SELECT segment, c_custkey, c_acctbal, rnk, drnk, quartile FROM (
+             |SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+             |rank() OVER w AS rnk, dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+             |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+             |) WHERE rnk <= 100""".stripMargin)
+    ),
+    QueryDef(
+      "q11_lag_lead_moving",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(-2, 0)).cast("double").as("moving_sum")
+        )
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |lag(o_totalprice, 1) OVER w AS prev_price,
+             |lead(o_totalprice, 1) OVER w AS next_price,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+             |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+    ),
+    QueryDef(
+      "q12_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .select(
+            col("o_orderpriority").as("priority"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn")
+          )
+          .filter(col("rn") <= 3)
+      },
+      Some("""SELECT priority, o_orderkey, o_totalprice, rn FROM (
+             |SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |FROM orders) WHERE rn <= 3""".stripMargin)
+    ),
+    QueryDef(
+      "q13_setops",
+      (s, d) => {
+        val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+        val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+        cn.intersect(sn).withColumn("membership", lit("both"))
+          .unionByName(cn.except(sn).withColumn("membership", lit("cust_only")))
+          .unionByName(sn.except(cn).withColumn("membership", lit("supp_only")))
+      },
+      Some("""SELECT nationkey, 'both' AS membership FROM
+             |(SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT nationkey, 'cust_only' AS membership FROM
+             |(SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+             |UNION ALL
+             |SELECT nationkey, 'supp_only' AS membership FROM
+             |(SELECT DISTINCT s_nationkey AS nationkey FROM supplier EXCEPT SELECT DISTINCT c_nationkey FROM customer)""".stripMargin)
+    ),
+    QueryDef(
+      "q14_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n_rows"), col("sum_qty")
+          ),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              |coalesce(l_linestatus, 'ALL') AS linestatus,
+              |count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+    ),
+    QueryDef(
+      "q15_string_fns",
+      (s, d) =>
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          element_at(split(col("p_name"), " "), 1).as("name_head"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+          length(col("p_name")).cast("long").as("name_len")
+        ),
+      Some("""SELECT p_partkey, upper(p_name) AS name_upper,
+             |string_split(p_name, ' ')[1] AS name_head,
+             |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+             |concat(p_brand, '#', p_type) AS brand_type,
+             |regexp_extract(p_brand, '[0-9]+') AS brand_num,
+             |length(p_name) AS name_len FROM part""".stripMargin)
+    ),
+    QueryDef(
+      "q16_date_fns",
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+          datediff(lit("1998-01-01").cast("date"), to_date(col("o_orderdate"))).cast("long").as("days_to_cut"),
+          last_day(col("o_orderdate")).cast("string").as("month_end"),
+          date_add(to_date(col("o_orderdate")), 30).cast("string").as("plus30")
+        ),
+      Some("""SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |day(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
+             |dayofweek(o_orderdate) AS dow,
+             |date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_cut,
+             |CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+             |CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30 FROM orders""".stripMargin)
+    ),
+    QueryDef(
+      "q17_conditional",
+      (s, d) =>
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high").as("bal_bucket"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_clean"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_acctbal"), lit(1000.0)).as("bal_cap")
+        ),
+      Some("""SELECT c_custkey,
+             |CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_bucket,
+             |coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_clean,
+             |greatest(c_acctbal, 0.0) AS bal_floor, least(c_acctbal, 1000.0) AS bal_cap
+             |FROM customer""".stripMargin)
+    ),
+    QueryDef(
+      "q18_max_per_group_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val mx = o.groupBy(col("o_custkey").as("ck")).agg(max(col("o_totalprice")).as("mp"))
+        o.join(mx, col("o_custkey") === col("ck") && col("o_totalprice") === col("mp"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice").as("top_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice AS top_price FROM orders
+             |JOIN (SELECT o_custkey AS ck, max(o_totalprice) AS mp FROM orders GROUP BY 1) m
+             |ON o_custkey = ck AND o_totalprice = mp""".stripMargin)
+    ),
+    QueryDef(
+      "q19_exact_dedup",
+      (s, d) =>
+        Dedup.exact(
+          Tables.documents(s, d).withColumn("content", substring(col("text"), 1, 12)),
+          "doc_id", "content"
+        ).filter(col("n_copies") > 1),
+      Some("""SELECT md5(substr(text, 1, 12)) AS content_hash, min(doc_id) AS keep_id,
+             |count(*) AS n_copies FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin)
+    ),
+    QueryDef(
+      "q20_term_freq",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(Text.tokens(lower(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(50),
+      Some(s"""SELECT token, count(*) AS n FROM
+              |(SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents)
+              |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""".stripMargin)
+    ),
+    QueryDef(
+      "q21_jaccard_pairs",
+      (s, d) => {
+        val t = Tables.documents(s, d).select(
+          col("doc_id"),
+          array_distinct(Text.tokens(lower(col("text")))).as("tk")
+        )
+        val a = t.select(col("doc_id").as("id_a"), col("tk").as("tk_a"))
+        val b = t.select(col("doc_id").as("id_b"), col("tk").as("tk_b"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .select(
+            col("id_a"), col("id_b"),
+            round(
+              size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+                size(array_union(col("tk_a"), col("tk_b"))),
+              6
+            ).as("jaccard")
+          )
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_distinct(${toksSql("lower(text)")}) AS tk FROM documents)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |round(CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+              |(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x)))), 6) AS jaccard
+              |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin)
+    ),
+    QueryDef(
+      "q22_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts")
+        ),
+      None // HLL sketches are engine-specific; rows-only check
+    ),
+
+    // ============================ dedup suite =============================
+    QueryDef("d01_minhash_lsh", (s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", 0.5),
+      Some(minhashLshSql(0.5))),
+    QueryDef("d02_simhash_pairs", (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .withColumn("hamming", col("hamming").cast("long")),
+      Some(simhashPairsSql(3))),
+    QueryDef("d03_embedding_neardup", (s, d) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.4),
+      Some(embeddingNearDupSql(0.4))),
+
+    // ========================== similarity search =========================
+    QueryDef("s01_ann_bruteforce", (s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", 50, 10)
+        .withColumn("rk", col("rk").cast("long")),
+      Some(bruteForceTopKSql(50, 10))),
+    QueryDef("s02_ann_lsh", (s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", 50, 10, 16, 64)
+        .withColumn("rk", col("rk").cast("long")),
+      Some(lshTopKSql(50, 10, 16, 64))),
+
+    // ============================ text analysis ===========================
+    QueryDef(
+      "t01_lang_id",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), Text.langId(Text.tokens(lower(col("text")))).as("lang_pred"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n")),
+      Some(s"""SELECT lang, ${Text.langIdSql(toksSql("lower(text)"))} AS lang_pred, count(*) AS n
+              |FROM documents GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      "t02_quality_score",
+      (s, d) => {
+        val toks = Text.tokens(lower(col("text")))
+        val nToks = size(toks)
+        val nStop = size(filter(toks, t => t.isInCollection(Text.stopwords)))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          nToks.cast("long").as("n_tokens"),
+          nStop.cast("long").as("n_stopwords"),
+          Text.bpeishCount(col("text")).cast("long").as("n_bpeish"),
+          Text.qualityBucket(nToks, nStop).as("quality")
+        )
+      },
+      Some {
+        val tk = toksSql("lower(text)")
+        val stop = Text.stopwords.map(w => s"'$w'").mkString(",")
+        s"""SELECT doc_id, len($tk) AS n_tokens,
+           |len(list_filter($tk, t -> t IN ($stop))) AS n_stopwords,
+           |len(regexp_extract_all(text, '${Text.bpeishPattern}')) AS n_bpeish,
+           |CASE WHEN len($tk) >= 20 AND 20 * len(list_filter($tk, t -> t IN ($stop))) >= len($tk) THEN 2
+           |WHEN len($tk) >= 5 THEN 1 ELSE 0 END AS quality
+           |FROM documents""".stripMargin
+      }
+    ),
+    QueryDef(
+      "t03_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          Text.fingerprint(Text.tokens(col("text"))).as("fp")
+        ),
+      Some(s"""SELECT doc_id, ${Text.fingerprintSql(toksSql("text"))} AS fp FROM documents""")
+    ),
+
+    // ============================ multimodal ==============================
+    QueryDef(
+      "m01_media_decode",
+      (s, d) =>
+        Multimodal.decodeMetadata(Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |octet_length(encode(text)) AS byte_len,
+             |CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+             |CAST(64 + octet_length(encode(text)) % 1856 AS INTEGER) AS width,
+             |CAST(64 + (octet_length(encode(text)) * 7) % 1016 AS INTEGER) AS height,
+             |CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames,
+             |octet_length(encode(text)) * 40 % 600000 AS duration_ms
+             |FROM documents""".stripMargin)
+    ),
+    QueryDef(
+      "m02_frame_sample",
+      (s, d) =>
+        Multimodal.sampleFrames(
+          Multimodal.decodeMetadata(Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")),
+          5
+        ).withColumn("frame_idx", col("frame_idx").cast("long")),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |unnest(generate_series(0, CAST(octet_length(encode(text)) % 30 AS INTEGER), 5)) AS frame_idx
+             |FROM documents""".stripMargin)
+    ),
+
+    // ===================== streaming batch twins ==========================
+    QueryDef(
+      "st01_tumbling",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total"))
+          .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total")),
+      Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+              |count(*) AS n, ${dsumSql("value", 6)} AS total
+              |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      "st02_sliding",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("event_type"), col("n")),
+      Some("""SELECT window_start, event_type, count(*) AS n FROM (
+             |SELECT unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+             |               date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS window_start,
+             |event_type FROM events) GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      "st03_session",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("total"))
+          .select(
+            col("session_window.start").as("session_start"),
+            col("user_id"), col("n_events"), col("total")
+          ),
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+              |m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              |  >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e),
+              |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+              |  ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+              |SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+              |${dsumSql("value", 6)} AS total FROM g GROUP BY user_id, grp""".stripMargin)
+    ),
+
+    // ================== pipeline operators (oracle-checked) ===============
+    QueryDef(
+      "p01_upsert_merge",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val target = e.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+        val updates = e.filter(col("event_id") % 3 === 0)
+          .select(
+            col("event_id"), col("user_id"), col("event_type"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"),
+            (col("value") * 2).as("value")
+          )
+        Upsert.merge(target, updates, Seq("event_id"), "ts")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, 0 AS src
+             |  FROM events WHERE event_id % 2 = 0),
+             |u AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts,
+             |  value * 2 AS value, 1 AS src FROM events WHERE event_id % 3 = 0),
+             |m AS (SELECT * FROM t UNION ALL SELECT * FROM u)
+             |SELECT event_id, user_id, event_type, value FROM
+             |(SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, src DESC) AS rn FROM m)
+             |WHERE rn = 1""".stripMargin)
+    ),
+    QueryDef(
+      "p02_date_dim",
+      (s, _) => DateDim.build(s, "1995-01-01", "1995-12-31")
+        .withColumn("date", col("date").cast("string")),
+      Some {
+        val holidayCase = DateDim.fixedHolidays.toSeq.sortBy(_._1)
+          .map { case ((m, dd), name) => s"WHEN month(d) = $m AND day(d) = $dd THEN '${name.replace("'", "''")}'" }
+          .mkString(" ")
+        s"""SELECT CAST(d AS VARCHAR) AS "date", CAST(day(d) AS INTEGER) AS day, CAST(month(d) AS INTEGER) AS month,
+           |CAST(year(d) AS INTEGER) AS year, CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
+           |monthname(d) AS month_name, dayname(d) AS day_of_week_name,
+           |CASE $holidayCase ELSE NULL END AS holiday_name
+           |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+           |INTERVAL 1 DAY)) AS DATE) AS d)""".stripMargin
+      }
+    )
+  )
+
+  // ---- generated oracle SQL for the sketch/ANN operators --------------------
+
+  /** DuckDB twin of [[Dedup.minhashLsh]]: same md5-based shingle hashes,
+    * same 64 universal-hash minima, same 16-band candidate join, same
+    * exact-jaccard verification. */
+  private def minhashLshSql(threshold: Double): String = {
+    val sigTerms = (0 until Dedup.numHashes).map { j =>
+      s"coalesce(list_min(list_transform(hs, h -> (h * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % $P)), $P)"
+    }.mkString(", ")
+    val bandKeys = (0 until Dedup.numBands).map { b =>
+      val parts = (0 until Dedup.rowsPerBand).map(r => s"sig[${b * Dedup.rowsPerBand + r + 1}]").mkString(", ")
+      s"concat_ws(',', $b, $parts)"
+    }.mkString(", ")
+    val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+       |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+       |  list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) ELSE [] END AS sh FROM toks),
+       |base AS (SELECT doc_id, sh,
+       |  list_transform(sh, s -> ${Hashing.md5LongSql("s", 3)} % $P) AS hs FROM shg),
+       |sig AS (SELECT doc_id, sh, [$sigTerms] AS sig FROM base),
+       |banded AS (SELECT doc_id, sh, unnest([$bandKeys]) AS bk FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+       |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
+       |  (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x)))), 6) AS jaccard
+       |FROM cand
+       |WHERE CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
+       |  (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x)))) >= $threshold""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.simhashPairs]]: per-doc 32-bit simhash from
+    * 60-bit md5 token hashes, 4×8-bit pigeonhole banding, exact hamming. */
+  private def simhashPairsSql(maxHamming: Int): String = {
+    val bitTerms = (0 until Text.simhashBits).map { i =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) > len(hs) THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+       |hsx AS (SELECT doc_id, list_transform(tk, t -> ${Hashing.md5LongSql("t", 11)}) AS hs
+       |  FROM toks WHERE len(tk) > 0),
+       |sh AS (SELECT doc_id, $bitTerms AS simhash FROM hsx),
+       |banded AS (SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 8)) & 255 AS key
+       |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c) c)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.embeddingNearDup]] (brute-force cosine with
+    * norms precomputed per row — same arithmetic, same index order). */
+  private def embeddingNearDupSql(threshold: Double): String = {
+    val dot = Vectors.dotSql("a.embedding", "b.embedding")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE $dot / (a.nrm * b.nrm) END, 5) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE $dot / (a.nrm * b.nrm) END) >= $threshold""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.bruteForceTopK]]. */
+  private def bruteForceTopKSql(nQueries: Int, k: Int): String = {
+    val dot = Vectors.dotSql("q.embedding", "c.embedding")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |  CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE $dot / (q.nrm * c.nrm) END AS cosine
+       |  FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id != c.vec_id)
+       |SELECT query_id, cand_id, round(cosine, 5) AS cosine, rk FROM
+       |(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk FROM p)
+       |WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.lshTopK]]: the SRP hyperplane signs are
+    * data-free md5-derived constants, so they are inlined as literal
+    * lists; bucket codes, 2×8-bit banding, and the exact-cosine re-rank
+    * all replicate the Spark plan bit-for-bit. */
+  private def lshTopKSql(nQueries: Int, k: Int, numPlanes: Int, dim: Int): String = {
+    val signs: Seq[Seq[Int]] = (0 until numPlanes).map { p =>
+      (0 until dim).map { dd =>
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(s"$p:$dd".getBytes("UTF-8"))
+        if ((md5.last & 1) == 1) 1 else -1
+      }
+    }
+    val bucketTerms = (0 until numPlanes).map { p =>
+      val lst = signs(p).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_aggregate(list_transform(generate_series(1, $dim),
+         |  i -> CAST(embedding[i] AS DOUBLE) * CAST(($lst)[i] AS DOUBLE)), 'sum') > 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val dot = Vectors.dotSql("q.vec", "c.vec")
+    s"""WITH coded AS (SELECT vec_id AS id, embedding AS vec,
+       |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm,
+       |  $bucketTerms AS bucket FROM embeddings),
+       |banded AS (SELECT id, vec, nrm, c.c AS chunk, (bucket >> (c.c * 8)) & 255 AS key
+       |  FROM coded, (SELECT unnest([0, 1]) AS c) c),
+       |cand AS (SELECT DISTINCT q.id AS query_id, q.vec AS qvec, q.nrm AS qnrm,
+       |  c.id AS cand_id, c.vec AS cvec, c.nrm AS cnrm
+       |  FROM banded q JOIN banded c ON q.chunk = c.chunk AND q.key = c.key
+       |  AND q.id < $nQueries AND q.id != c.id),
+       |scored AS (SELECT query_id, cand_id,
+       |  CASE WHEN qnrm * cnrm = 0 THEN 0.0
+       |  ELSE ${Vectors.dotSql("qvec", "cvec")} / (qnrm * cnrm) END AS cosine FROM cand)
+       |SELECT query_id, cand_id, round(cosine, 5) AS cosine, rk FROM
+       |(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk FROM scored)
+       |WHERE rk <= $k""".stripMargin
+  }
+}

@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Local testing runs `local[32]`; on a real cluster the same knobs hold
+  * except parallelism, which the submitter sizes to the cluster. The
+  * defaults here are chosen for the 100 TB posture:
+  *   - AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  *     broadcast demotion/promotion decided from runtime stats);
+  *   - shuffle partitions sized to local cores (32), NOT the 200 default,
+  *     so small-SF plans don't drown in empty tasks — AQE re-splits when
+  *     a real cluster needs more;
+  *   - UTC session timezone for oracle parity and cross-cluster
+  *     determinism.
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

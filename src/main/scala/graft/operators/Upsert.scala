@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's upsert/merge operator (J1) — the reference's
+  * staging-table + `MERGE INTO crime USING stg_crime ON crime_id`
+  * (`airflow/dags/crimeapi/db/postgres/db_postgres.py:158-203`,
+  * `db_snowflake.py:173-207`) re-expressed as a single lazy plan.
+  *
+  * Semantics: matched keys take ALL non-key columns from the update
+  * side; unmatched inserts. With a version column, keep-latest wins and
+  * the operation is idempotent and order-insensitive (property-tested).
+  *
+  * Scale design:
+  *  - `merge` is one `unionByName` + one window over the key — a single
+  *    hash-partitioned shuffle on the merge key, map-side combinable by
+  *    AQE; no driver materialization, no staging table;
+  *  - [[upsertIntoParquet]] is the storage-level variant: it rewrites
+  *    ONLY the partitions that contain touched keys (mirroring the
+  *    reference's per-`load_date` replay granularity,
+  *    `crime_etl.py:426-444`), then swaps directories atomically-enough
+  *    (temp dir + rename) — at 100 TB a merge touching one day's
+  *    partitions rewrites one day, not the table.
+  */
+object Upsert {
+
+  /** Merge updates into target, keep-latest per key by
+    * (versionCol desc, tieBreak desc). Update rows win ties so a
+    * re-applied batch is a no-op (idempotence). */
+  def merge(target: DataFrame, updates: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame = {
+    val t = target.withColumn("__src", lit(0))
+    val u = updates.withColumn("__src", lit(1))
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc_nulls_last, col("__src").desc)
+    t.unionByName(u)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
+  /** Full-outer-join merge variant (coalesce per column, update side
+    * wins) — the literal `MERGE` shape; useful when target and updates
+    * have exactly one row per key already. */
+  def mergeFullOuter(target: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dataCols = target.columns.filterNot(keyCols.contains)
+    val t = target.as("t")
+    val u = updates.as("u")
+    val cond = keyCols.map(k => t(k) <=> u(k)).reduce(_ && _)
+    t.join(u, cond, "full_outer")
+      .select(
+        keyCols.map(k => coalesce(u(k), t(k)).as(k)) ++
+          dataCols.map(c => coalesce(u(c), t(c)).as(c)): _*
+      )
+  }
+
+  /** Partition-scoped parquet upsert: rewrite only partitions of
+    * `partitionCol` present in `updates`; leave the rest untouched. */
+  def upsertIntoParquet(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      partitionCol: String
+  ): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val touched = updates.select(partitionCol).distinct().collect().map(_.get(0))
+    if (!fs.exists(path)) {
+      updates.write.partitionBy(partitionCol).parquet(tablePath)
+      return
+    }
+    val target = spark.read.parquet(tablePath).filter(col(partitionCol).isin(touched: _*))
+    val merged = merge(target, updates, keyCols, versionCol).cache()
+    val tmp = tablePath + ".tmp-upsert"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    merged.unpersist()
+    // swap only the touched partition directories
+    touched.foreach { v =>
+      val part = s"$partitionCol=$v"
+      val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$part")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$part")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.DateDim
+import graft.meta.{Checkpoint, CheckpointState}
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empties; shingles are distinct n-grams") {
+    val df = Seq("a  b c a b c").toDF("t")
+    val (toks, sh) = df.select(
+      Text.tokens($"t").as("toks"),
+      Text.shingles(Text.tokens($"t"), 2).as("sh")
+    ).as[(Seq[String], Seq[String])].first()
+    assert(toks == Seq("a", "b", "c", "a", "b", "c"))
+    assert(sh.toSet == Set("a b", "b c", "c a")) // distinct
+  }
+
+  test("langId picks the marker-winning language, und when none") {
+    val df = Seq("the cat is on the mat", "der hund ist gut und", "xyzzy plugh").toDF("t")
+    val out = df.select(Text.langId(Text.tokens($"t")).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality bucket thresholds") {
+    // 25 tokens incl >= 5% stopwords → 2; 6 plain tokens → 1; 2 tokens → 0
+    val good = ("the " * 5 + "word " * 20).trim
+    val ok = "just some words no stop here"
+    val junk = "tiny doc"
+    val df = Seq(good, ok, junk).toDF("t")
+    val toks = Text.tokens(lower($"t"))
+    val nStop = size(filter(toks, t => t.isInCollection(Text.stopwords)))
+    val out = df.select(Text.qualityBucket(size(toks), nStop).as("q")).as[Int].collect()
+    assert(out.toSeq == Seq(2, 1, 0))
+  }
+
+  test("bpeish count splits alpha/digit/symbol runs") {
+    val df = Seq("hello world42!x").toDF("t")
+    // hello | world | 42 | ! | x
+    assert(df.select(Text.bpeishCount($"t")).as[Int].first() == 5)
+  }
+
+  test("fingerprint is position-sensitive") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val (fx, fy) = df.select(
+      Text.fingerprint(Text.tokens($"x")),
+      Text.fingerprint(Text.tokens($"y"))
+    ).as[(Long, Long)].first()
+    assert(fx != fy)
+  }
+
+  test("date dimension: attributes and holidays") {
+    val dim = DateDim.build(spark, "1995-01-01", "1995-12-31")
+    assert(dim.count() == 365)
+    val jan1 = dim.filter($"date" === "1995-01-01").first()
+    assert(jan1.getAs[String]("holiday_name") == "New Year's Day")
+    assert(jan1.getAs[String]("day_of_week_name") == "Sunday")
+    assert(dim.filter($"holiday_name".isNotNull).count() == 4)
+  }
+
+  test("checkpoint roundtrip + clear") {
+    val p = java.nio.file.Files.createTempDirectory("ckpt").toString + "/state.json"
+    val c = new Checkpoint(p)
+    assert(c.read().isEmpty)
+    c.write(CheckpointState("2025-07-01", 7))
+    assert(c.read().contains(CheckpointState("2025-07-01", 7)))
+    c.clear()
+    assert(c.read().isEmpty)
+  }
+}

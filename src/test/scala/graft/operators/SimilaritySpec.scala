@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.1f)),
+    (3L, Array(0.1f, 0.9f, 0.0f, 0.1f))   // close to 2
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine") {
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1, 2)
+      .orderBy("rk").select("cand_id").as[Long].collect()
+    assert(out.head == 1L) // nearest to query 0 is vector 1
+  }
+
+  test("LSH top-k candidates are a subset re-ranked identically to brute force") {
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1, 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 1, 1, numPlanes = 8, dim = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // with near-identical vectors the true NN shares all SRP buckets
+    assert(lsh == bf)
+  }
+
+  test("multimodal decode produces typed metadata and frame samples") {
+    val docs = Seq((1L, "hello world"), (2L, "a much longer payload body here")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMetadata(Multimodal.asMediaTable(docs, "doc_id", "text"))
+    assert(meta.columns.toSeq == Seq("media_id", "byte_len", "format", "width", "height", "n_frames", "duration_ms"))
+    val m = meta.filter($"media_id" === 1L).first()
+    assert(m.getAs[Long]("byte_len") == 11L)
+    assert(m.getAs[String]("format") == "webp") // 11 % 3 == 2
+    val frames = Multimodal.sampleFrames(meta, 3)
+    assert(frames.filter($"media_id" === 1L).count() == 4) // n_frames=12 → 0,3,6,9
+  }
+}

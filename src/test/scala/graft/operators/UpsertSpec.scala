@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target: DataFrame =
+    Seq(("k1", 1, "old1"), ("k2", 1, "old2"), ("k3", 5, "old3"))
+      .toDF("id", "v", "payload")
+
+  private def updates: DataFrame =
+    Seq(("k2", 2, "new2"), ("k3", 1, "stale3"), ("k4", 1, "new4"))
+      .toDF("id", "v", "payload")
+
+  test("merge keeps latest version per key, inserts unmatched") {
+    val out = Upsert.merge(target, updates, Seq("id"), "v")
+      .as[(String, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("k1", 1, "old1"),   // untouched
+      ("k2", 2, "new2"),   // update wins (higher version)
+      ("k3", 5, "old3"),   // stale update loses
+      ("k4", 1, "new4")    // insert
+    ))
+  }
+
+  test("merge is idempotent: re-applying the same batch is a no-op") {
+    val once = Upsert.merge(target, updates, Seq("id"), "v")
+    val twice = Upsert.merge(once, updates, Seq("id"), "v")
+    assert(twice.except(once).isEmpty && once.except(twice).isEmpty)
+  }
+
+  test("merge ties go to the update side") {
+    val t = Seq(("k", 1, "old")).toDF("id", "v", "payload")
+    val u = Seq(("k", 1, "new")).toDF("id", "v", "payload")
+    val out = Upsert.merge(t, u, Seq("id"), "v").as[(String, Int, String)].collect()
+    assert(out.toSeq == Seq(("k", 1, "new")))
+  }
+
+  test("mergeFullOuter coalesces per column, update side wins") {
+    val t = Seq(("k1", "a"), ("k2", "b")).toDF("id", "x")
+    val u = Seq(("k2", "B"), ("k3", "C")).toDF("id", "x")
+    val out = Upsert.mergeFullOuter(t, u, Seq("id"))
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("k1", "a"), ("k2", "B"), ("k3", "C")))
+  }
+
+  test("upsertIntoParquet rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val init = Seq(("k1", 1, 2020), ("k2", 1, 2021)).toDF("id", "v", "yr")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "yr")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val files2020 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/yr=2020"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toMap
+
+    val upd = Seq(("k2", 2, 2021), ("k3", 1, 2021)).toDF("id", "v", "yr")
+    Upsert.upsertIntoParquet(spark, dir, upd, Seq("id"), "v", "yr")
+
+    val out = spark.read.parquet(dir).as[(String, Int, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("k1", 1, 2020), ("k2", 2, 2021), ("k3", 1, 2021)))
+    // 2020 partition untouched byte-for-byte
+    val after2020 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/yr=2020"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toMap
+    assert(after2020 == files2020)
+  }
+}
