@@ -425,8 +425,8 @@ object Queries {
         .withColumn("hamming", col("hamming").cast("long")),
       Some(simhashPairsSql(3))),
     QueryDef("d03_embedding_neardup", (s, d) =>
-      Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.4),
-      Some(embeddingNearDupSql(0.4))),
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.4, 32, 64),
+      Some(embeddingNearDupSql(0.4, 32, 64))),
 
     // ========================== similarity search =========================
     QueryDef("s01_ann_bruteforce", (s, d) =>
@@ -599,7 +599,7 @@ object Queries {
 
   /** DuckDB twin of [[Dedup.minhashLsh]]: same md5-based shingle hashes,
     * same 64 universal-hash minima, same 16-band candidate join, same
-    * exact-jaccard verification. */
+    * empty-shingle exclusion, same exact-jaccard verification. */
   private def minhashLshSql(threshold: Double): String = {
     val sigTerms = (0 until Dedup.numHashes).map { j =>
       s"coalesce(list_min(list_transform(hs, h -> (h * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % $P)), $P)"
@@ -608,13 +608,13 @@ object Queries {
       val parts = (0 until Dedup.rowsPerBand).map(r => s"sig[${b * Dedup.rowsPerBand + r + 1}]").mkString(", ")
       s"concat_ws(',', $b, $parts)"
     }.mkString(", ")
-    val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
        |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
        |  list_distinct(list_transform(generate_series(1, len(tk) - 2),
        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) ELSE [] END AS sh FROM toks),
        |base AS (SELECT doc_id, sh,
-       |  list_transform(sh, s -> ${Hashing.md5LongSql("s", 3)} % $P) AS hs FROM shg),
+       |  list_transform(sh, s -> ${Hashing.md5LongSql("s", 3)} % $P) AS hs FROM shg
+       |  WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh, [$sigTerms] AS sig FROM base),
        |banded AS (SELECT doc_id, sh, unnest([$bandKeys]) AS bk FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
@@ -626,34 +626,59 @@ object Queries {
        |  (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x)))) >= $threshold""".stripMargin
   }
 
-  /** DuckDB twin of [[Dedup.simhashPairs]]: per-doc 32-bit simhash from
-    * 60-bit md5 token hashes, 4×8-bit pigeonhole banding, exact hamming. */
+  /** DuckDB twin of [[Dedup.simhashPairs]]: per-doc 60-bit simhash from
+    * 60-bit md5 token hashes, 4×15-bit pigeonhole banding, exact hamming. */
   private def simhashPairsSql(maxHamming: Int): String = {
     val bitTerms = (0 until Text.simhashBits).map { i =>
       s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) > len(hs) THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+    val cb = Dedup.simhashChunkBits
+    val mask = (1L << cb) - 1
+    val chunkIdx = (0 until Dedup.simhashChunks).mkString("[", ", ", "]")
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
        |hsx AS (SELECT doc_id, list_transform(tk, t -> ${Hashing.md5LongSql("t", 11)}) AS hs
        |  FROM toks WHERE len(tk) > 0),
        |sh AS (SELECT doc_id, $bitTerms AS simhash FROM hsx),
-       |banded AS (SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 8)) & 255 AS key
-       |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c) c)
+       |banded AS (SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * $cb)) & $mask AS key
+       |  FROM sh, (SELECT unnest($chunkIdx) AS c) c)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
   }
 
-  /** DuckDB twin of [[Dedup.embeddingNearDup]] (brute-force cosine with
-    * norms precomputed per row — same arithmetic, same index order). */
-  private def embeddingNearDupSql(threshold: Double): String = {
-    val dot = Vectors.dotSql("a.embedding", "b.embedding")
-    s"""WITH e AS (SELECT vec_id, embedding,
-       |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE $dot / (a.nrm * b.nrm) END, 5) AS cosine
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 ELSE $dot / (a.nrm * b.nrm) END) >= $threshold""".stripMargin
+  /** DuckDB twin of [[Dedup.embeddingNearDup]]: same SRP-LSH banding
+    * ([[Similarity.srpCode]] hyperplane signs inlined as literal lists),
+    * same candidate dedup, same exact-cosine verification with per-row
+    * precomputed norms — bit-for-bit the Spark plan's arithmetic. */
+  private def embeddingNearDupSql(threshold: Double, numPlanes: Int, dim: Int): String = {
+    val signs: Seq[Seq[Int]] = (0 until numPlanes).map { p =>
+      (0 until dim).map { dd =>
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(s"$p:$dd".getBytes("UTF-8"))
+        if ((md5.last & 1) == 1) 1 else -1
+      }
+    }
+    val bucketTerms = (0 until numPlanes).map { p =>
+      val lst = signs(p).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_aggregate(list_transform(generate_series(1, $dim),
+         |  i -> CAST(embedding[i] AS DOUBLE) * CAST(($lst)[i] AS DOUBLE)), 'sum') > 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val chunks = math.max(1, numPlanes / 8)
+    val chunkIdx = (0 until chunks).mkString("[", ", ", "]")
+    val dot = Vectors.dotSql("va", "vb")
+    s"""WITH coded AS (SELECT vec_id AS id, embedding AS vec,
+       |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm,
+       |  $bucketTerms AS bucket FROM embeddings),
+       |banded AS (SELECT id, vec, nrm, c.c AS chunk, (bucket >> (c.c * 8)) & 255 AS key
+       |  FROM coded, (SELECT unnest($chunkIdx) AS c) c),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  a.vec AS va, a.nrm AS na, b.vec AS vb, b.nrm AS nb
+       |  FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b,
+       |round(CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END, 5) AS cosine
+       |FROM cand
+       |WHERE (CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END) >= $threshold""".stripMargin
   }
 
   /** DuckDB twin of [[Similarity.bruteForceTopK]]. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Hashing, Text}
+import graft.functions.{Hashing, Text, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,16 +12,17 @@ import org.apache.spark.sql.functions._
   * Scale design (the point of each variant):
   *  - exact: one map-side-combinable groupBy on a 128-bit content hash —
   *    a single shuffle keyed on the hash, no row text moves twice;
-  *  - MinHash+LSH: signature is a per-row expression (linear scan), the
-  *    only shuffle is the band-bucket self-join, whose fan-out is bounded
-  *    by bucket size — this replaces the O(n²) all-pairs join at 100 TB;
-  *  - SimHash: per-row 32-bit sketch + pigeonhole banding (4 × 8-bit
-  *    chunks guarantee recall for hamming ≤ 3) — exact result, bounded
-  *    candidate join;
+  *  - MinHash+LSH: signature is a per-row expression (linear scan); the
+  *    band self-join moves ONLY (id, band key) — shingle sets join back
+  *    once per side after candidate dedup, so the wide arrays never ride
+  *    the ×numBands explode;
+  *  - SimHash: per-row 60-bit sketch + pigeonhole banding (4 × 15-bit
+  *    chunks guarantee recall for hamming ≤ 3) — exact result, candidate
+  *    volume bounded by n²/2^15 per chunk;
   *  - n-gram Jaccard: the exact quadratic baseline, deliberately bounded
   *    to a query-document subset (dedup-against-corpus shape);
-  *  - embedding cosine: brute-force pair scan over a (broadcastable)
-  *    vector table; the LSH/IVF scale path lives in [[Similarity]].
+  *  - embedding cosine: SRP-LSH bucketed candidates + exact-cosine
+  *    verification — the brute-force all-pairs scan never materializes.
   *
   * All sketches use md5-based hashing ([[Hashing]]) so the DuckDB oracle
   * reproduces them exactly.
@@ -68,24 +69,27 @@ object Dedup {
   /** Near-duplicate pairs by MinHash-LSH candidates, verified with exact
     * shingle Jaccard >= `threshold`. Output: (id_a, id_b, jaccard).
     *
-    * The band self-join is the only shuffle; exact verification happens
-    * only on candidates, so the quadratic term never materializes.
+    * Shuffle budget: the band self-join moves (id, band key) pairs only;
+    * candidate (id_a, id_b) pairs are deduped before the shingle sets
+    * join back (one hash join per side) for exact verification — the
+    * shingle arrays are never replicated ×numBands. Empty-shingle docs
+    * (shorter than one shingle) are excluded before banding: they all
+    * share the degenerate all-P signature (an O(n²) candidate clique of
+    * short docs at corpus scale) yet can never pass exact verification.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    val withSig = docs
-      .select(
-        col(idCol).as("id"),
-        Text.shingles(toks, 3).as("sh")
-      )
+    val sh = docs
+      .select(col(idCol).as("id"), Text.shingles(toks, 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // band path: ids + band keys only ride the self-join shuffle
+    val sig = sh
       .withColumn("hs", minhashBase(col("sh")))
       .withColumn("sig", minhashSignatureFromBase(col("hs")))
-      .drop("hs")
-
-    // explode into (band, bandKey) — bandKey joins equal signatures slices
-    val banded = withSig.select(
+      .select(col("id"), col("sig"))
+    val banded = sig.select(
       col("id"),
-      col("sh"),
       explode(
         array((0 until numBands).map { b =>
           struct(
@@ -95,14 +99,17 @@ object Dedup {
         }: _*)
       ).as("bk")
     )
-    val l = banded.select(col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val l = banded.select(col("bk").as("bk_a"), col("id").as("id_a"))
+    val r = banded.select(col("bk").as("bk_b"), col("id").as("id_b"))
     val cand = l
-      .join(r, l("bk") === r("bk") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .join(r, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    // verify path: shingle sets join back once per side, post-dedup
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -113,8 +120,8 @@ object Dedup {
   }
 
   // --- SimHash ---------------------------------------------------------------
-  /** Per-doc 32-bit SimHash via explode + one aggregation pass (md5 once
-    * per token; 32 conditional sums map-side-combine). */
+  /** Per-doc 60-bit SimHash via explode + one aggregation pass (md5 once
+    * per token; the 60 conditional sums map-side-combine). */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
@@ -134,23 +141,32 @@ object Dedup {
       )
   }
 
+  val simhashChunks = 4
+  val simhashChunkBits: Int = Text.simhashBits / simhashChunks // 15
+
   /** Pairs with hamming(simhash) <= maxHamming, found via pigeonhole
-    * banding: with 4 8-bit chunks, any pair within hamming 3 shares at
-    * least one chunk — recall is exact, not probabilistic. */
+    * banding: with 4 15-bit chunks of the 60-bit sketch, any pair within
+    * hamming 3 shares at least one chunk — recall is exact, not
+    * probabilistic. 2^15 keys per chunk bound expected candidates at
+    * n²/32768 per chunk (the 8-bit-chunk variant's n²/256 is quadratic
+    * in disguise at corpus scale). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only for hamming <= 3")
+    require(maxHamming <= simhashChunks - 1, "4-chunk pigeonhole guarantees recall only for hamming <= 3")
     val sh = simhashTable(docs, idCol, textCol)
-    val chunks = 4
+    val keyMask = (1L << simhashChunkBits) - 1
     val banded = sh.select(
       col("id"),
       col("simhash"),
-      explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xffL)).as("key"))
+      explode(array((0 until simhashChunks).map { c =>
+        struct(
+          lit(c).as("chunk"),
+          shiftright(col("simhash"), c * simhashChunkBits).bitwiseAND(lit(keyMask)).as("key")
+        )
       }: _*)).as("ck")
     )
-    val l = banded.select(col("ck"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("ck"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, l("ck") === r("ck") && col("id_a") < col("id_b"))
+    val l = banded.select(col("ck").as("ck_a"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("ck").as("ck_b"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, col("ck_a") === col("ck_b") && col("id_a") < col("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
@@ -178,14 +194,56 @@ object Dedup {
   }
 
   // --- embedding cosine near-dup ----------------------------------------------
-  /** Pairs of vectors with cosine similarity >= threshold (brute force;
-    * index-order double arithmetic for oracle parity). */
-  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    import graft.functions.Vectors.{cosine => cos}
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", cos(col("v_a"), col("v_b")))
+  /** Pairs of vectors with cosine similarity >= threshold, found via
+    * SRP-LSH bucketed candidates ([[Similarity.srpCode]]) verified with
+    * exact cosine — the all-pairs nested-loop join never materializes.
+    *
+    * Shape: one linear pass computes (bucket code, norm) per vector; the
+    * band self-join moves (id, chunk key) only; vectors + norms join
+    * back once per side after candidate dedup; each candidate pair then
+    * costs exactly one codegen'd dot product.
+    *
+    * Recall: a pair at angle θ agrees on one plane with p = 1 - θ/π;
+    * with b bands of r bits, recall = 1 - (1 - p^r)^b. Banding is a
+    * tunable: more/narrower bands buy recall with candidate volume. At
+    * production near-dup thresholds (cosine ≥ 0.85, p ≈ 0.82) the
+    * default 4 bands of 8 planes give ~60% per pass; looser thresholds
+    * sit in the bulk of the similarity distribution where any sublinear
+    * method prunes aggressively — the exact [[ngramJaccard]]-style
+    * baseline remains the oracle twin at small scale. */
+  def embeddingNearDup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 32,
+      dim: Int = 64
+  ): DataFrame = {
+    val chunkBits = 8
+    val chunks = math.max(1, numPlanes / chunkBits)
+    val keyMask = (1L << chunkBits) - 1
+    val coded = Similarity.srpCode(emb, idCol, vecCol, numPlanes, dim)
+    val banded = coded.select(
+      col("id"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"), shiftright(col("bucket"), c * chunkBits).bitwiseAND(lit(keyMask)).as("key"))
+      }: _*)).as("ck")
+    )
+    val l = banded.select(col("ck").as("ck_a"), col("id").as("id_a"))
+    val r = banded.select(col("ck").as("ck_b"), col("id").as("id_b"))
+    val cand = l
+      .join(r, col("ck_a") === col("ck_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val side = coded.select(col("id"), col("vec"), col("nrm"))
+    cand
+      .join(side.select(col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("vec").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn(
+        "cosine",
+        when(col("n_a") * col("n_b") === 0.0, lit(0.0))
+          .otherwise(Vectors.dotUnrolled(col("v_a"), col("v_b"), dim) / (col("n_a") * col("n_b")))
+      )
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
   }

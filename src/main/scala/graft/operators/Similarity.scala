@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Hashing, Vectors}
+import graft.functions.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,25 +9,37 @@ import org.apache.spark.sql.functions._
   *
   *  - [[bruteForceTopK]]: the exact baseline — a query⋈corpus join with
   *    per-query top-k. Correct at any scale when the QUERY side is small
-  *    (broadcast) — the corpus is scanned once, never shuffled.
+  *    (broadcast) — the corpus is scanned once, never shuffled. Norms are
+  *    precomputed per row (one linear pass), so each candidate pair costs
+  *    exactly one dot product.
   *  - [[lshTopK]]: the scale path — sign-random-projection (SRP) LSH.
   *    Each vector gets a `numPlanes`-bit bucket code from md5-derived
-  *    pseudo-random ±1 hyperplanes; candidates join on bucket prefix
-  *    agreement, exact cosine re-ranks candidates. Replaces the full
-  *    scan with a bucket-local join when the corpus is 100 TB.
+  *    pseudo-random ±1 hyperplanes; candidates join on bucket-chunk
+  *    agreement, exact cosine re-ranks candidates. Only (id, chunk key)
+  *    rides the band shuffle — vectors are joined back once per side
+  *    after candidate dedup, so the wide rows never replicate ×chunks.
   */
 object Similarity {
 
   /** Exact cosine top-k: for each query vector (id in `queryIds` mod
     * filter), the k nearest corpus vectors by (cosine desc, id asc). */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, nQueries: Int, k: Int): DataFrame = {
-    val q = emb
-      .filter(col(idCol) < nQueries)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
+    val withNorm = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      Vectors.normUnrolled(col(vecCol), dim).as("nrm")
+    )
+    val q = withNorm
+      .filter(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("vec").as("qv"), col("nrm").as("qn"))
+    val c = withNorm.select(col("id").as("cand_id"), col("vec").as("cv"), col("nrm").as("cn"))
     val scored = q
       .join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn(
+        "cosine",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(Vectors.dotUnrolled(col("qv"), col("cv"), dim) / (col("qn") * col("cn")))
+      )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
     scored
       .withColumn("rk", row_number().over(w))
@@ -37,7 +49,11 @@ object Similarity {
 
   /** SRP-LSH bucket code: bit p = sign(dot(v, h_p)) where hyperplane
     * h_p[d] = +1 if md5(p:d) is odd else -1. Deterministic, data-free,
-    * identical on every executor — no broadcast of plane matrices. */
+    * identical on every executor — no broadcast of plane matrices. The
+    * ±1 signs fold into the projection as add/subtract terms (exact in
+    * IEEE, so the DuckDB sign-multiply twin matches bit-for-bit), and
+    * the whole code is one codegen'd expression per row. Output carries
+    * the per-row norm so downstream scoring never recomputes it. */
   def srpCode(emb: DataFrame, idCol: String, vecCol: String, numPlanes: Int, dim: Int): DataFrame = {
     val signs: Seq[Seq[Int]] = (0 until numPlanes).map { p =>
       (0 until dim).map { d =>
@@ -50,43 +66,55 @@ object Similarity {
     val v = col(vecCol)
     val code = (0 until numPlanes)
       .map { p =>
-        val proj = aggregate(
-          zip_with(v, lit(signs(p).toArray), (x, s) => x.cast("double") * s.cast("double")),
-          lit(0.0),
-          (acc, x) => acc + x
-        )
+        val proj = (1 to dim)
+          .map { i =>
+            val x = element_at(v, i).cast("double")
+            if (signs(p)(i - 1) == 1) x else negate(x)
+          }
+          .foldLeft(lit(0.0))(_ + _)
         when(proj > 0, lit(1L << p)).otherwise(lit(0L))
       }
       .reduce(_ + _)
-    emb.select(col(idCol).as("id"), v.as("vec"), code.as("bucket"))
+    emb.select(
+      col(idCol).as("id"),
+      v.as("vec"),
+      Vectors.normUnrolled(v, dim).as("nrm"),
+      code.as("bucket")
+    )
   }
 
-  /** ANN top-k via SRP buckets: candidates = corpus vectors whose bucket
-    * code is within hamming `probe` of the query's code (multi-probe via
-    * banding on byte chunks), re-ranked by exact cosine. Approximate —
-    * verified as rows-only by the driver; the exact baseline
-    * [[bruteForceTopK]] is the hash-checked twin. */
+  /** ANN top-k via SRP buckets: candidates = corpus vectors sharing a
+    * bucket-code byte chunk with the query (banding = multi-probe for
+    * bucket-hamming <= chunks-1), re-ranked by exact cosine. Approximate
+    * by design; the exact baseline [[bruteForceTopK]] is the hash-checked
+    * twin. Scale shape: the band self-join moves (id, key) only; vectors
+    * and norms join back after candidate dedup. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, nQueries: Int, k: Int, numPlanes: Int = 16, dim: Int = 64): DataFrame = {
     val coded = srpCode(emb, idCol, vecCol, numPlanes, dim)
     val chunks = 2 // 2 chunks of 8 bits: recall for bucket-hamming <= 1
     val banded = coded.select(
       col("id"),
-      col("vec"),
-      col("bucket"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"), shiftright(col("bucket"), c * 8).bitwiseAND(lit(0xffL)).as("key"))
       }: _*)).as("ck")
     )
-    val q = banded
-      .filter(col("id") < nQueries)
-      .select(col("ck"), col("id").as("query_id"), col("vec").as("qv"))
-    val c = banded.select(col("ck"), col("id").as("cand_id"), col("vec").as("cv"))
+    val q = banded.filter(col("id") < nQueries).select(col("ck").as("ck_q"), col("id").as("query_id"))
+    val c = banded.select(col("ck").as("ck_c"), col("id").as("cand_id"))
     val cand = q
-      .join(c, q("ck") === c("ck") && col("query_id") =!= col("cand_id"))
+      .join(c, col("ck_q") === col("ck_c") && col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id")
       .dropDuplicates("query_id", "cand_id")
+    val side = coded.select(col("id"), col("vec"), col("nrm"))
+    val scored = cand
+      .join(side.select(col("id").as("query_id"), col("vec").as("qv"), col("nrm").as("qn")), "query_id")
+      .join(side.select(col("id").as("cand_id"), col("vec").as("cv"), col("nrm").as("cn")), "cand_id")
+      .withColumn(
+        "cosine",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(Vectors.dotUnrolled(col("qv"), col("cv"), dim) / (col("qn") * col("cn")))
+      )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
-    cand
-      .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+    scored
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("cand_id"), round(col("cosine"), 5).as("cosine"), col("rk"))

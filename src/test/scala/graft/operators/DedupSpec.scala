@@ -50,8 +50,9 @@ class DedupSpec extends SparkSpec {
       (1L, Array(2.0f, 0.0f, 0.0f)),   // same direction as 0
       (2L, Array(0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99)
+    val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.99, numPlanes = 8, dim = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(out == Set((0L, 1L)))
+    assert(out == Set((0L, 1L))) // parallel vectors share every SRP bucket
+
   }
 }
