@@ -28,16 +28,14 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  /** Distinct word n-gram shingles. Guarded for docs shorter than n
-    * (Spark `sequence(0, negative)` would descend; DuckDB's
-    * `generate_series(1, 0)` is empty). */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), size(toks) - lit(n)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*)
-    )
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
+  /** Distinct word n-gram shingles (first-occurrence order; empty when
+    * the doc has fewer than n tokens — DuckDB's `generate_series(1, 0)`
+    * is empty likewise). Implemented as a custom codegen'd loop
+    * ([[TextExpressions.ShingleGrams]]) — the higher-order-function
+    * formulation is interpreted and goes quadratic when the optimizer
+    * duplicates it into inferred filters. */
+  def shingles(toks: Column, n: Int): Column =
+    TextExpressions.shingleGrams(toks, n)
 
   /** DuckDB SQL for [[shingles]] over a token-list expression. */
   def shinglesSql(toksExpr: String, n: Int): String = {

@@ -31,20 +31,9 @@ object Vectors {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
-  /** Flat dot product for a statically-known dimension: `dim` element
-    * products folded left-to-right from 0.0 — bit-identical to [[dot]]
-    * (same IEEE order, same DuckDB twin) but a plain expression tree that
-    * whole-stage codegen compiles, instead of an interpreted higher-order
-    * fold. ~10× faster on the pair-scoring hot path; use whenever the
-    * embedding dimension is known (it always is for a given table). */
-  def dotUnrolled(a: Column, b: Column, dim: Int): Column =
-    (1 to dim)
-      .map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .foldLeft(lit(0.0))(_ + _)
-
-  def normUnrolled(a: Column, dim: Int): Column = sqrt(dotUnrolled(a, a, dim))
-
-  /** DuckDB SQL for [[dot]] with identical index-order summation. */
+  /** DuckDB SQL for [[dot]] with identical index-order summation.
+    * (The engine's hot path uses [[VectorExpressions.DotFloat]], a
+    * custom codegen'd loop with this exact IEEE fold order.) */
   def dotSql(a: String, b: String): String =
     s"list_aggregate(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
 

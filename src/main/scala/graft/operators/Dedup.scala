@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.{Hashing, Text, Vectors}
+import graft.core.Par
+import graft.functions.{Hashing, Text, VectorExpressions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,6 +67,25 @@ object Dedup {
   def minhashSignature(shingleCol: Column): Column =
     minhashSignatureFromBase(minhashBase(shingleCol))
 
+  /** Signatures via explode + one hash aggregation: md5 runs once per
+    * (doc, shingle); the 64 universal-hash minima are plain `min` aggs —
+    * map-side combinable, whole-stage codegen'd, one tiny shuffle of
+    * 64-long partial states per doc. ~10× faster than evaluating 64
+    * interpreted higher-order array folds per row, and the shape that
+    * survives 100 TB (the per-row-expression variant
+    * [[minhashSignature]] remains for small in-row use). Values are
+    * identical (min over the same hash set). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val exploded = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("h", pmod(Hashing.md5Long(col("s"), 3), lit(P)))
+    val aggs = (0 until numHashes).map(j => min(pmod(col("h") * hashA(j) + hashB(j), lit(P))).as(s"m$j"))
+    exploded
+      .groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
   /** Near-duplicate pairs by MinHash-LSH candidates, verified with exact
     * shingle Jaccard >= `threshold`. Output: (id_a, id_b, jaccard).
     *
@@ -78,16 +98,20 @@ object Dedup {
     * short docs at corpus scale) yet can never pass exact verification.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val sh = docs
-      .select(col(idCol).as("id"), Text.shingles(toks, 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // tokenize BEFORE the widen barrier, shingle after: the Exchange
+    // stops CollapseProject from inlining the tokenizer into every
+    // element_at of the shingle lambda (interpreted HOFs re-evaluate
+    // inlined children per element — O(tokens²) per doc). The
+    // empty-shingle exclusion is expressed on the TOKEN count
+    // (size(sh) > 0 ⟺ size(tk) >= 3) so predicate pushdown moves a
+    // one-pass check to the scan, not the whole shingle expression.
+    val tk = Par.widen(docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) >= 3)
+    val sh = tk.select(col("id"), Text.shingles(col("tk"), 3).as("sh"))
 
-    // band path: ids + band keys only ride the self-join shuffle
-    val sig = sh
-      .withColumn("hs", minhashBase(col("sh")))
-      .withColumn("sig", minhashSignatureFromBase(col("hs")))
-      .select(col("id"), col("sig"))
+    // band path: ids + band keys only ride the self-join shuffle;
+    // signatures come from one explode + min-agg pass (map-side combine)
+    val sig = minhashSignatures(sh)
     val banded = sig.select(
       col("id"),
       explode(
@@ -123,7 +147,7 @@ object Dedup {
   /** Per-doc 60-bit SimHash via explode + one aggregation pass (md5 once
     * per token; the 60 conditional sums map-side-combine). */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
+    val tok = Par.widen(docs)
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
       .withColumn("h", Hashing.md5Long(col("t"), 11))
     val signSums = (0 until Text.simhashBits).map { i =>
@@ -180,7 +204,8 @@ object Dedup {
   /** Exact 3-gram Jaccard of query docs (id % sampleMod == 0) against the
     * corpus; pairs with jaccard >= threshold. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, sampleMod: Int, threshold: Double): DataFrame = {
-    val withSh = docs.select(col(idCol).as("id"), Text.shingles(Text.tokens(col(textCol)), 3).as("sh"))
+    val tk = Par.widen(docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk")))
+    val withSh = tk.select(col("id"), Text.shingles(col("tk"), 3).as("sh"))
     val q = withSh.filter(col("id") % sampleMod === 0).select(col("id").as("id_a"), col("sh").as("sh_a"))
     val c = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     q.join(c, col("id_a") < col("id_b"))
@@ -242,7 +267,7 @@ object Dedup {
       .withColumn(
         "cosine",
         when(col("n_a") * col("n_b") === 0.0, lit(0.0))
-          .otherwise(Vectors.dotUnrolled(col("v_a"), col("v_b"), dim) / (col("n_a") * col("n_b")))
+          .otherwise(VectorExpressions.dotF(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       )
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))

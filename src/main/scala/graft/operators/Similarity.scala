@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.Vectors
+import graft.core.Par
+import graft.functions.VectorExpressions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,11 +24,11 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector (id in `queryIds` mod
     * filter), the k nearest corpus vectors by (cosine desc, id asc). */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, nQueries: Int, k: Int, dim: Int = 64): DataFrame = {
-    val withNorm = emb.select(
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, nQueries: Int, k: Int): DataFrame = {
+    val withNorm = Par.widen(emb).select(
       col(idCol).as("id"),
       col(vecCol).as("vec"),
-      Vectors.normUnrolled(col(vecCol), dim).as("nrm")
+      VectorExpressions.normF(col(vecCol)).as("nrm")
     )
     val q = withNorm
       .filter(col("id") < nQueries)
@@ -38,7 +39,7 @@ object Similarity {
       .withColumn(
         "cosine",
         when(col("qn") * col("cn") === 0.0, lit(0.0))
-          .otherwise(Vectors.dotUnrolled(col("qv"), col("cv"), dim) / (col("qn") * col("cn")))
+          .otherwise(VectorExpressions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
       )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
     scored
@@ -50,36 +51,18 @@ object Similarity {
   /** SRP-LSH bucket code: bit p = sign(dot(v, h_p)) where hyperplane
     * h_p[d] = +1 if md5(p:d) is odd else -1. Deterministic, data-free,
     * identical on every executor — no broadcast of plane matrices. The
-    * ±1 signs fold into the projection as add/subtract terms (exact in
-    * IEEE, so the DuckDB sign-multiply twin matches bit-for-bit), and
-    * the whole code is one codegen'd expression per row. Output carries
-    * the per-row norm so downstream scoring never recomputes it. */
+    * code is one custom codegen'd loop expression per row
+    * ([[VectorExpressions.SrpBucket]] — ±x is exactly x * ±1.0 in IEEE,
+    * so the DuckDB sign-multiply twin matches bit-for-bit). Output
+    * carries the per-row norm so downstream scoring never recomputes
+    * it. */
   def srpCode(emb: DataFrame, idCol: String, vecCol: String, numPlanes: Int, dim: Int): DataFrame = {
-    val signs: Seq[Seq[Int]] = (0 until numPlanes).map { p =>
-      (0 until dim).map { d =>
-        val md5hex = java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(s"$p:$d".getBytes("UTF-8"))
-        if ((md5hex.last & 1) == 1) 1 else -1
-      }
-    }
     val v = col(vecCol)
-    val code = (0 until numPlanes)
-      .map { p =>
-        val proj = (1 to dim)
-          .map { i =>
-            val x = element_at(v, i).cast("double")
-            if (signs(p)(i - 1) == 1) x else negate(x)
-          }
-          .foldLeft(lit(0.0))(_ + _)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
-    emb.select(
+    Par.widen(emb).select(
       col(idCol).as("id"),
       v.as("vec"),
-      Vectors.normUnrolled(v, dim).as("nrm"),
-      code.as("bucket")
+      VectorExpressions.normF(v).as("nrm"),
+      VectorExpressions.srpBucket(v, numPlanes, dim).as("bucket")
     )
   }
 
@@ -111,7 +94,7 @@ object Similarity {
       .withColumn(
         "cosine",
         when(col("qn") * col("cn") === 0.0, lit(0.0))
-          .otherwise(Vectors.dotUnrolled(col("qv"), col("cv"), dim) / (col("qn") * col("cn")))
+          .otherwise(VectorExpressions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
       )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
     scored

@@ -15,13 +15,13 @@ class SimilaritySpec extends SparkSpec {
   ).toDF("vec_id", "embedding")
 
   test("brute-force top-k ranks by cosine") {
-    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1, 2, dim = 4)
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1, 2)
       .orderBy("rk").select("cand_id").as[Long].collect()
     assert(out.head == 1L) // nearest to query 0 is vector 1
   }
 
   test("LSH top-k candidates are a subset re-ranked identically to brute force") {
-    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1, 1, dim = 4)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1, 1)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 1, 1, numPlanes = 8, dim = 4)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
