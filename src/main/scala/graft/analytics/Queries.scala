@@ -552,6 +552,50 @@ object Queries {
               |${dsumSql("value", 6)} AS total FROM g GROUP BY user_id, grp""".stripMargin)
     ),
 
+    // ==================== SQL/temp-view layer (J4) ========================
+    QueryDef(
+      "v01_view_chain",
+      (s, d) => {
+        Views.registerTables(s, d)
+        Views.runModelChain(s, Seq(
+          "m1_customer_orders" ->
+            """SELECT o_custkey AS custkey, count(*) AS n_orders,
+              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+              |FROM orders GROUP BY o_custkey""".stripMargin,
+          "m2_big_spenders" ->
+            """SELECT custkey, n_orders, spend FROM m1_customer_orders
+              |WHERE n_orders >= 12""".stripMargin
+        ))
+      },
+      Some("""WITH m1_customer_orders AS (
+             |  SELECT o_custkey AS custkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT custkey, n_orders, spend FROM m1_customer_orders
+             |WHERE n_orders >= 12""".stripMargin)
+    ),
+    QueryDef(
+      "v02_sql_agg",
+      (s, d) => {
+        Views.registerTables(s, d)
+        s.sql(
+          """SELECT nation, priority, n_orders, rnk FROM (
+            |  SELECT n_name AS nation, o_orderpriority AS priority, count(*) AS n_orders,
+            |  CAST(rank() OVER (PARTITION BY n_name ORDER BY count(*) DESC, o_orderpriority) AS BIGINT) AS rnk
+            |  FROM orders JOIN customer ON o_custkey = c_custkey
+            |  JOIN nation ON c_nationkey = n_nationkey
+            |  GROUP BY n_name, o_orderpriority)
+            |WHERE rnk <= 2""".stripMargin)
+      },
+      Some("""SELECT nation, priority, n_orders, rnk FROM (
+             |  SELECT n_name AS nation, o_orderpriority AS priority, count(*) AS n_orders,
+             |  CAST(rank() OVER (PARTITION BY n_name ORDER BY count(*) DESC, o_orderpriority) AS BIGINT) AS rnk
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name, o_orderpriority)
+             |WHERE rnk <= 2""".stripMargin)
+    ),
+
     // ================== pipeline operators (oracle-checked) ===============
     QueryDef(
       "p01_upsert_merge",

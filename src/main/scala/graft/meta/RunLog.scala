@@ -32,24 +32,35 @@ class RunLog(spark: SparkSession, path: String) {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
-  /** Open a RUNNING row for (runId, loadDate) — `init_log` semantics. */
-  def start(runId: String, loadDate: java.sql.Date, runType: String, mode: String, config: String): Unit =
-    upsert(Seq(Row(runId, loadDate, runType, mode, "RUNNING",
-      new java.text.SimpleDateFormat("HH:mm:ss").format(new java.util.Date()), null, config)))
+  /** UTC wall-clock HH:mm:ss — pinned to UTC regardless of host zone,
+    * matching the reference's `datetime.utcnow()` strings
+    * (`helper.py:18-19`) and the session's UTC timezone setting. */
+  private def utcTime(): String =
+    java.time.LocalTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
 
-  /** Finalize the row — `update_log` semantics. */
-  def finish(runId: String, loadDate: java.sql.Date, status: String): Unit = {
-    val now = new java.text.SimpleDateFormat("HH:mm:ss").format(new java.util.Date())
-    val existing = read().filter(col("run_id") === runId && col("load_date") === loadDate).collect()
-    val updated = existing.map(r => Row(r.get(0), r.get(1), r.get(2), r.get(3), status, r.get(5), now, r.get(7)))
-    if (updated.nonEmpty) upsert(updated.toIndexedSeq)
+  /** Open a RUNNING row for (runId, loadDate) — `init_log` semantics.
+    * The run config serializes through `to_json(struct(...))` (F9),
+    * mirroring the reference's `json.dumps(config)`
+    * (`db_postgres.py:51`, `crime_etl.py:429`). */
+  def start(runId: String, loadDate: java.sql.Date, runType: String, mode: String, config: Seq[(String, String)]): Unit = {
+    val base = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(runId, loadDate, runType, mode, "RUNNING", utcTime(), null, null))),
+      Schemas.logs)
+    upsert(base.withColumn("config", to_json(struct(config.map { case (k, v) => lit(v).as(k) }: _*))))
   }
 
-  private def upsert(rows: Seq[Row]): Unit = {
-    val updates = spark.createDataFrame(spark.sparkContext.parallelize(rows), Schemas.logs)
-      .withColumn("__v", lit(1))
+  /** Finalize the row — `update_log` semantics. The update is a lazy
+    * filtered plan over the table, not a driver collect. */
+  def finish(runId: String, loadDate: java.sql.Date, status: String): Unit =
+    upsert(read()
+      .filter(col("run_id") === runId && col("load_date") === loadDate)
+      .withColumn("status", lit(status))
+      .withColumn("end_time", lit(utcTime())))
+
+  private def upsert(updates: DataFrame): Unit = {
     val target = read().withColumn("__v", lit(0))
-    write(Upsert.merge(target, updates, Seq("run_id", "load_date"), "__v").drop("__v"))
+    write(Upsert.merge(target, updates.withColumn("__v", lit(1)), Seq("run_id", "load_date"), "__v").drop("__v"))
   }
 
   /** A1: high-water mark — max load_date with status in the given set. */

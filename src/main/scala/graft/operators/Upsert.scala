@@ -41,23 +41,38 @@ object Upsert {
       .drop("__rn", "__src")
   }
 
-  /** Full-outer-join merge variant (coalesce per column, update side
-    * wins) — the literal `MERGE` shape; useful when target and updates
-    * have exactly one row per key already. */
+  /** Full-outer-join merge variant — the literal `MERGE` shape
+    * (`db_postgres.py:158-203`): on matched keys EVERY data column is
+    * taken from the update row, including explicit NULLs (a per-column
+    * coalesce would silently keep the target value when an update sets a
+    * column to NULL — not what MERGE does). Useful when target and
+    * updates have exactly one row per key already. */
   def mergeFullOuter(target: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
     val dataCols = target.columns.filterNot(keyCols.contains)
     val t = target.as("t")
-    val u = updates.as("u")
+    val u = updates.withColumn("__matched", lit(true)).as("u")
     val cond = keyCols.map(k => t(k) <=> u(k)).reduce(_ && _)
     t.join(u, cond, "full_outer")
       .select(
         keyCols.map(k => coalesce(u(k), t(k)).as(k)) ++
-          dataCols.map(c => coalesce(u(c), t(c)).as(c)): _*
+          dataCols.map(c => when(u("__matched"), u(c)).otherwise(t(c)).as(c)): _*
       )
   }
 
+  /** Spark's directory name for a null partition value. */
+  val NullPartitionDir = "__HIVE_DEFAULT_PARTITION__"
+
   /** Partition-scoped parquet upsert: rewrite only partitions of
-    * `partitionCol` present in `updates`; leave the rest untouched. */
+    * `partitionCol` present in `updates`; leave the rest untouched.
+    *
+    * Null partition values are first-class: the target filter matches
+    * them with `isNull` (an `isin` list never matches NULL) and the
+    * directory swap uses Spark's `__HIVE_DEFAULT_PARTITION__` name —
+    * Transform deliberately maps malformed timestamps to NULL, so
+    * null-partition rows must merge, not silently vanish. The bootstrap
+    * write (table doesn't exist yet) runs the same keep-latest merge
+    * against an empty target so duplicate keys in the very first batch
+    * (e.g. a retried load that re-landed pages) collapse too. */
   def upsertIntoParquet(
       spark: SparkSession,
       tablePath: String,
@@ -69,18 +84,28 @@ object Upsert {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(tablePath)
     val touched = updates.select(partitionCol).distinct().collect().map(_.get(0))
-    if (!fs.exists(path)) {
-      updates.write.partitionBy(partitionCol).parquet(tablePath)
+    if (touched.isEmpty) return // empty update batch: nothing to rewrite
+    // bootstrap also when the path is an EMPTY directory (catalog DDL
+    // pre-creates external-table locations before the first load)
+    if (!fs.exists(path) || fs.listStatus(path).isEmpty) {
+      merge(updates.filter(lit(false)), updates, keyCols, versionCol)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tablePath)
       return
     }
-    val target = spark.read.parquet(tablePath).filter(col(partitionCol).isin(touched: _*))
+    val hasNull = touched.contains(null)
+    val nonNull = touched.filter(_ != null)
+    val partFilter = (
+      (if (nonNull.nonEmpty) Seq(col(partitionCol).isin(nonNull: _*)) else Nil) ++
+        (if (hasNull) Seq(col(partitionCol).isNull) else Nil)
+    ).reduce(_ || _)
+    val target = spark.read.parquet(tablePath).filter(partFilter)
     val merged = merge(target, updates, keyCols, versionCol).cache()
     val tmp = tablePath + ".tmp-upsert"
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
     merged.unpersist()
     // swap only the touched partition directories
     touched.foreach { v =>
-      val part = s"$partitionCol=$v"
+      val part = s"$partitionCol=${if (v == null) NullPartitionDir else v}"
       val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$part")
       val src = new org.apache.hadoop.fs.Path(s"$tmp/$part")
       if (fs.exists(dst)) fs.delete(dst, true)

@@ -1,24 +1,37 @@
 package graft.pipeline
 
+import graft.core.Schemas
 import graft.meta.{Checkpoint, CheckpointState, RunLog}
-import graft.operators.{SyncRepair, Transform, Upsert}
-import graft.sources.{ApiPageFetchError, ApiSimulator, LandingZone}
+import graft.operators.{DataChecks, SyncRepair, Transform, Upsert}
+import graft.sources.{ApiPageFetchError, ApiSimulator, Catalog, LandingZone}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import java.time.LocalDate
 
 /** Driver-side orchestration of the weekly run (§3.1 of SURVEY.md) —
   * the Airflow DAG `crime_etl` (`airflow/dags/crime_etl.py:563-695`)
   * re-expressed as plain Scala control flow over lazy Spark plans.
   *
-  * Stages: metadata branch (FULL vs INCREMENT on the high-water mark)
-  * → paged extract with (date, page) checkpoint/resume → partitioned
-  * landing write → transform → keyed upsert into TWO parquet replicas
-  * → log finalize → sync-validate (anti-join) → replay missed
-  * partitions. Thread/process boundaries of the DAG become Spark job
-  * boundaries; branching is `if` on collected scalars (the only
-  * `collect`s are scalar cursors — 100 TB posture).
+  * Stages mirror the DAG: check_table (catalog DDL, S7/S8) →
+  * fetch_metadata branch (FULL vs INCREMENT on the data's high-water
+  * mark, ST1/A1) → paged extract with (date, page) checkpoint/resume
+  * (ST2) over month-bucketed ranges (F3) → partitioned landing write →
+  * transform → keyed upsert into TWO parquet replicas → post-upsert
+  * data tests (A5) → log finalize → sync-validate (anti-join) → replay
+  * missed partitions (ST5). Thread/process boundaries of the DAG become
+  * Spark job boundaries; branching is `if` on collected scalars (the
+  * only `collect`s are scalar cursors — 100 TB posture).
+  *
+  * Mode semantics (`crime_etl.py:94-228`):
+  *  - FULL (no data yet): walk `[epochStart, loadDate]` in one-month
+  *    query windows, remainder clamped ([[DateRanges.monthBuckets]]).
+  *  - INCREMENT: fetch `(highWater, loadDate]` where highWater =
+  *    `MAX(source_updated_on)` read from the crime DATA (not the logs —
+  *    `db_postgres.py:65-71`), at day granularity.
   */
-class Runner(spark: SparkSession, workDir: String) {
+class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01-01", tablePrefix: String = "graft") {
 
   val landingRoot = s"$workDir/landing"
   val replicaA = s"$workDir/warehouse_a/crime"
@@ -27,17 +40,46 @@ class Runner(spark: SparkSession, workDir: String) {
   val logsB = new RunLog(spark, s"$workDir/warehouse_b/logs")
   val checkpoint = new Checkpoint(s"$workDir/checkpoint.json")
 
+  /** check_table stage (S7/S8): register the warehouse tables in the
+    * session catalog, idempotently (`db_postgres.py:93-111`). The
+    * catalog is a metadata surface — reads/writes below go through the
+    * partitioned parquet paths the upsert operator maintains. */
+  def checkTables(): Unit = {
+    val crimeSchema = Schemas.crime.add("occ_year", IntegerType)
+    Catalog.createTableIfNotExists(spark, s"${tablePrefix}_crime_a", replicaA, crimeSchema)
+    Catalog.createTableIfNotExists(spark, s"${tablePrefix}_crime_b", replicaB, crimeSchema)
+    Catalog.createTableIfNotExists(spark, s"${tablePrefix}_logs_a", s"$workDir/warehouse_a/logs", Schemas.logs)
+    Catalog.createTableIfNotExists(spark, s"${tablePrefix}_logs_b", s"$workDir/warehouse_b/logs", Schemas.logs)
+  }
+
+  /** A1: CDC cursor — MAX(source_updated_on) from the crime data. */
+  def crimeHighWater(): Option[java.sql.Timestamp] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(replicaA)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    else Option(spark.read.parquet(replicaA).agg(max("source_updated_on")).first().getTimestamp(0))
+  }
+
   /** One scheduled run. Returns the final status. */
   def run(runId: String, loadDate: String, api: ApiSimulator, maxRetries: Int = 3): String = {
+    checkTables()
     val ld = java.sql.Date.valueOf(loadDate)
-    // fetch_metadata: branch FULL vs INCREMENT on the high-water mark
-    val mode = if (logsA.maxLoadDate(Seq("SUCCESS")).isEmpty) "FULL" else "INCREMENT"
-    logsA.start(runId, ld, "SCHEDULED", mode, s"""{"load_date":"$loadDate"}""")
-    logsB.start(runId, ld, "SCHEDULED", mode, s"""{"load_date":"$loadDate"}""")
+    val hw = crimeHighWater()
+    val mode = if (hw.isEmpty) "FULL" else "INCREMENT"
+    val ranges: Seq[(String, String)] = mode match {
+      case "FULL" => DateRanges.monthBuckets(epochStart, loadDate)
+      case _ =>
+        val from = hw.get.toLocalDateTime.toLocalDate.plusDays(1)
+        if (from.isAfter(LocalDate.parse(loadDate))) Seq.empty // nothing newer than the high-water mark
+        else Seq((from.toString, loadDate))
+    }
+    val cfg = Seq("load_date" -> loadDate, "mode" -> mode, "epoch_start" -> epochStart)
+    logsA.start(runId, ld, "SCHEDULED", mode, cfg)
+    logsB.start(runId, ld, "SCHEDULED", mode, cfg)
 
     val status =
       try {
-        extractAndLand(loadDate, api, maxRetries)
+        ranges.foreach { case (s0, e0) => extractAndLand(s0, e0, loadDate, api, maxRetries) }
         loadReplica(replicaA, Seq(loadDate))
         loadReplica(replicaB, Seq(loadDate))
         "SUCCESS"
@@ -48,16 +90,17 @@ class Runner(spark: SparkSession, workDir: String) {
     status
   }
 
-  /** Paged extract with checkpoint/resume at (date, page) granularity
-    * (ST2): a failed page leaves a checkpoint; the retry resumes from
-    * it; exhausted retries clear it (`crime_etl.py:132-168`). */
-  private def extractAndLand(loadDate: String, api: ApiSimulator, maxRetries: Int): Unit = {
+  /** Paged extract of one query window with checkpoint/resume at
+    * (window start, page) granularity (ST2): a failed page leaves a
+    * checkpoint; the retry resumes from it; exhausted retries clear it
+    * (`crime_etl.py:132-168`). */
+  private def extractAndLand(startDate: String, endDate: String, loadDate: String, api: ApiSimulator, maxRetries: Int): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
-      val resumeFrom = checkpoint.read().filter(_.lastDate == loadDate).map(_.lastPage).getOrElse(0)
+      val resumeFrom = checkpoint.read().filter(_.lastDate == startDate).map(_.lastPage).getOrElse(0)
       try {
-        api.fetchPages(loadDate, loadDate, resumeFrom).foreach { case (_, rows) =>
+        api.fetchPages(startDate, endDate, resumeFrom).foreach { case (_, rows) =>
           if (rows.nonEmpty) LandingZone.write(api.toDataFrame(spark, rows), landingRoot, loadDate)
         }
         checkpoint.clear()
@@ -72,7 +115,9 @@ class Runner(spark: SparkSession, workDir: String) {
   }
 
   /** Landing → transform → idempotent keyed upsert into one replica,
-    * partition-scoped by occurrence year (only touched years rewrite). */
+    * partition-scoped by occurrence year (only touched years rewrite),
+    * then the dbt-style data tests (A5): crime_id must be a unique,
+    * non-null key or the run fails. */
   def loadReplica(replicaPath: String, loadDates: Seq[String]): Unit = {
     val raw = LandingZone.read(spark, landingRoot, loadDates)
     val typed = Transform.crimeRecords(raw)
@@ -80,6 +125,9 @@ class Runner(spark: SparkSession, workDir: String) {
     Upsert.upsertIntoParquet(
       spark, replicaPath, typed,
       keyCols = Seq("crime_id"), versionCol = "source_updated_on", partitionCol = "occ_year")
+    val crime = spark.read.parquet(replicaPath)
+    DataChecks.requireUnique(crime, Seq("crime_id"))
+    DataChecks.requireNotNull(crime, Seq("crime_id"))
   }
 
   /** validate_sync + sync_* (ST5): anti-join the replica logs, replay
@@ -90,7 +138,7 @@ class Runner(spark: SparkSession, workDir: String) {
       val missedDate = r.getDate(0)
       val side = r.getString(1)
       val (log, replica) = if (side == "a") (logsA, replicaA) else (logsB, replicaB)
-      log.start(runId, missedDate, "RECOVERY", "INCREMENT", s"""{"recover":"$missedDate"}""")
+      log.start(runId, missedDate, "RECOVERY", "INCREMENT", Seq("recover" -> missedDate.toString))
       loadReplica(replica, Seq(missedDate.toString))
       log.finish(runId, missedDate, "SUCCESS")
     }

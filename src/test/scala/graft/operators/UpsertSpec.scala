@@ -46,6 +46,39 @@ class UpsertSpec extends SparkSpec {
     assert(out.toSeq == Seq(("k1", "a"), ("k2", "B"), ("k3", "C")))
   }
 
+  test("mergeFullOuter: explicit NULL in the update overwrites the target value") {
+    val t = Seq(("k1", Some("a")), ("k2", Some("b"))).toDF("id", "x")
+    val u = Seq(("k2", None: Option[String])).toDF("id", "x")
+    val out = Upsert.mergeFullOuter(t, u, Seq("id"))
+      .as[(String, Option[String])].collect().sortBy(_._1)
+    // MERGE semantics: matched row takes ALL columns from the update, NULLs included
+    assert(out.toSeq == Seq(("k1", Some("a")), ("k2", None)))
+  }
+
+  test("upsertIntoParquet bootstrap write dedups duplicate keys") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val dup = Seq(("k1", 1, 2020, "old"), ("k1", 2, 2020, "new"), ("k2", 1, 2021, "x"))
+      .toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, dup, Seq("id"), "v", "yr")
+    val out = spark.read.parquet(dir).select("id", "v", "payload")
+      .as[(String, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("k1", 2, "new"), ("k2", 1, "x")))
+  }
+
+  test("upsertIntoParquet merges rows whose partition value is null") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val init = Seq(("k1", 1, Some(2020), "a"), ("kn", 1, None: Option[Int], "null-part"))
+      .toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "yr")
+    val upd = Seq(("kn", 2, None: Option[Int], "null-part-v2"), ("k2", 1, Some(2020), "b"))
+      .toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, upd, Seq("id"), "v", "yr")
+    val out = spark.read.parquet(dir).select("id", "v", "payload")
+      .as[(String, Int, String)].collect().sortBy(_._1)
+    // the null-partition row was merged (keep-latest), not dropped
+    assert(out.toSeq == Seq(("k1", 1, "a"), ("k2", 1, "b"), ("kn", 2, "null-part-v2")))
+  }
+
   test("upsertIntoParquet rewrites only touched partitions") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
     val init = Seq(("k1", 1, 2020), ("k2", 1, 2021)).toDF("id", "v", "yr")

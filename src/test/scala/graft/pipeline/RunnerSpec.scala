@@ -2,17 +2,17 @@ package graft.pipeline
 
 import graft.SparkSpec
 import graft.operators.SyncRepair
-import graft.sources.ApiSimulator
+import graft.sources.{ApiSimulator, Catalog}
 import org.apache.spark.sql.functions._
 
 /** End-to-end pipeline smoke (SURVEY.md §5.5): simulated API → landing
   * zone → transform → dual-replica upsert → logs → checkpoint/resume →
-  * sync repair. */
+  * sync repair → catalog DDL → FULL/INCREMENT branching. */
 class RunnerSpec extends SparkSpec {
 
   test("full run lands, transforms and upserts into both replicas") {
     val dir = java.nio.file.Files.createTempDirectory("runner").toString
-    val r = new Runner(spark, dir)
+    val r = new Runner(spark, dir, epochStart = "2025-07-01", tablePrefix = "t1")
     val api = new ApiSimulator(totalRows = 250, pageSize = 100)
     val status = r.run("run1", "2025-07-01", api)
     assert(status == "SUCCESS")
@@ -29,9 +29,47 @@ class RunnerSpec extends SparkSpec {
     assert(logs.count() == 2)
   }
 
+  test("FULL walks month buckets from the epoch; next run branches INCREMENT") {
+    val dir = java.nio.file.Files.createTempDirectory("runner").toString
+    // epoch two months back → FULL covers 3 query windows (F3)
+    val r = new Runner(spark, dir, epochStart = "2025-05-20", tablePrefix = "t2")
+    val api = new ApiSimulator(totalRows = 120, pageSize = 60)
+    assert(r.crimeHighWater().isEmpty)
+    assert(r.run("run1", "2025-07-10", api) == "SUCCESS")
+    // the sim emits the same crime_ids per window; keep-latest keeps one row each
+    assert(spark.read.parquet(r.replicaA).count() == 120)
+    // high-water mark now reads from the DATA (A1)
+    val hw = r.crimeHighWater()
+    assert(hw.nonEmpty)
+    // second run on a later load date branches INCREMENT (ST1)
+    assert(r.run("run2", "2025-07-20", api) == "SUCCESS")
+    val modes = r.logsA.read().orderBy("run_id").select("mode").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    assert(modes == Seq("FULL", "INCREMENT"))
+    // config serialized as JSON via to_json(struct(...)) (F9)
+    val cfg = r.logsA.read().filter(col("run_id") === "run2").select("config").first().getString(0)
+    assert(cfg.contains(""""mode":"INCREMENT"""") && cfg.contains(""""load_date":"2025-07-20""""))
+    // INCREMENT re-upserted the newer rows idempotently
+    assert(spark.read.parquet(r.replicaA).count() == 120)
+  }
+
+  test("checkTables registers catalog tables idempotently (S7/S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("runner").toString
+    val r = new Runner(spark, dir, epochStart = "2025-07-01", tablePrefix = "t3")
+    r.checkTables()
+    r.checkTables() // IF NOT EXISTS: second call is a no-op
+    val tables = Catalog.listTables(spark)
+    assert(Seq("t3_crime_a", "t3_crime_b", "t3_logs_a", "t3_logs_b").forall(tables.contains))
+    assert(Catalog.tableExists(spark, "t3_crime_a"))
+    // a run against the pre-created (empty) locations still bootstraps
+    val api = new ApiSimulator(totalRows = 50, pageSize = 25)
+    assert(r.run("run1", "2025-07-01", api) == "SUCCESS")
+    assert(spark.read.parquet(r.replicaA).count() == 50)
+  }
+
   test("checkpoint/resume: a failing page checkpoints, retry resumes and completes") {
     val dir = java.nio.file.Files.createTempDirectory("runner").toString
-    val r = new Runner(spark, dir)
+    val r = new Runner(spark, dir, epochStart = "2025-07-02", tablePrefix = "t4")
     // fails at page 2 on the first pass; Runner retries internally and
     // the simulator only fails once per fetch generation here, so use
     // maxRetries to allow recovery
@@ -53,7 +91,7 @@ class RunnerSpec extends SparkSpec {
 
   test("sync repair replays load_dates missing in one replica") {
     val dir = java.nio.file.Files.createTempDirectory("runner").toString
-    val r = new Runner(spark, dir)
+    val r = new Runner(spark, dir, epochStart = "2025-07-03", tablePrefix = "t5")
     val api = new ApiSimulator(totalRows = 100, pageSize = 50)
     assert(r.run("run1", "2025-07-03", api) == "SUCCESS")
     // simulate replica B lagging: mark its log row FAILED
