@@ -427,6 +427,9 @@ object Queries {
     QueryDef("d03_embedding_neardup", (s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.4, 32, 64),
       Some(embeddingNearDupSql(0.4, 32, 64))),
+    QueryDef("d04_ngram_jaccard", (s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", 20, 0.2),
+      Some(ngramJaccardSql(20, 0.2))),
 
     // ========================== similarity search =========================
     QueryDef("s01_ann_bruteforce", (s, d) =>
@@ -668,6 +671,20 @@ object Queries {
        |FROM cand
        |WHERE CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
        |  (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x)))) >= $threshold""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.ngramJaccard]] — the exact quadratic
+    * baseline, bounded to the query subset (id % sampleMod == 0). */
+  private def ngramJaccardSql(sampleMod: Int, threshold: Double): String = {
+    val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    val jacc = s"CAST($inter AS DOUBLE) / (len(a.sh) + len(b.sh) - $inter)"
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+       |shg AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+       |  FROM toks WHERE len(tk) >= 3)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, round($jacc, 6) AS jaccard
+       |FROM shg a JOIN shg b ON a.doc_id % $sampleMod = 0 AND a.doc_id < b.doc_id
+       |WHERE $jacc >= $threshold""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.simhashPairs]]: per-doc 60-bit simhash from

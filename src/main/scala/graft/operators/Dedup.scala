@@ -205,6 +205,7 @@ object Dedup {
     * corpus; pairs with jaccard >= threshold. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, sampleMod: Int, threshold: Double): DataFrame = {
     val tk = Par.widen(docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) >= 3)
     val withSh = tk.select(col("id"), Text.shingles(col("tk"), 3).as("sh"))
     val q = withSh.filter(col("id") % sampleMod === 0).select(col("id").as("id_a"), col("sh").as("sh_a"))
     val c = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))

@@ -9,7 +9,7 @@ import graft.SparkSpec
 class QueriesSpec extends SparkSpec {
 
   private val mayBeEmpty = Set("q19_exact_dedup", "d01_minhash_lsh", "d02_simhash_pairs",
-    "d03_embedding_neardup")
+    "d03_embedding_neardup", "d04_ngram_jaccard")
 
   Queries.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
