@@ -1,8 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import java.sql.Timestamp
+
+/** Open-session accumulator for [[EventStream.sessionizeStateful]]. */
+final case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
+
+/** A finalized session emitted by [[EventStream.sessionizeStateful]]. */
+final case class SessionRecord(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total: Double
+)
 
 /** Structured Streaming surface over the `events` stream (ST1–ST4 +
   * the declared tumbling/sliding/session windows, SURVEY.md §2.7).
@@ -52,6 +66,62 @@ object EventStream {
       .select(
         col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"), col("total"))
+
+  /** Custom sessionization state machine via `flatMapGroupsWithState`
+    * (the KeyValueGroupedDataset custom-state surface — semantics
+    * `session_window` can't express: sessions EMIT exactly once, either
+    * the moment a new event proves the gap elapsed, or on event-time
+    * timeout when the watermark passes last_event + gap).
+    *
+    * State per user is one [[OpenSession]] accumulator; completed
+    * sessions stream out in append mode. Watermark bounds both late
+    * data and state size — a key's state lives at most gap + delay past
+    * its last event. At scale the only shuffle is the groupByKey hash
+    * partition on user_id, and state is O(active users), not O(events).
+    */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30, delay: String = "2 hours"): Dataset[SessionRecord] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRecord](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          def toRec(s: OpenSession) =
+            SessionRecord(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.total)
+          if (state.hasTimedOut) {
+            // watermark passed last_event + gap: the open session is final
+            val out = state.getOption.map(toRec).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_._2.getTime)
+            var open = state.getOption
+            val done = Seq.newBuilder[SessionRecord]
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              open = open match {
+                case Some(s) if t - s.lastMs < gapMs =>
+                  Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1, total = s.total + v))
+                case Some(s) =>
+                  done += toRec(s) // gap proven by this event: emit, start fresh
+                  Some(OpenSession(t, t, 1, v))
+                case None =>
+                  Some(OpenSession(t, t, 1, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // event-time timeout must sit beyond the current watermark
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            done.result().iterator
+          }
+      }
+  }
 
   /** Run a streaming aggregation to a memory sink until the source
     * drains; returns the sink table name. Local smoke-test entry. */

@@ -60,6 +60,33 @@ class EventStreamSpec extends SparkSpec {
     assert(out.agg(sum("n_events")).first().getLong(0) == 200L)
   }
 
+  test("stateful sessionization emits sessions on gap arrival and on event-time timeout") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
+    val rows = Seq(
+      // user 1: session A (3 events), then a 110-minute gap opens session B
+      (1L, "2024-01-01 10:00:00", 1.0), (2L, "2024-01-01 10:05:00", 2.0), (3L, "2024-01-01 10:10:00", 3.0),
+      (4L, "2024-01-01 12:00:00", 4.0), (5L, "2024-01-01 12:05:00", 5.0),
+      // user 2: one session ending at 10:40 — finalized by TIMEOUT once
+      // the watermark (max ts = 12:05, delay 0) passes 10:40 + 30min
+      (6L, "2024-01-01 10:30:00", 6.0), (7L, "2024-01-01 10:40:00", 7.0)
+    ).map { case (id, ts, v) =>
+      (id, Timestamp.valueOf(ts), if (id <= 5) 1L else 2L, "t", v)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(dir)
+
+    val sessions = EventStream.sessionizeStateful(
+      EventStream.readEvents(spark, dir, schema), gapMinutes = 30, delay = "0 seconds")
+    val q = EventStream.runToMemory(sessions.toDF(), "stateful_sessions", "append")
+    q.awaitTermination(60000)
+    val out = spark.table("stateful_sessions")
+      .select("user_id", "n_events", "total").as[(Long, Long, Double)].collect().toSet
+    // user 1 session A emitted when the 12:00 event proved the gap;
+    // user 2's session emitted by the no-data batch's event-time timeout;
+    // user 1's OPEN session B (12:00-12:05) is still pending — not emitted
+    assert(out == Set((1L, 3L, 6.0), (2L, 2L, 13.0)))
+  }
+
   test("streaming upsert sink maintains keep-latest table across micro-batches") {
     val base = java.nio.file.Files.createTempDirectory("events").toString
     writeEvents(s"$base/in")
