@@ -431,6 +431,28 @@ object Queries {
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", 20, 0.2),
       Some(ngramJaccardSql(20, 0.2))),
 
+    // ============== embedding aggregation (training-data ops) =============
+    QueryDef(
+      "s03_label_centroids",
+      (s, d) =>
+        // per-class centroid, long form: one row per (label, dim). The
+        // sum runs through DECIMAL so it is partition-order-exact; the
+        // final division is one double op — deterministic both engines.
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("label"), col("dim").cast("long").as("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(col("x").cast("double").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+              .as("centroid")
+          ),
+      Some("""SELECT label, i - 1 AS dim, count(*) AS n,
+             |CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS centroid
+             |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+             |WHERE i <= len(embedding)
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // ========================== similarity search =========================
     QueryDef("s01_ann_bruteforce", (s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", 50, 10)
@@ -486,6 +508,27 @@ object Queries {
       Some(s"""SELECT doc_id, ${Text.fingerprintSql(toksSql("text"))} AS fp FROM documents""")
     ),
 
+    QueryDef(
+      "t04_text_stats",
+      (s, d) => {
+        val toks = Text.tokens(lower(col("text")))
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(toks)).cast("long").as("n_tokens"),
+            (sum(size(toks)).cast("double") / count(lit(1))).as("avg_tokens"),
+            countDistinct(col("source")).as("n_sources"),
+            max(col("n_chars")).as("max_chars")
+          )
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |SUM(len(${toksSql("lower(text)")})) AS n_tokens,
+              |CAST(SUM(len(${toksSql("lower(text)")})) AS DOUBLE) / count(*) AS avg_tokens,
+              |count(DISTINCT source) AS n_sources, max(n_chars) AS max_chars
+              |FROM documents GROUP BY 1""".stripMargin)
+    ),
+
     // ============================ multimodal ==============================
     QueryDef(
       "m01_media_decode",
@@ -510,6 +553,23 @@ object Queries {
       Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
              |unnest(generate_series(0, CAST(octet_length(encode(text)) % 30 AS INTEGER), 5)) AS frame_idx
              |FROM documents""".stripMargin)
+    ),
+
+    QueryDef(
+      "m03_resize_plan",
+      (s, d) =>
+        Multimodal.resizePlan(
+          Multimodal.decodeMetadata(Multimodal.asMediaTable(Tables.documents(s, d), "doc_id", "text")),
+          224
+        ),
+      Some("""WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+             |  CAST(64 + octet_length(encode(text)) % 1856 AS INTEGER) AS width,
+             |  CAST(64 + (octet_length(encode(text)) * 7) % 1016 AS INTEGER) AS height
+             |  FROM documents)
+             |SELECT media_id, width, height,
+             |CAST(width AS BIGINT) * 224 // greatest(width, height) AS resize_w,
+             |CAST(height AS BIGINT) * 224 // greatest(width, height) AS resize_h
+             |FROM m""".stripMargin)
     ),
 
     // ===================== streaming batch twins ==========================

@@ -77,4 +77,18 @@ object Multimodal {
       col("media_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))).as("frame_idx")
     )
+
+  /** Resize planning: target dimensions that fit each image into a
+    * `target`×`target` box preserving aspect ratio. Integer floor
+    * division end-to-end — exact, no float boundary, identical in the
+    * oracle. (The actual pixel resample would live in the decoder
+    * stage; this computes the per-row plan a batch resize consumes.) */
+  def resizePlan(meta: DataFrame, target: Int): DataFrame =
+    meta.select(
+      col("media_id"),
+      col("width"),
+      col("height"),
+      expr(s"CAST(width AS BIGINT) * $target DIV greatest(width, height)").as("resize_w"),
+      expr(s"CAST(height AS BIGINT) * $target DIV greatest(width, height)").as("resize_h")
+    )
 }
