@@ -406,6 +406,22 @@ object Queries {
               |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""".stripMargin)
     ),
     QueryDef(
+      "q23_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n_rows"), col("sum_qty")
+          ),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              |coalesce(l_linestatus, 'ALL') AS linestatus,
+              |count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
+    ),
+    QueryDef(
       "q22_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d).agg(
@@ -657,6 +673,37 @@ object Queries {
              |  JOIN nation ON c_nationkey = n_nationkey
              |  GROUP BY n_name, o_orderpriority)
              |WHERE rnk <= 2""".stripMargin)
+    ),
+
+    QueryDef(
+      "v03_sql_functions",
+      (s, d) => {
+        // the custom codegen'd expressions through the SQL surface:
+        // registered via GraftExtensions (injectFunction twin)
+        graft.plans.GraftExtensions.install(s)
+        Views.registerTables(s, d)
+        s.sql(
+          """SELECT vec_id,
+            |round(graft_dot(embedding, embedding), 5) AS self_dot,
+            |graft_srp_bucket(embedding, 16, 64) AS bucket
+            |FROM embeddings""".stripMargin)
+      },
+      Some {
+        val signs: Seq[Seq[Int]] = (0 until 16).map { p =>
+          (0 until 64).map { dd =>
+            val md5 = java.security.MessageDigest.getInstance("MD5").digest(s"$p:$dd".getBytes("UTF-8"))
+            if ((md5.last & 1) == 1) 1 else -1
+          }
+        }
+        val bucketTerms = (0 until 16).map { p =>
+          val lst = signs(p).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_aggregate(list_transform(generate_series(1, 64),
+             |  i -> CAST(embedding[i] AS DOUBLE) * CAST(($lst)[i] AS DOUBLE)), 'sum') > 0
+             |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+        }.mkString(" + ")
+        s"""SELECT vec_id, round(${Vectors.dotSql("embedding", "embedding")}, 5) AS self_dot,
+           |$bucketTerms AS bucket FROM embeddings""".stripMargin
+      }
     ),
 
     // ================== pipeline operators (oracle-checked) ===============

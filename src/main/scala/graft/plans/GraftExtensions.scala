@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.functions.{TextExpressions, VectorExpressions}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for graft's custom Catalyst expressions.
+  *
+  * Two installation paths:
+  *  - config: `spark.sql.extensions=graft.plans.GraftExtensions` at
+  *    session build (the standard extension mechanism);
+  *  - imperative: [[GraftExtensions.install]] on a live session (for
+  *    sessions the caller didn't build — notebooks, test harnesses).
+  *
+  * Registered functions:
+  *  - `graft_dot(a, b)` — codegen'd float-array dot product;
+  *  - `graft_srp_bucket(vec, numPlanes, dim)` — SRP-LSH bucket code;
+  *  - `graft_shingles(tokens, n)` — distinct word n-grams.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other =>
+      throw new IllegalArgumentException(s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      "graft_dot",
+      new ExpressionInfo(VectorExpressions.DotFloat.getClass.getName, "graft_dot"),
+      (args: Seq[Expression]) => VectorExpressions.DotFloat(args(0), args(1))
+    ),
+    (
+      "graft_srp_bucket",
+      new ExpressionInfo(VectorExpressions.SrpBucket.getClass.getName, "graft_srp_bucket"),
+      (args: Seq[Expression]) =>
+        VectorExpressions.SrpBucket(
+          args(0),
+          intArg(args(1), "graft_srp_bucket", 1),
+          intArg(args(2), "graft_srp_bucket", 2))
+    ),
+    (
+      "graft_shingles",
+      new ExpressionInfo(TextExpressions.ShingleGrams.getClass.getName, "graft_shingles"),
+      (args: Seq[Expression]) => TextExpressions.ShingleGrams(args(0), intArg(args(1), "graft_shingles", 1))
+    )
+  )
+
+  /** Imperative registration into a live session's function registry. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, name, builder)
+    }
+}
