@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Property-style tests of the LSH guarantee claims (seeded random
+  * corpora, UpsertProps style):
+  *
+  *  - SimHash banding is claimed EXACT, not probabilistic, for
+  *    hamming <= 3 (4-chunk pigeonhole) — verified against a
+  *    driver-side brute force over all pairs.
+  *  - MinHash-LSH is claimed sound (every reported pair passes exact
+  *    Jaccard verification) and complete for identical docs (equal
+  *    signatures share every band) — both verified against driver-side
+  *    recomputation.
+  */
+class DedupProps extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi",
+    "rho", "sigma", "tau", "upsilon"
+  )
+
+  private def randDocs(rnd: scala.util.Random, n: Int): Seq[(Long, String)] =
+    (0 until n).map { i =>
+      val base = Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, base)
+    }
+
+  test("simhash banding finds EXACTLY the hamming<=3 pairs (pigeonhole, 5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val docs = randDocs(rnd, 30).toDF("doc_id", "text")
+      val sketches = Dedup.simhashTable(docs, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      val expected = (for {
+        a <- sketches.keys; b <- sketches.keys
+        if a < b && java.lang.Long.bitCount(sketches(a) ^ sketches(b)) <= 3
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed $seed: banding recall/precision mismatch")
+    }
+  }
+
+  test("minhashLsh is sound, and complete for identical docs (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      // plant exact duplicates: doc i copies doc i-1 when i % 5 == 0
+      val base = randDocs(rnd, 25)
+      val docs = base.zipWithIndex.map { case ((id, t), i) =>
+        if (i > 0 && i % 5 == 0) (id, base(i - 1)._2) else (id, t)
+      }
+      val df = docs.toDF("doc_id", "text")
+      def shingleSet(t: String): Set[String] =
+        t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+
+      val got = Dedup.minhashLsh(df, "doc_id", "text", 0.5)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      // soundness: reported jaccard is the exact jaccard and >= threshold
+      got.foreach { case (a, b, j) =>
+        val inter = sets(a).intersect(sets(b)).size.toDouble
+        val exact = inter / sets(a).union(sets(b)).size
+        assert(j >= 0.5 && math.abs(j - exact) < 1e-6, s"seed $seed pair ($a,$b)")
+      }
+      // completeness for planted exact duplicates
+      val pairs = got.map(g => (g._1, g._2)).toSet
+      docs.zipWithIndex.foreach { case ((id, _), i) =>
+        if (i > 0 && i % 5 == 0) {
+          val prev = base(i - 1)._1
+          assert(pairs.contains((math.min(prev, id), math.max(prev, id))),
+            s"seed $seed: identical pair ($prev,$id) missed")
+        }
+      }
+    }
+  }
+}

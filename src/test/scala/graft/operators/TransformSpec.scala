@@ -21,6 +21,18 @@ class TransformSpec extends SparkSpec {
     assert(r.getAs[Double]("latitude") > 41.0)
   }
 
+  test("typed Dataset[CrimeRecord] round-trips the transform") {
+    val api = new ApiSimulator(totalRows = 20, pageSize = 20)
+    val raw = api.toDataFrame(spark, api.fetchPages("2025-07-01", "2025-07-01").next()._2)
+    val ds = Transform.crimeDataset(raw)
+    val recs = ds.collect().sortBy(_.crime_id)
+    assert(recs.length == 20)
+    assert(recs.head.crime_id == "C1000000")
+    assert(recs.head.arrest.contains(true))
+    assert(recs.head.beat.contains(100))
+    assert(recs.head.date_of_occurrence.nonEmpty)
+  }
+
   test("malformed values become null, not errors") {
     import spark.implicits._
     val bad = Seq(("X1", "not-a-timestamp", "maybe", "NaN")).toDF("id", "date", "arrest", "beat")
