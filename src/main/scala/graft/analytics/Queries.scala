@@ -422,6 +422,19 @@ object Queries {
               |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
     ),
     QueryDef(
+      "q24_pivot",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o")),
+      Some(s"""SELECT l_returnflag AS returnflag,
+              |${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+              |${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+              |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
       "q22_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d).agg(
@@ -478,6 +491,10 @@ object Queries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding", 50, 10, 16, 64)
         .withColumn("rk", col("rk").cast("long")),
       Some(lshTopKSql(50, 10, 16, 64))),
+    QueryDef("s04_ann_ivf", (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding", 8, 2, 20, 10)
+        .withColumn("rk", col("rk").cast("long")),
+      Some(ivfTopKSql(8, 2, 20, 10))),
 
     // ============================ text analysis ===========================
     QueryDef(
@@ -859,6 +876,30 @@ object Queries {
        |  FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id != c.vec_id)
        |SELECT query_id, cand_id, round(cosine, 5) AS cosine, rk FROM
        |(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk FROM p)
+       |WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.ivfTopK]]: same data-point coarse
+    * quantizer, same argmax assignment (tie → lowest centroid id), same
+    * probe/re-rank arithmetic. */
+  private def ivfTopKSql(nCentroids: Int, nProbe: Int, nQueries: Int, k: Int): String = {
+    def dot(a: String, b: String) = Vectors.dotSql(a, b)
+    s"""WITH base AS (SELECT vec_id AS id, embedding AS vec,
+       |  sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |cents AS (SELECT id AS cid, vec AS cvec, nrm AS cnrm FROM base WHERE id < $nCentroids),
+       |scored AS (SELECT b.id, b.vec, b.nrm, c.cid,
+       |  CASE WHEN b.nrm * c.cnrm = 0 THEN 0.0 ELSE ${dot("b.vec", "c.cvec")} / (b.nrm * c.cnrm) END AS csim
+       |  FROM base b CROSS JOIN cents c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid ASC) AS r FROM scored),
+       |assigned AS (SELECT id, vec, nrm, cid AS cluster FROM ranked WHERE r = 1),
+       |probes AS (SELECT id AS query_id, cid AS cluster FROM ranked WHERE r <= $nProbe AND id < $nQueries),
+       |cand AS (SELECT DISTINCT p.query_id, a.id AS cand_id, a.vec AS cv, a.nrm AS cn, q.vec AS qv, q.nrm AS qn
+       |  FROM probes p JOIN assigned a ON a.cluster = p.cluster AND a.id != p.query_id
+       |  JOIN assigned q ON q.id = p.query_id),
+       |scored2 AS (SELECT query_id, cand_id,
+       |  CASE WHEN qn * cn = 0 THEN 0.0 ELSE ${dot("qv", "cv")} / (qn * cn) END AS cosine FROM cand)
+       |SELECT query_id, cand_id, round(cosine, 5) AS cosine, rk FROM
+       |(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk FROM scored2)
        |WHERE rk <= $k""".stripMargin
   }
 

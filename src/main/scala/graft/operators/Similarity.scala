@@ -66,6 +66,71 @@ object Similarity {
     )
   }
 
+  /** ANN top-k via IVF (inverted-file) clustering: a small coarse
+    * quantizer (the first `nCentroids` corpus vectors as centroids —
+    * deterministic, so the oracle replicates it) partitions the corpus
+    * into cells; each query probes its `nProbe` nearest cells and
+    * re-ranks ONLY those cells' vectors by exact cosine.
+    *
+    * Scale shape: assignment is a broadcast of `nCentroids` rows against
+    * one linear corpus scan (argmax over C cosines per row); the search
+    * joins probe cells to cell members on the cluster id — an equi-join
+    * whose fan-in is corpus/C per cell. With C ~ sqrt(N) and balanced
+    * cells, a query touches ~nProbe·sqrt(N) vectors instead of N. A
+    * production quantizer would train centroids (k-means); the data-point
+    * quantizer keeps every number oracle-reproducible. */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      nProbe: Int,
+      nQueries: Int,
+      k: Int
+  ): DataFrame = {
+    val base = Par.widen(emb).select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      VectorExpressions.normF(col(vecCol)).as("nrm")
+    )
+    val cents = base
+      .filter(col("id") < nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+    val scoredAssign = base
+      .crossJoin(broadcast(cents))
+      .withColumn(
+        "csim",
+        when(col("nrm") * col("cnrm") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dotF(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+      )
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
+    val ranked = scoredAssign.withColumn("r", row_number().over(wAssign))
+    val assigned = ranked.filter(col("r") === 1).select(col("id"), col("vec"), col("nrm"), col("cid").as("cluster"))
+    val probes = ranked
+      .filter(col("id") < nQueries && col("r") <= nProbe)
+      .select(col("id").as("query_id"), col("cid").as("cluster"))
+    val qside = assigned
+      .filter(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("vec").as("qv"), col("nrm").as("qn"))
+    val scored = probes
+      .join(
+        assigned.select(col("id").as("cand_id"), col("vec").as("cv"), col("nrm").as("cn"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .join(qside, Seq("query_id"))
+      .withColumn(
+        "cosine",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cosine"), 5).as("cosine"), col("rk"))
+  }
+
   /** ANN top-k via SRP buckets: candidates = corpus vectors sharing a
     * bucket-code byte chunk with the query (banding = multi-probe for
     * bucket-hamming <= chunks-1), re-ranked by exact cosine. Approximate
