@@ -422,6 +422,27 @@ object Queries {
               |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)
     ),
     QueryDef(
+      "q25_json_array_fns",
+      (s, d) => {
+        val j = to_json(struct(col("p_brand").as("b"), col("p_size").as("sz")))
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          j.as("j"),
+          get_json_object(j, "$.b").as("brand_back"),
+          array_contains(split(col("p_type"), " "), "BRUSHED").as("is_brushed"),
+          sort_array(split(col("p_type"), " ")).as("type_words_sorted"),
+          size(split(col("p_name"), " ")).cast("long").as("n_name_words")
+        )
+      },
+      Some("""SELECT p_partkey,
+             |to_json(struct_pack(b := p_brand, sz := p_size)) AS j,
+             |json_extract_string(to_json(struct_pack(b := p_brand, sz := p_size)), '$.b') AS brand_back,
+             |list_contains(string_split(p_type, ' '), 'BRUSHED') AS is_brushed,
+             |list_sort(string_split(p_type, ' ')) AS type_words_sorted,
+             |len(string_split(p_name, ' ')) AS n_name_words
+             |FROM part""".stripMargin)
+    ),
+    QueryDef(
       "q24_pivot",
       (s, d) =>
         Tables.lineitem(s, d)

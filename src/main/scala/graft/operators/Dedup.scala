@@ -209,7 +209,10 @@ object Dedup {
     val withSh = tk.select(col("id"), Text.shingles(col("tk"), 3).as("sh"))
     val q = withSh.filter(col("id") % sampleMod === 0).select(col("id").as("id_a"), col("sh").as("sh_a"))
     val c = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    q.join(c, col("id_a") < col("id_b"))
+    // non-equi join: pin the broadcast to the 1/sampleMod query side so
+    // the corpus streams once (the planner otherwise flips sides on
+    // stale size estimates and broadcasts the corpus)
+    c.join(broadcast(q), col("id_a") < col("id_b"))
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
