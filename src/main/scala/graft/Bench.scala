@@ -37,19 +37,14 @@ object Bench {
 
     val results = Queries.all.map { q =>
       def run(): Unit = q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val t0 = System.nanoTime()
-      val sec =
-        try {
-          run() // warm: plan + codegen + JIT
-          val t1 = System.nanoTime()
-          run() // recorded: steady state
-          (System.nanoTime() - t1) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            (System.nanoTime() - t0) / 1e9
-        }
-      q.name -> sec
+      def timed(f: => Unit): Double = {
+        val t = System.nanoTime()
+        try f
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
+        (System.nanoTime() - t) / 1e9
+      }
+      timed(run()) // warm: plan + codegen + JIT (not recorded)
+      q.name -> timed(run()) // recorded: steady state (or the failed attempt alone)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,17 +62,45 @@ object Upsert {
   /** Spark's directory name for a null partition value. */
   val NullPartitionDir = "__HIVE_DEFAULT_PARTITION__"
 
-  /** Partition-scoped parquet upsert: rewrite only partitions of
-    * `partitionCol` present in `updates`; leave the rest untouched.
+  /** Directory segment for a partition value, escaped exactly the way
+    * Spark's writer escapes it (spaces, ':', '%', … — a raw toString
+    * would silently miss the rename for such values). */
+  private def partitionDir(partitionCol: String, v: Any): String =
+    s"$partitionCol=${
+      if (v == null) NullPartitionDir
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v.toString)
+    }"
+
+  /** Predicate matching rows whose `partitionCol` is in `values`
+    * (NULL-aware: an `isin` list alone never matches NULL). */
+  def partitionFilter(partitionCol: String, values: Seq[Any]): Column = {
+    val nonNull = values.filter(_ != null)
+    ((if (nonNull.nonEmpty) Seq(col(partitionCol).isin(nonNull: _*)) else Nil) ++
+      (if (values.contains(null)) Seq(col(partitionCol).isNull) else Nil))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+  }
+
+  /** Partition-scoped parquet upsert: rewrite only the partitions this
+    * batch touches; leave the rest untouched.
+    *
+    * "Touched" covers two sets: partitions of the update rows AND
+    * partitions still holding an OLD version of an updated key (a key
+    * whose partition value changed — e.g. a corrected occurrence date —
+    * must vanish from its old partition or the table would carry
+    * duplicates). The second set costs one key/partition-column
+    * semi-join scan of the table per batch — column-pruned, and the
+    * price of keeping the table keyed; the reference pays the same via
+    * its global MERGE.
     *
     * Null partition values are first-class: the target filter matches
-    * them with `isNull` (an `isin` list never matches NULL) and the
-    * directory swap uses Spark's `__HIVE_DEFAULT_PARTITION__` name —
-    * Transform deliberately maps malformed timestamps to NULL, so
-    * null-partition rows must merge, not silently vanish. The bootstrap
-    * write (table doesn't exist yet) runs the same keep-latest merge
-    * against an empty target so duplicate keys in the very first batch
-    * (e.g. a retried load that re-landed pages) collapse too. */
+    * them with `isNull` and the directory swap uses Spark's
+    * `__HIVE_DEFAULT_PARTITION__` name — Transform deliberately maps
+    * malformed timestamps to NULL, so null-partition rows must merge,
+    * not silently vanish. The bootstrap write (table doesn't exist yet)
+    * runs the same keep-latest merge against an empty target so
+    * duplicate keys in the very first batch (e.g. a retried load that
+    * re-landed pages) collapse too. */
   def upsertIntoParquet(
       spark: SparkSession,
       tablePath: String,
@@ -83,8 +111,8 @@ object Upsert {
   ): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(tablePath)
-    val touched = updates.select(partitionCol).distinct().collect().map(_.get(0))
-    if (touched.isEmpty) return // empty update batch: nothing to rewrite
+    val updatedParts = updates.select(partitionCol).distinct().collect().map(_.get(0))
+    if (updatedParts.isEmpty) return // empty update batch: nothing to rewrite
     // bootstrap also when the path is an EMPTY directory (catalog DDL
     // pre-creates external-table locations before the first load)
     if (!fs.exists(path) || fs.listStatus(path).isEmpty) {
@@ -92,20 +120,21 @@ object Upsert {
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tablePath)
       return
     }
-    val hasNull = touched.contains(null)
-    val nonNull = touched.filter(_ != null)
-    val partFilter = (
-      (if (nonNull.nonEmpty) Seq(col(partitionCol).isin(nonNull: _*)) else Nil) ++
-        (if (hasNull) Seq(col(partitionCol).isNull) else Nil)
-    ).reduce(_ || _)
-    val target = spark.read.parquet(tablePath).filter(partFilter)
+    // partitions holding stale versions of this batch's keys
+    val updKeys = updates.select(keyCols.map(col): _*).distinct()
+    val staleParts = spark.read.parquet(tablePath)
+      .join(broadcast(updKeys), keyCols, "left_semi")
+      .select(partitionCol).distinct().collect().map(_.get(0))
+    val touched = (updatedParts ++ staleParts).distinct
+    val target = spark.read.parquet(tablePath).filter(partitionFilter(partitionCol, touched.toSeq))
     val merged = merge(target, updates, keyCols, versionCol).cache()
     val tmp = tablePath + ".tmp-upsert"
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
     merged.unpersist()
-    // swap only the touched partition directories
+    // swap only the touched partition directories (a touched partition
+    // absent from tmp lost all its rows — its stale directory is removed)
     touched.foreach { v =>
-      val part = s"$partitionCol=${if (v == null) NullPartitionDir else v}"
+      val part = partitionDir(partitionCol, v)
       val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$part")
       val src = new org.apache.hadoop.fs.Path(s"$tmp/$part")
       if (fs.exists(dst)) fs.delete(dst, true)

@@ -27,9 +27,13 @@ import java.time.LocalDate
   * Mode semantics (`crime_etl.py:94-228`):
   *  - FULL (no data yet): walk `[epochStart, loadDate]` in one-month
   *    query windows, remainder clamped ([[DateRanges.monthBuckets]]).
-  *  - INCREMENT: fetch `(highWater, loadDate]` where highWater =
+  *  - INCREMENT: fetch `[day(highWater), loadDate]` where highWater =
   *    `MAX(source_updated_on)` read from the crime DATA (not the logs —
-  *    `db_postgres.py:65-71`), at day granularity.
+  *    `db_postgres.py:65-71`). The high-water DAY is re-fetched
+  *    INCLUSIVELY: records updated later the same day would otherwise
+  *    be skipped forever; the idempotent keyed upsert absorbs the
+  *    boundary overlap (same contract as the reference's BETWEEN
+  *    window, which also re-reads its boundary).
   */
 class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01-01", tablePrefix: String = "graft") {
 
@@ -46,11 +50,20 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
     * partitioned parquet paths the upsert operator maintains. */
   def checkTables(): Unit = {
     val crimeSchema = Schemas.crime.add("occ_year", IntegerType)
-    Catalog.createTableIfNotExists(spark, s"${tablePrefix}_crime_a", replicaA, crimeSchema)
-    Catalog.createTableIfNotExists(spark, s"${tablePrefix}_crime_b", replicaB, crimeSchema)
+    Catalog.createTableIfNotExists(spark, s"${tablePrefix}_crime_a", replicaA, crimeSchema, Seq("occ_year"))
+    Catalog.createTableIfNotExists(spark, s"${tablePrefix}_crime_b", replicaB, crimeSchema, Seq("occ_year"))
     Catalog.createTableIfNotExists(spark, s"${tablePrefix}_logs_a", s"$workDir/warehouse_a/logs", Schemas.logs)
     Catalog.createTableIfNotExists(spark, s"${tablePrefix}_logs_b", s"$workDir/warehouse_b/logs", Schemas.logs)
   }
+
+  /** Make newly-written partitions visible to the catalog tables (an
+    * external partitioned table only sees partitions it has
+    * discovered). */
+  private def refreshCatalog(): Unit =
+    Seq(s"${tablePrefix}_crime_a", s"${tablePrefix}_crime_b").foreach { t =>
+      try spark.catalog.recoverPartitions(t)
+      catch { case _: Exception => () } // table has no data yet
+    }
 
   /** A1: CDC cursor — MAX(source_updated_on) from the crime data. */
   def crimeHighWater(): Option[java.sql.Timestamp] = {
@@ -69,9 +82,11 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
     val ranges: Seq[(String, String)] = mode match {
       case "FULL" => DateRanges.monthBuckets(epochStart, loadDate)
       case _ =>
-        val from = hw.get.toLocalDateTime.toLocalDate.plusDays(1)
-        if (from.isAfter(LocalDate.parse(loadDate))) Seq.empty // nothing newer than the high-water mark
-        else Seq((from.toString, loadDate))
+        // inclusive of the high-water day (see class doc); clamp for
+        // clock skew where the data's high-water passed the load date
+        val hwDay = hw.get.toLocalDateTime.toLocalDate
+        val from = if (hwDay.isAfter(LocalDate.parse(loadDate))) LocalDate.parse(loadDate) else hwDay
+        Seq((from.toString, loadDate))
     }
     val cfg = Seq("load_date" -> loadDate, "mode" -> mode, "epoch_start" -> epochStart)
     logsA.start(runId, ld, "SCHEDULED", mode, cfg)
@@ -82,6 +97,7 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
         ranges.foreach { case (s0, e0) => extractAndLand(s0, e0, loadDate, api, maxRetries) }
         loadReplica(replicaA, Seq(loadDate))
         loadReplica(replicaB, Seq(loadDate))
+        refreshCatalog()
         "SUCCESS"
       } catch { case _: Exception => "FAILED" }
 
@@ -117,17 +133,24 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
   /** Landing → transform → idempotent keyed upsert into one replica,
     * partition-scoped by occurrence year (only touched years rewrite),
     * then the dbt-style data tests (A5): crime_id must be a unique,
-    * non-null key or the run fails. */
+    * non-null key or the run fails. Checks are SCOPED — not-null runs
+    * on the incoming batch, uniqueness on the batch's partitions only
+    * (the upsert's cross-partition stale-key rewrite guarantees a key
+    * lives in at most one partition, so partition-local uniqueness ⇒
+    * global uniqueness) — two bounded jobs per load, not two
+    * full-table scans. */
   def loadReplica(replicaPath: String, loadDates: Seq[String]): Unit = {
     val raw = LandingZone.read(spark, landingRoot, loadDates)
     val typed = Transform.crimeRecords(raw)
       .withColumn("occ_year", year(col("date_of_occurrence")))
+    DataChecks.requireNotNull(typed, Seq("crime_id"))
     Upsert.upsertIntoParquet(
       spark, replicaPath, typed,
       keyCols = Seq("crime_id"), versionCol = "source_updated_on", partitionCol = "occ_year")
-    val crime = spark.read.parquet(replicaPath)
-    DataChecks.requireUnique(crime, Seq("crime_id"))
-    DataChecks.requireNotNull(crime, Seq("crime_id"))
+    val touchedYears = typed.select("occ_year").distinct().collect().map(_.get(0)).toSeq
+    val touchedData = spark.read.parquet(replicaPath)
+      .filter(Upsert.partitionFilter("occ_year", touchedYears))
+    DataChecks.requireUnique(touchedData, Seq("crime_id"))
   }
 
   /** validate_sync + sync_* (ST5): anti-join the replica logs, replay

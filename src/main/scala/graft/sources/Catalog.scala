@@ -15,11 +15,25 @@ import org.apache.spark.sql.types.StructType
 object Catalog {
 
   /** S7: idempotent CREATE TABLE IF NOT EXISTS ... USING PARQUET at an
-    * explicit location. */
-  def createTableIfNotExists(spark: SparkSession, name: String, path: String, schema: StructType): Unit =
+    * explicit location. `partitionCols` (a subset of the schema) makes
+    * the catalog entry partition-aware — callers must
+    * `spark.catalog.recoverPartitions` after writing new partition
+    * directories so the catalog discovers them. Note `IF NOT EXISTS`
+    * semantics (matching the reference's `create_table`): an existing
+    * entry is left untouched, including its location. */
+  def createTableIfNotExists(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      schema: StructType,
+      partitionCols: Seq[String] = Nil
+  ): Unit = {
+    val partClause =
+      if (partitionCols.isEmpty) "" else s" PARTITIONED BY (${partitionCols.mkString(", ")})"
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING PARQUET LOCATION '$path'"
+      s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING PARQUET$partClause LOCATION '$path'"
     )
+  }
 
   /** S8: table names visible in the current catalog/database. */
   def listTables(spark: SparkSession): Seq[String] =

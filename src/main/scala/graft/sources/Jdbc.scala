@@ -44,9 +44,13 @@ object Jdbc {
   }
 
   private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-    try rs.next()
-    finally rs.close()
+    // identifier case folding differs per warehouse (Derby folds up,
+    // Postgres folds down) — probe the common foldings
+    Seq(table.toUpperCase, table.toLowerCase, table).distinct.exists { t =>
+      val rs = conn.getMetaData.getTables(null, null, t, null)
+      try rs.next()
+      finally rs.close()
+    }
   }
 
   /** S7-over-JDBC: idempotent CREATE TABLE from a Spark schema. */
@@ -61,15 +65,33 @@ object Jdbc {
   /** Stage `df` into `staging` (created with explicit types, appended
     * with Spark's batched JDBC writer), MERGE into `target` on
     * `keyCols`, drop the staging table. Matched rows take every non-key
-    * column from the staging row — the reference's MERGE shape. */
-  def upsert(df: DataFrame, url: String, target: String, keyCols: Seq[String], batchSize: Int = 1000): Unit = {
+    * column from the staging row — the reference's MERGE shape.
+    *
+    * ANSI MERGE rejects multiple staging rows matching one target row,
+    * so the batch is deduped first: keep-latest by `versionCol` when
+    * given (the parquet-upsert contract), else exact-duplicate collapse
+    * (`distinct`) — a same-key-different-payload conflict without a
+    * version is ambiguous and correctly fails loud in the MERGE. The
+    * staging table is dropped even when the MERGE throws. */
+  def upsert(
+      df: DataFrame,
+      url: String,
+      target: String,
+      keyCols: Seq[String],
+      versionCol: Option[String] = None,
+      batchSize: Int = 1000
+  ): Unit = {
+    val batch = versionCol match {
+      case Some(v) => graft.operators.Dedup.keepLatest(df, keyCols, v, v)
+      case None    => df.distinct()
+    }
     val staging = s"stg_$target"
     createTableIfNotExists(url, target, df.schema)
     withConnection(url) { conn =>
       if (tableExists(conn, staging)) conn.createStatement().executeUpdate(s"DROP TABLE $staging")
     }
     createTableIfNotExists(url, staging, df.schema)
-    df.write
+    batch.write
       .mode(SaveMode.Append)
       .format("jdbc")
       .option("url", url)
@@ -82,11 +104,12 @@ object Jdbc {
     val insertCols = df.columns.mkString(", ")
     val insertVals = df.columns.map(c => s"s.$c").mkString(", ")
     withConnection(url) { conn =>
-      conn.createStatement().executeUpdate(
-        s"""MERGE INTO $target t USING $staging s ON $on
-           |WHEN MATCHED THEN UPDATE SET $sets
-           |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
-      conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+      try
+        conn.createStatement().executeUpdate(
+          s"""MERGE INTO $target t USING $staging s ON $on
+             |WHEN MATCHED THEN UPDATE SET $sets
+             |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+      finally conn.createStatement().executeUpdate(s"DROP TABLE $staging")
     }
   }
 

@@ -104,8 +104,19 @@ object EventStream {
             sorted.foreach { case (_, ts, v) =>
               val t = ts.getTime
               open = open match {
-                case Some(s) if t - s.lastMs < gapMs =>
-                  Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1, total = s.total + v))
+                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs < gapMs =>
+                  // in-session; a late (within-watermark) event may also
+                  // EXTEND the session start backwards
+                  Some(s.copy(
+                    startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t),
+                    n = s.n + 1,
+                    total = s.total + v))
+                case Some(s) if t < s.startMs - gapMs =>
+                  // late event a full gap BEFORE the open session: a
+                  // completed predecessor session of its own
+                  done += SessionRecord(user, new Timestamp(t), new Timestamp(t), 1, v)
+                  Some(s)
                 case Some(s) =>
                   done += toRec(s) // gap proven by this event: emit, start fresh
                   Some(OpenSession(t, t, 1, v))

@@ -79,6 +79,30 @@ class UpsertSpec extends SparkSpec {
     assert(out.toSeq == Seq(("k1", 1, "a"), ("k2", 1, "b"), ("kn", 2, "null-part-v2")))
   }
 
+  test("upsertIntoParquet removes the stale row when a key's partition value changes") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val init = Seq(("k1", 1, 2020, "orig"), ("k2", 1, 2020, "other")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "yr")
+    // k1's corrected record moves to partition 2021
+    val upd = Seq(("k1", 2, 2021, "corrected")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, upd, Seq("id"), "v", "yr")
+    val out = spark.read.parquet(dir).select("id", "v", "yr", "payload")
+      .as[(String, Int, Int, String)].collect().sortBy(_._1)
+    // exactly one k1 row, in the NEW partition; k2 untouched
+    assert(out.toSeq == Seq(("k1", 2, 2021, "corrected"), ("k2", 1, 2020, "other")))
+  }
+
+  test("upsertIntoParquet swaps partition values that Spark escapes in dir names") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val init = Seq(("k1", 1, "a b:c", "x"), ("k2", 1, "plain", "y")).toDF("id", "v", "part", "payload")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "part")
+    val upd = Seq(("k1", 2, "a b:c", "x2")).toDF("id", "v", "part", "payload")
+    Upsert.upsertIntoParquet(spark, dir, upd, Seq("id"), "v", "part")
+    val out = spark.read.parquet(dir).select("id", "v", "payload")
+      .as[(String, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("k1", 2, "x2"), ("k2", 1, "y")))
+  }
+
   test("upsertIntoParquet rewrites only touched partitions") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
     val init = Seq(("k1", 1, 2020), ("k2", 1, 2021)).toDF("id", "v", "yr")

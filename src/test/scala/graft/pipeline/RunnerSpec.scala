@@ -65,6 +65,10 @@ class RunnerSpec extends SparkSpec {
     val api = new ApiSimulator(totalRows = 50, pageSize = 25)
     assert(r.run("run1", "2025-07-01", api) == "SUCCESS")
     assert(spark.read.parquet(r.replicaA).count() == 50)
+    // the PARTITIONED catalog table sees the data through plain SQL
+    // (run() recovers partitions after each load)
+    assert(spark.table("t3_crime_a").count() == 50)
+    assert(spark.sql("SELECT count(DISTINCT occ_year) FROM t3_crime_a").first().getLong(0) >= 1)
   }
 
   test("checkpoint/resume: a failing page checkpoints, retry resumes and completes") {

@@ -20,6 +20,19 @@ class JdbcSpec extends SparkSpec {
     assert(out.toSeq == Seq(("k1", 1, "a"), ("k2", 2, "B2"), ("k3", 1, "c")))
   }
 
+  test("jdbc upsert dedups a batch with duplicate keys (keep-latest by version)") {
+    // a retried load that re-lands pages: same key, two versions
+    val dup = Seq(("d1", 1, "old"), ("d1", 2, "new"), ("d2", 1, "z")).toDF("id", "v", "payload")
+    Jdbc.upsert(dup, url, "crime_jdbc3", Seq("id"), versionCol = Some("v"))
+    val out = Jdbc.read(spark, url, "crime_jdbc3")
+      .as[(String, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("d1", 2, "new"), ("d2", 1, "z")))
+    // exact duplicate rows without a version also collapse
+    val exact = Seq(("d3", 1, "p"), ("d3", 1, "p")).toDF("id", "v", "payload")
+    Jdbc.upsert(exact, url, "crime_jdbc3", Seq("id"))
+    assert(Jdbc.read(spark, url, "crime_jdbc3").count() == 3)
+  }
+
   test("jdbc upsert is idempotent and drops its staging table") {
     val batch = Seq(("x1", 7, "p")).toDF("id", "v", "payload")
     Jdbc.upsert(batch, url, "crime_jdbc2", Seq("id"))
