@@ -87,6 +87,42 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Set((1L, 3L, 6.0), (2L, 2L, 13.0)))
   }
 
+  test("stateful sessionization extends the session start for late in-gap events") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // one parquet file per micro-batch, ordered by modification time
+    def land(name: String, modTime: Long, rows: Seq[(Long, String, Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("batch").toString
+      rows.map { case (id, ts, uid, v) => (id, Timestamp.valueOf(ts), uid, "t", v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    land("a.parquet", t0, Seq((1L, "2024-01-01 10:00:00", 1L, 1.0), (2L, "2024-01-01 10:10:00", 1L, 2.0)))
+    // batch 2: a LATE event inside the gap window — must extend the start
+    land("b.parquet", t0 + 1000, Seq((3L, "2024-01-01 09:50:00", 1L, 3.0)))
+    // batch 3: another user far in the future advances the watermark so
+    // user 1's open session times out and emits
+    land("c.parquet", t0 + 2000, Seq((4L, "2024-01-01 20:00:00", 2L, 4.0)))
+
+    val sessions = EventStream.sessionizeStateful(
+      EventStream.readEvents(spark, dir, schema), gapMinutes = 30, delay = "4 hours")
+    val q = EventStream.runToMemory(sessions.toDF(), "late_sessions", "append")
+    q.awaitTermination(60000)
+    val out = spark.table("late_sessions")
+      .select("user_id", "session_start", "n_events", "total")
+      .as[(Long, Timestamp, Long, Double)].collect().filter(_._1 == 1L)
+    assert(out.length == 1)
+    val (_, start, n, total) = out.head
+    // the late 09:50 event extended the session start backwards
+    assert(start == Timestamp.valueOf("2024-01-01 09:50:00"))
+    assert(n == 3 && total == 6.0)
+  }
+
   test("streaming upsert sink maintains keep-latest table across micro-batches") {
     val base = java.nio.file.Files.createTempDirectory("events").toString
     writeEvents(s"$base/in")
