@@ -82,16 +82,20 @@ object Upsert {
   }
 
   /** Partition-scoped parquet upsert: rewrite only the partitions this
-    * batch touches; leave the rest untouched.
+    * batch touches; leave the rest untouched. Returns the touched
+    * partition values (callers scope their post-load checks to them).
     *
-    * "Touched" covers two sets: partitions of the update rows AND
-    * partitions still holding an OLD version of an updated key (a key
-    * whose partition value changed — e.g. a corrected occurrence date —
-    * must vanish from its old partition or the table would carry
-    * duplicates). The second set costs one key/partition-column
-    * semi-join scan of the table per batch — column-pruned, and the
-    * price of keeping the table keyed; the reference pays the same via
-    * its global MERGE.
+    * With `trackPartitionMoves` (the default), "touched" covers two
+    * sets: partitions of the update rows AND partitions still holding
+    * an OLD version of an updated key (a key whose partition value
+    * changed — e.g. a corrected occurrence date — must vanish from its
+    * old partition or the table would carry duplicates). The second set
+    * costs one key/partition-column semi-join scan of the
+    * complement partitions per batch — column-pruned, and the price of
+    * keeping the table keyed; the reference pays the same via its
+    * global MERGE. Pass `trackPartitionMoves = false` ONLY when the
+    * partition value of a key can never change (e.g. a constant
+    * partition column) — it skips that scan entirely.
     *
     * Null partition values are first-class: the target filter matches
     * them with `isNull` and the directory swap uses Spark's
@@ -107,26 +111,34 @@ object Upsert {
       updates: DataFrame,
       keyCols: Seq[String],
       versionCol: String,
-      partitionCol: String
-  ): Unit = {
+      partitionCol: String,
+      trackPartitionMoves: Boolean = true
+  ): Seq[Any] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(tablePath)
-    val updatedParts = updates.select(partitionCol).distinct().collect().map(_.get(0))
-    if (updatedParts.isEmpty) return // empty update batch: nothing to rewrite
+    val updatedParts = updates.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    if (updatedParts.isEmpty) return Seq.empty // empty update batch
     // bootstrap also when the path is an EMPTY directory (catalog DDL
     // pre-creates external-table locations before the first load)
     if (!fs.exists(path) || fs.listStatus(path).isEmpty) {
       merge(updates.filter(lit(false)), updates, keyCols, versionCol)
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tablePath)
-      return
+      return updatedParts
     }
-    // partitions holding stale versions of this batch's keys
-    val updKeys = updates.select(keyCols.map(col): _*).distinct()
-    val staleParts = spark.read.parquet(tablePath)
-      .join(broadcast(updKeys), keyCols, "left_semi")
-      .select(partitionCol).distinct().collect().map(_.get(0))
+    // complement partitions holding stale versions of this batch's keys
+    // (no broadcast hint: batches are usually small and AQE broadcasts
+    // them; a huge backfill's key set must be free to sort-merge)
+    val staleParts =
+      if (!trackPartitionMoves) Seq.empty
+      else {
+        val updKeys = updates.select(keyCols.map(col): _*).distinct()
+        spark.read.parquet(tablePath)
+          .filter(!partitionFilter(partitionCol, updatedParts))
+          .join(updKeys, keyCols, "left_semi")
+          .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+      }
     val touched = (updatedParts ++ staleParts).distinct
-    val target = spark.read.parquet(tablePath).filter(partitionFilter(partitionCol, touched.toSeq))
+    val target = spark.read.parquet(tablePath).filter(partitionFilter(partitionCol, touched))
     val merged = merge(target, updates, keyCols, versionCol).cache()
     val tmp = tablePath + ".tmp-upsert"
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
@@ -137,9 +149,12 @@ object Upsert {
       val part = partitionDir(partitionCol, v)
       val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$part")
       val src = new org.apache.hadoop.fs.Path(s"$tmp/$part")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      if (fs.exists(dst) && !fs.delete(dst, true))
+        throw new java.io.IOException(s"upsert swap: failed to delete stale $dst")
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(s"upsert swap: failed to rename $src -> $dst")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    touched
   }
 }

@@ -58,12 +58,12 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
 
   /** Make newly-written partitions visible to the catalog tables (an
     * external partitioned table only sees partitions it has
-    * discovered). */
+    * discovered). Failures propagate — a catalog entry that can't
+    * recover partitions (e.g. a pre-existing unpartitioned table at the
+    * same name) means SQL over it would silently return wrong data. */
   private def refreshCatalog(): Unit =
-    Seq(s"${tablePrefix}_crime_a", s"${tablePrefix}_crime_b").foreach { t =>
-      try spark.catalog.recoverPartitions(t)
-      catch { case _: Exception => () } // table has no data yet
-    }
+    Seq(s"${tablePrefix}_crime_a", s"${tablePrefix}_crime_b")
+      .foreach(spark.catalog.recoverPartitions)
 
   /** A1: CDC cursor — MAX(source_updated_on) from the crime data. */
   def crimeHighWater(): Option[java.sql.Timestamp] = {
@@ -143,14 +143,18 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
     val raw = LandingZone.read(spark, landingRoot, loadDates)
     val typed = Transform.crimeRecords(raw)
       .withColumn("occ_year", year(col("date_of_occurrence")))
-    DataChecks.requireNotNull(typed, Seq("crime_id"))
-    Upsert.upsertIntoParquet(
-      spark, replicaPath, typed,
-      keyCols = Seq("crime_id"), versionCol = "source_updated_on", partitionCol = "occ_year")
-    val touchedYears = typed.select("occ_year").distinct().collect().map(_.get(0)).toSeq
-    val touchedData = spark.read.parquet(replicaPath)
-      .filter(Upsert.partitionFilter("occ_year", touchedYears))
-    DataChecks.requireUnique(touchedData, Seq("crime_id"))
+      .cache() // reused by the check + the upsert's several passes
+    try {
+      DataChecks.requireNotNull(typed, Seq("crime_id"))
+      val touched = Upsert.upsertIntoParquet(
+        spark, replicaPath, typed,
+        keyCols = Seq("crime_id"), versionCol = "source_updated_on", partitionCol = "occ_year")
+      // uniqueness over EVERY partition this load rewrote — including
+      // those that held stale versions of moved keys
+      val touchedData = spark.read.parquet(replicaPath)
+        .filter(Upsert.partitionFilter("occ_year", touched))
+      DataChecks.requireUnique(touchedData, Seq("crime_id"))
+    } finally typed.unpersist()
   }
 
   /** validate_sync + sync_* (ST5): anti-join the replica logs, replay
@@ -165,6 +169,7 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
       loadReplica(replica, Seq(missedDate.toString))
       log.finish(runId, missedDate, "SUCCESS")
     }
+    if (diff.nonEmpty) refreshCatalog() // recovered partitions must be SQL-visible too
     diff.length
   }
 }

@@ -68,11 +68,14 @@ object Jdbc {
     * column from the staging row — the reference's MERGE shape.
     *
     * ANSI MERGE rejects multiple staging rows matching one target row,
-    * so the batch is deduped first: keep-latest by `versionCol` when
-    * given (the parquet-upsert contract), else exact-duplicate collapse
-    * (`distinct`) — a same-key-different-payload conflict without a
-    * version is ambiguous and correctly fails loud in the MERGE. The
-    * staging table is dropped even when the MERGE throws. */
+    * so the batch is deduped first: exact duplicates collapse, then
+    * keep-latest by `versionCol` when given (the parquet-upsert
+    * contract) — with same-key-SAME-version conflicting payloads
+    * rejected loudly (an arbitrary winner would make warehouse contents
+    * nondeterministic). Without a version column, any same-key conflict
+    * correctly fails loud in the MERGE itself. The staging table is
+    * dropped even when the MERGE throws (without masking the MERGE's
+    * own exception). */
   def upsert(
       df: DataFrame,
       url: String,
@@ -82,8 +85,14 @@ object Jdbc {
       batchSize: Int = 1000
   ): Unit = {
     val batch = versionCol match {
-      case Some(v) => graft.operators.Dedup.keepLatest(df, keyCols, v, v)
-      case None    => df.distinct()
+      case Some(v) =>
+        val d = df.distinct()
+        val ambiguous = d.groupBy((keyCols :+ v).map(org.apache.spark.sql.functions.col): _*)
+          .count().filter(org.apache.spark.sql.functions.col("count") > 1).limit(5).collect()
+        require(ambiguous.isEmpty,
+          s"ambiguous batch: same (${keyCols.mkString(",")}, $v) with different payloads: ${ambiguous.mkString("; ")}")
+        graft.operators.Dedup.keepLatest(d, keyCols, v, v)
+      case None => df.distinct()
     }
     val staging = s"stg_$target"
     createTableIfNotExists(url, target, df.schema)
@@ -104,12 +113,16 @@ object Jdbc {
     val insertCols = df.columns.mkString(", ")
     val insertVals = df.columns.map(c => s"s.$c").mkString(", ")
     withConnection(url) { conn =>
+      var mergeError: Throwable = null
       try
         conn.createStatement().executeUpdate(
           s"""MERGE INTO $target t USING $staging s ON $on
              |WHEN MATCHED THEN UPDATE SET $sets
              |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
-      finally conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+      catch { case t: Throwable => mergeError = t }
+      try conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+      catch { case d: Throwable => if (mergeError == null) throw d } // never mask the MERGE's error
+      if (mergeError != null) throw mergeError
     }
   }
 

@@ -9,6 +9,10 @@ import java.sql.Timestamp
 /** Open-session accumulator for [[EventStream.sessionizeStateful]]. */
 final case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
 
+/** Per-user state: disjoint open sessions ordered by start (more than
+  * one only while late data may still bridge or precede them). */
+final case class OpenSessions(sessions: Seq[OpenSession])
+
 /** A finalized session emitted by [[EventStream.sessionizeStateful]]. */
 final case class SessionRecord(
     user_id: Long,
@@ -69,15 +73,21 @@ object EventStream {
 
   /** Custom sessionization state machine via `flatMapGroupsWithState`
     * (the KeyValueGroupedDataset custom-state surface — semantics
-    * `session_window` can't express: sessions EMIT exactly once, either
-    * the moment a new event proves the gap elapsed, or on event-time
-    * timeout when the watermark passes last_event + gap).
+    * `session_window` can't express: each session EMITS exactly once,
+    * when the WATERMARK passes its last event + gap, so late
+    * within-watermark data can still extend, bridge, or precede open
+    * sessions before they finalize).
     *
-    * State per user is one [[OpenSession]] accumulator; completed
-    * sessions stream out in append mode. Watermark bounds both late
-    * data and state size — a key's state lives at most gap + delay past
-    * its last event. At scale the only shuffle is the groupByKey hash
-    * partition on user_id, and state is O(active users), not O(events).
+    * State per user is a short list of disjoint open session intervals
+    * (more than one only while late data could still arrive between
+    * them): an event merges into the interval it falls strictly within
+    * a gap of — on either side — then adjacent intervals that the event
+    * bridged coalesce. Intervals whose `last + gap` the watermark has
+    * passed emit and leave state, via event-time timeout or at the next
+    * batch. Watermark bounds late data AND state: a user's intervals
+    * span at most delay + gap of event time, and state is O(active
+    * users), not O(events). The only shuffle is the groupByKey hash
+    * partition on user_id.
     */
   def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30, delay: String = "2 hours"): Dataset[SessionRecord] = {
     val spark = events.sparkSession
@@ -88,49 +98,37 @@ object EventStream {
       .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
       .as[(Long, Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, SessionRecord](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[OpenSessions, SessionRecord](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, it, state) =>
           def toRec(s: OpenSession) =
             SessionRecord(user, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.total)
-          if (state.hasTimedOut) {
-            // watermark passed last_event + gap: the open session is final
-            val out = state.getOption.map(toRec).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = it.toSeq.sortBy(_._2.getTime)
-            var open = state.getOption
-            val done = Seq.newBuilder[SessionRecord]
-            sorted.foreach { case (_, ts, v) =>
+          def merge(a: OpenSession, b: OpenSession) = OpenSession(
+            math.min(a.startMs, b.startMs), math.max(a.lastMs, b.lastMs), a.n + b.n, a.total + b.total)
+          // strict < on BOTH sides so in-order and late delivery of the
+          // same events sessionize identically at the exact-gap boundary
+          def near(s: OpenSession, t: Long) = t > s.startMs - gapMs && t < s.lastMs + gapMs
+
+          var open: Seq[OpenSession] =
+            state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          if (!state.hasTimedOut) {
+            it.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
               val t = ts.getTime
-              open = open match {
-                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs < gapMs =>
-                  // in-session; a late (within-watermark) event may also
-                  // EXTEND the session start backwards
-                  Some(s.copy(
-                    startMs = math.min(s.startMs, t),
-                    lastMs = math.max(s.lastMs, t),
-                    n = s.n + 1,
-                    total = s.total + v))
-                case Some(s) if t < s.startMs - gapMs =>
-                  // late event a full gap BEFORE the open session: a
-                  // completed predecessor session of its own
-                  done += SessionRecord(user, new Timestamp(t), new Timestamp(t), 1, v)
-                  Some(s)
-                case Some(s) =>
-                  done += toRec(s) // gap proven by this event: emit, start fresh
-                  Some(OpenSession(t, t, 1, v))
-                case None =>
-                  Some(OpenSession(t, t, 1, v))
-              }
+              val (touching, rest) = open.partition(near(_, t))
+              // the event's own interval coalesced with every interval it bridges
+              val grown = touching.foldLeft(OpenSession(t, t, 1, v))(merge)
+              open = (rest :+ grown).sortBy(_.startMs)
             }
-            open.foreach { s =>
-              state.update(s)
-              // event-time timeout must sit beyond the current watermark
-              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            done.result().iterator
           }
+          // finalize: intervals the watermark has passed can no longer
+          // change — emit exactly once, drop from state
+          val wm = state.getCurrentWatermarkMs()
+          val (done, stillOpen) = open.partition(s => s.lastMs + gapMs <= wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(stillOpen))
+            state.setTimeoutTimestamp(math.max(stillOpen.map(_.lastMs).min + gapMs, wm + 1))
+          }
+          done.sortBy(_.startMs).map(toRec).iterator
       }
   }
 
@@ -153,9 +151,13 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val keyed = batch.withColumn("part", lit(0))
+        // constant partition value → a key can never move partitions;
+        // skip the moved-key scan so each micro-batch stays O(batch)
         graft.operators.Upsert.upsertIntoParquet(
           spark, tablePath, keyed,
-          keyCols = Seq("user_id"), versionCol = "ts", partitionCol = "part")
+          keyCols = Seq("user_id"), versionCol = "ts", partitionCol = "part",
+          trackPartitionMoves = false)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -47,6 +47,7 @@ object StreamingRunner {
           Upsert.upsertIntoParquet(
             batch.sparkSession, replicaPath, typed,
             keyCols = Seq("crime_id"), versionCol = "source_updated_on", partitionCol = "occ_year")
+          ()
         }
       }
       .trigger(Trigger.AvailableNow())

@@ -60,7 +60,7 @@ class EventStreamSpec extends SparkSpec {
     assert(out.agg(sum("n_events")).first().getLong(0) == 200L)
   }
 
-  test("stateful sessionization emits sessions on gap arrival and on event-time timeout") {
+  test("stateful sessionization emits each session exactly once as the watermark passes it") {
     val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
     val rows = Seq(
       // user 1: session A (3 events), then a 110-minute gap opens session B
@@ -81,9 +81,9 @@ class EventStreamSpec extends SparkSpec {
     q.awaitTermination(60000)
     val out = spark.table("stateful_sessions")
       .select("user_id", "n_events", "total").as[(Long, Long, Double)].collect().toSet
-    // user 1 session A emitted when the 12:00 event proved the gap;
-    // user 2's session emitted by the no-data batch's event-time timeout;
-    // user 1's OPEN session B (12:00-12:05) is still pending — not emitted
+    // the final watermark (12:05) passed session A (ends 10:10) and
+    // user 2's session (ends 10:40) — both emitted exactly once; user
+    // 1's OPEN session B (12:00-12:05) is still pending — not emitted
     assert(out == Set((1L, 3L, 6.0), (2L, 2L, 13.0)))
   }
 
