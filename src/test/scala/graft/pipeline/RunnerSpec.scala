@@ -93,6 +93,23 @@ class RunnerSpec extends SparkSpec {
     assert(r.checkpoint.read().isEmpty)
   }
 
+  test("exhausted retries fail the run, clear the checkpoint, and log FAILED") {
+    val dir = java.nio.file.Files.createTempDirectory("runner").toString
+    val r = new Runner(spark, dir, epochStart = "2025-07-04", tablePrefix = "t6")
+    val api = new ApiSimulator(totalRows = 100, pageSize = 50, failAtPage = Some(1))
+    assert(r.run("run1", "2025-07-04", api, maxRetries = 2) == "FAILED")
+    // exhausted retries clear the checkpoint (crime_etl.py:160-168)
+    assert(r.checkpoint.read().isEmpty)
+    val status = r.logsA.read()
+      .filter(org.apache.spark.sql.functions.col("run_id") === "run1")
+      .select("status").first().getString(0)
+    assert(status == "FAILED")
+    // a later healthy run still succeeds from scratch (FULL again: no data)
+    val ok = new ApiSimulator(totalRows = 100, pageSize = 50)
+    assert(r.run("run2", "2025-07-04", ok) == "SUCCESS")
+    assert(spark.read.parquet(r.replicaA).count() == 100)
+  }
+
   test("sync repair replays load_dates missing in one replica") {
     val dir = java.nio.file.Files.createTempDirectory("runner").toString
     val r = new Runner(spark, dir, epochStart = "2025-07-03", tablePrefix = "t5")
