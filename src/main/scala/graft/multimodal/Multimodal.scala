@@ -49,6 +49,23 @@ object Multimodal {
     }
   }
 
+  /** Real binary ingest: read a directory of media files as
+    * (media_id, payload) via Spark's binaryFile source — the production
+    * entry point for image/audio/video blobs ([[asMediaTable]] is the
+    * fixture twin over text payloads). The id is a 60-bit hash of the
+    * file path: deterministic, join-stable, no driver-side numbering. */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        graft.functions.Hashing.md5Long(col("path"), 13).as("media_id"),
+        col("path"),
+        col("length").as("byte_len_raw"),
+        col("content").as("payload")
+      )
+
   /** Wrap a text table as a binary media table (payload = utf-8 bytes),
     * standing in for real image/audio blobs. */
   def asMediaTable(docs: DataFrame, idCol: String, payloadFrom: String): DataFrame =

@@ -132,6 +132,14 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id
+    * arriving within the watermark window (the at-least-once →
+    * effectively-once adapter in front of any non-idempotent sink;
+    * state per key expires with the watermark, so memory is bounded by
+    * the delay window, not the stream). */
+  def dedupStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming aggregation to a memory sink until the source
     * drains; returns the sink table name. Local smoke-test entry. */
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =

@@ -29,6 +29,24 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == bf)
   }
 
+  test("binary-file ingest reads media blobs with stable hashed ids") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"), Array[Byte](9, 8, 7, 6))
+    val media = Multimodal.readBinaryDir(spark, dir, "*.bin")
+    val rows = media.select("byte_len_raw", "payload")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(3L, 4L))
+    assert(rows.head._2.toSeq == Seq[Byte](1, 2, 3))
+    // ids are deterministic across reads
+    val ids1 = media.select("media_id").as[Long].collect().sorted.toSeq
+    val ids2 = Multimodal.readBinaryDir(spark, dir, "*.bin").select("media_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2 && ids1.distinct.size == 2)
+    // and the decode contract runs over real binary payloads
+    val meta = Multimodal.decodeMetadata(media.select(col("media_id"), col("payload")))
+    assert(meta.count() == 2)
+  }
+
   test("multimodal decode produces typed metadata and frame samples") {
     val docs = Seq((1L, "hello world"), (2L, "a much longer payload body here")).toDF("doc_id", "text")
     val meta = Multimodal.decodeMetadata(Multimodal.asMediaTable(docs, "doc_id", "text"))

@@ -123,6 +123,30 @@ class EventStreamSpec extends SparkSpec {
     assert(n == 3 && total == 6.0)
   }
 
+  test("dedupStream drops re-delivered event_ids across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def land(name: String, modTime: Long, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("batch").toString
+      rows.map { case (id, ts) => (id, Timestamp.valueOf(ts), id % 3, "t", 1.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    land("a.parquet", t0, Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:01:00")))
+    // batch 2 re-delivers event 1 and adds event 3
+    land("b.parquet", t0 + 1000, Seq((1L, "2024-01-01 10:00:00"), (3L, "2024-01-01 10:02:00")))
+    val q = EventStream.runToMemory(
+      EventStream.dedupStream(EventStream.readEvents(spark, dir, schema)), "deduped", "append")
+    q.awaitTermination(60000)
+    val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // event 1 exactly once
+  }
+
   test("streaming upsert sink maintains keep-latest table across micro-batches") {
     val base = java.nio.file.Files.createTempDirectory("events").toString
     writeEvents(s"$base/in")
