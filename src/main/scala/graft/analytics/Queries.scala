@@ -430,7 +430,8 @@ object Queries {
           j.as("j"),
           get_json_object(j, "$.b").as("brand_back"),
           array_contains(split(col("p_type"), " "), "BRUSHED").as("is_brushed"),
-          sort_array(split(col("p_type"), " ")).as("type_words_sorted"),
+          // scalar (not array<string>) so the oracle harness can sort/hash it
+          array_join(sort_array(split(col("p_type"), " ")), " ").as("type_words_sorted"),
           size(split(col("p_name"), " ")).cast("long").as("n_name_words")
         )
       },
@@ -438,7 +439,7 @@ object Queries {
              |to_json(struct_pack(b := p_brand, sz := p_size)) AS j,
              |json_extract_string(to_json(struct_pack(b := p_brand, sz := p_size)), '$.b') AS brand_back,
              |list_contains(string_split(p_type, ' '), 'BRUSHED') AS is_brushed,
-             |list_sort(string_split(p_type, ' ')) AS type_words_sorted,
+             |array_to_string(list_sort(string_split(p_type, ' ')), ' ') AS type_words_sorted,
              |len(string_split(p_name, ' ')) AS n_name_words
              |FROM part""".stripMargin)
     ),
@@ -571,14 +572,14 @@ object Queries {
           .agg(
             count(lit(1)).as("n_docs"),
             sum(size(toks)).cast("long").as("n_tokens"),
-            (sum(size(toks)).cast("double") / count(lit(1))).as("avg_tokens"),
+            round(sum(size(toks)).cast("double") / count(lit(1)), 6).as("avg_tokens"),
             countDistinct(col("source")).as("n_sources"),
             max(col("n_chars")).as("max_chars")
           )
       },
       Some(s"""SELECT lang, count(*) AS n_docs,
               |SUM(len(${toksSql("lower(text)")})) AS n_tokens,
-              |CAST(SUM(len(${toksSql("lower(text)")})) AS DOUBLE) / count(*) AS avg_tokens,
+              |round(CAST(SUM(len(${toksSql("lower(text)")})) AS DOUBLE) / count(*), 6) AS avg_tokens,
               |count(DISTINCT source) AS n_sources, max(n_chars) AS max_chars
               |FROM documents GROUP BY 1""".stripMargin)
     ),
@@ -783,6 +784,41 @@ object Queries {
            |CASE $holidayCase ELSE NULL END AS holiday_name
            |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
            |INTERVAL 1 DAY)) AS DATE) AS d)""".stripMargin
+      }
+    ),
+    QueryDef(
+      "j01_date_enrichment",
+      // J3 — the reference's date dim exists to enrich the fact table for
+      // dashboards (`create_date.sql:1-10`, readme.md:21,41-42). Broadcast
+      // the tiny dim (never shuffled); the fact side aggregates map-side.
+      (s, d) =>
+        Tables.events(s, d)
+          .join(
+            broadcast(DateDim.build(s, "2024-01-01", "2024-01-31")),
+            to_date(col("ts")) === col("date")
+          )
+          .groupBy(
+            col("day_of_week_name"),
+            coalesce(col("holiday_name"), lit("none")).as("holiday")
+          )
+          .agg(
+            count(lit(1)).as("n_events"),
+            dsum(col("value"), 6).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users")
+          ),
+      Some {
+        val holidayCase = DateDim.fixedHolidays.toSeq.sortBy(_._1)
+          .map { case ((m, dd), name) => s"WHEN month(d) = $m AND day(d) = $dd THEN '${name.replace("'", "''")}'" }
+          .mkString(" ")
+        s"""WITH dd AS (SELECT CAST(d AS DATE) AS date, dayname(d) AS day_of_week_name,
+           |CASE $holidayCase ELSE NULL END AS holiday_name
+           |FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+           |INTERVAL 1 DAY)) AS DATE) AS d))
+           |SELECT dd.day_of_week_name, coalesce(dd.holiday_name, 'none') AS holiday,
+           |count(*) AS n_events, ${dsumSql("value", 6)} AS sum_value,
+           |count(DISTINCT user_id) AS n_users
+           |FROM events e JOIN dd ON CAST(e.ts AS DATE) = dd.date
+           |GROUP BY 1, 2""".stripMargin
       }
     )
   )
