@@ -11,13 +11,16 @@ import org.apache.spark.sql.SparkSession
   * be optimized down to a row count. A small warm-up job runs first so
   * JIT/classloading isn't billed to the first query.
   *
-  * Protocol (since r02): each query runs twice and the SECOND run is
-  * recorded — the first absorbs plan compilation, whole-stage-codegen
-  * javac, and JIT warm-up, which are fixed per-query costs irrelevant
-  * at scale (r01's q15 "12.3 s for a pure projection" was exactly this
-  * artifact: its steady-state time is ~0.3 s). If a query fails, the
-  * elapsed time of the failed attempt is recorded so the failure is
-  * visible in the total.
+  * Protocol (since r04): each query runs once warm (absorbs plan
+  * compilation, whole-stage-codegen javac, JIT — fixed per-query costs
+  * irrelevant at scale; r01's q15 "12.3 s for a pure projection" was
+  * exactly this artifact) and then THREE recorded steady-state runs;
+  * the reported number is the MEDIAN, with min/max kept in the JSON.
+  * The r02→r03 history showed a single recorded run cannot resolve
+  * changes smaller than ~30× (d04 went 59.4 s → 1.9 s with zero code
+  * change); the median of three makes a real 2× regression visible.
+  * If a query fails, the elapsed time of the failed attempt is
+  * recorded so the failure is visible in the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,11 +47,18 @@ object Bench {
         (System.nanoTime() - t) / 1e9
       }
       timed(run()) // warm: plan + codegen + JIT (not recorded)
-      q.name -> timed(run()) // recorded: steady state (or the failed attempt alone)
+      val runs = Seq.fill(3)(timed(run())).sorted
+      q.name -> runs // recorded: median-of-3 steady state
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(sel: Seq[Double] => Double) =
+      results.map { case (k, rs) => "\"" + k + f"""\":${sel(rs)}%.3f""" }.mkString("{", ",", "}")
+    val median = fmt(_(1))
+    val qmin = fmt(_.head)
+    val qmax = fmt(_.last)
+    val total = results.map(_._2(1)).sum
+    println(
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median_of_3","queries":$median,"queries_min":$qmin,"queries_max":$qmax,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -567,19 +567,23 @@ object Queries {
       "t04_text_stats",
       (s, d) => {
         val toks = Text.tokens(lower(col("text")))
+        // avg_tokens is exported as micro-token units (BIGINT) so both engines
+        // compare in exact integer arithmetic — a rounded double legitimately
+        // differs by 1 ulp between Spark (BigDecimal HALF_UP) and DuckDB
+        // (binary double rounding), which flickered the hash gate in r2/r3.
         Tables.documents(s, d)
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_docs"),
             sum(size(toks)).cast("long").as("n_tokens"),
-            round(sum(size(toks)).cast("double") / count(lit(1)), 6).as("avg_tokens"),
             countDistinct(col("source")).as("n_sources"),
             max(col("n_chars")).as("max_chars")
           )
+          .withColumn("avg_tokens_e6", expr("(n_tokens * 1000000L) div n_docs"))
       },
       Some(s"""SELECT lang, count(*) AS n_docs,
-              |SUM(len(${toksSql("lower(text)")})) AS n_tokens,
-              |round(CAST(SUM(len(${toksSql("lower(text)")})) AS DOUBLE) / count(*), 6) AS avg_tokens,
+              |CAST(SUM(len(${toksSql("lower(text)")})) AS BIGINT) AS n_tokens,
+              |CAST(SUM(len(${toksSql("lower(text)")})) AS BIGINT) * 1000000 // count(*) AS avg_tokens_e6,
               |count(DISTINCT source) AS n_sources, max(n_chars) AS max_chars
               |FROM documents GROUP BY 1""".stripMargin)
     ),

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.core.Tables
+import graft.operators.DataChecks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The SQL/temp-view layer (J4) — the reference's dbt model DAG
@@ -34,11 +35,36 @@ object Views {
       case t        => Tables(spark, dir, t).createOrReplaceTempView(t)
     }
 
+  /** A dbt-style model: SQL plus the schema tests dbt attaches per
+    * model (`models/example/schema.yml:10-21` declares `unique` and
+    * `not_null` on each example model's id). `unique` entries are keys
+    * (possibly composite); `notNull` lists columns that must never be
+    * NULL. */
+  case class Model(
+      name: String,
+      sql: String,
+      unique: Seq[Seq[String]] = Nil,
+      notNull: Seq[String] = Nil)
+
   /** dbt-style model chain: materialize each (name, sql) as a temp view
     * in dependency order; later models reference earlier ones by name.
     * Returns the final model. */
-  def runModelChain(spark: SparkSession, models: Seq[(String, String)]): DataFrame = {
-    models.foreach { case (name, sql) => spark.sql(sql).createOrReplaceTempView(name) }
-    spark.table(models.last._1)
+  def runModelChain(spark: SparkSession, models: Seq[(String, String)]): DataFrame =
+    runModelChainChecked(spark, models.map { case (n, s) => Model(n, s) })
+
+  /** Model chain with per-model schema tests (dbt `dbt test` run
+    * inline after each materialization, as dbt does in DAG order):
+    * after each model's view registers, its `unique`/`notNull` checks
+    * run and throw on violation — halting the chain exactly where dbt
+    * would fail the run. Checks on temp views are lazy plans over the
+    * base scans; each check is one aggregation/filter job. */
+  def runModelChainChecked(spark: SparkSession, models: Seq[Model]): DataFrame = {
+    models.foreach { m =>
+      spark.sql(m.sql).createOrReplaceTempView(m.name)
+      val df = spark.table(m.name)
+      m.unique.foreach(key => DataChecks.requireUnique(df, key))
+      if (m.notNull.nonEmpty) DataChecks.requireNotNull(df, m.notNull)
+    }
+    spark.table(models.last.name)
   }
 }

@@ -1,9 +1,10 @@
 package graft.meta
 
 import graft.core.Schemas
-import graft.operators.Upsert
+import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** The pipeline-run metadata table (`logs`) and its status state
   * machine RUNNING → SUCCESS | FAILED (ST6).
@@ -13,24 +14,35 @@ import org.apache.spark.sql.functions._
   * `airflow/dags/crime_etl.py:106-107, 167-168, 374-375`; times stored
   * as UTC HH:mm:ss strings (`helper.py:18-19`).
   *
-  * Stored as a parquet table maintained through [[Upsert.merge]] keyed
-  * on (run_id, load_date) — the same operator the warehouse rows use,
-  * so log updates are idempotent too.
+  * Storage is APPEND-ONLY: every status transition appends one row
+  * stamped with a monotonic `__seq`; [[read]] resolves current state as
+  * latest-transition-per-(run_id, load_date) via [[Dedup.keepLatest]].
+  * The reference's row-keyed UPDATE (`db_postgres.py:38-63`) maps to an
+  * append + resolve-on-read, not a full-table rewrite per transition —
+  * the write cost of a transition is one small file, independent of
+  * table size, and concurrent-ish writers can't clobber each other's
+  * rows (last transition wins, exactly the UPDATE semantics).
   */
 class RunLog(spark: SparkSession, path: String) {
 
-  def read(): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.schema(Schemas.logs).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.logs)
+  private val rawSchema = Schemas.logs.add("__seq", LongType, nullable = false)
 
-  private def write(df: DataFrame): Unit = {
-    val tmp = path + ".tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-  }
+  private def readRaw(): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.schema(rawSchema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], rawSchema)
+
+  /** Resolved current state: the latest transition per (run_id,
+    * load_date). Readers see exactly what a row-keyed UPDATE table
+    * would contain. */
+  def read(): DataFrame =
+    Dedup.keepLatest(readRaw(), Seq("run_id", "load_date"), "__seq", "__seq").drop("__seq")
+
+  private def append(df: DataFrame): Unit =
+    df.withColumn("__seq", lit(RunLog.nextSeq()))
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(path)
 
   /** UTC wall-clock HH:mm:ss — pinned to UTC regardless of host zone,
     * matching the reference's `datetime.utcnow()` strings
@@ -47,25 +59,31 @@ class RunLog(spark: SparkSession, path: String) {
     val base = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(runId, loadDate, runType, mode, "RUNNING", utcTime(), null, null))),
       Schemas.logs)
-    upsert(base.withColumn("config", to_json(struct(config.map { case (k, v) => lit(v).as(k) }: _*))))
+    append(base.withColumn("config", to_json(struct(config.map { case (k, v) => lit(v).as(k) }: _*))))
   }
 
-  /** Finalize the row — `update_log` semantics. The update is a lazy
-    * filtered plan over the table, not a driver collect. */
+  /** Finalize the row — `update_log` semantics: append a transition row
+    * carrying the resolved current values with the new status/end_time.
+    * The current-row read is a lazy filtered plan, and the write is one
+    * appended row — the table is never rewritten. */
   def finish(runId: String, loadDate: java.sql.Date, status: String): Unit =
-    upsert(read()
+    append(read()
       .filter(col("run_id") === runId && col("load_date") === loadDate)
       .withColumn("status", lit(status))
       .withColumn("end_time", lit(utcTime())))
-
-  private def upsert(updates: DataFrame): Unit = {
-    val target = read().withColumn("__v", lit(0))
-    write(Upsert.merge(target, updates.withColumn("__v", lit(1)), Seq("run_id", "load_date"), "__v").drop("__v"))
-  }
 
   /** A1: high-water mark — max load_date with status in the given set. */
   def maxLoadDate(statuses: Seq[String]): Option[java.sql.Date] = {
     val r = read().filter(col("status").isin(statuses: _*)).agg(max("load_date")).first()
     Option(r.getDate(0))
   }
+}
+
+object RunLog {
+  /** Monotonic per-JVM transition sequence, seeded from wall-clock
+    * microseconds so it also advances across driver restarts (two
+    * transitions in one millisecond never tie; a restarted driver
+    * resumes ahead of any prior run that appended < 1000 rows/ms). */
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
+  private[meta] def nextSeq(): Long = seqGen.incrementAndGet()
 }

@@ -67,23 +67,26 @@ object Dedup {
   def minhashSignature(shingleCol: Column): Column =
     minhashSignatureFromBase(minhashBase(shingleCol))
 
-  /** Signatures via explode + one hash aggregation: md5 runs once per
-    * (doc, shingle); the 64 universal-hash minima are plain `min` aggs —
-    * map-side combinable, whole-stage codegen'd, one tiny shuffle of
-    * 64-long partial states per doc. ~10× faster than evaluating 64
-    * interpreted higher-order array folds per row, and the shape that
-    * survives 100 TB (the per-row-expression variant
-    * [[minhashSignature]] remains for small in-row use). Values are
-    * identical (min over the same hash set). */
+  /** Signatures via explode + ONE fused aggregate: md5 runs once per
+    * (doc, shingle); the 64 universal-hash minima live in a single
+    * [[graft.functions.MinHashSig]] TypedImperativeAggregate state
+    * (64 longs) updated in a tight loop per row — map-side combinable,
+    * one tiny serialized partial state per (mapper, doc) on the
+    * shuffle. Replaces 64 separate `min` aggregate columns: same
+    * values (min over the same hash set), but the planner carries one
+    * aggregate function instead of 64 and the update is one loop
+    * instead of 64 expression evaluations per shingle. The
+    * per-row-expression variant [[minhashSignature]] remains for small
+    * in-row use. */
   def minhashSignatures(sh: DataFrame): DataFrame = {
     val exploded = sh
       .select(col("id"), explode(col("sh")).as("s"))
       .withColumn("h", pmod(Hashing.md5Long(col("s"), 3), lit(P)))
-    val aggs = (0 until numHashes).map(j => min(pmod(col("h") * hashA(j) + hashB(j), lit(P))).as(s"m$j"))
+    val aSeq = (0 until numHashes).map(hashA)
+    val bSeq = (0 until numHashes).map(hashB)
     exploded
       .groupBy("id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h"), P, aSeq, bSeq).as("sig"))
   }
 
   /** Near-duplicate pairs by MinHash-LSH candidates, verified with exact

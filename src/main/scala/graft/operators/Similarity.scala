@@ -73,12 +73,16 @@ object Similarity {
     * re-ranks ONLY those cells' vectors by exact cosine.
     *
     * Scale shape: assignment is a broadcast of `nCentroids` rows against
-    * one linear corpus scan (argmax over C cosines per row); the search
-    * joins probe cells to cell members on the cluster id — an equi-join
-    * whose fan-in is corpus/C per cell. With C ~ sqrt(N) and balanced
-    * cells, a query touches ~nProbe·sqrt(N) vectors instead of N. A
-    * production quantizer would train centroids (k-means); the data-point
-    * quantizer keeps every number oracle-reproducible. */
+    * one linear corpus scan, reduced by a map-side-combinable `max_by`
+    * argmax — the N×C scored rows collapse to N rows BEFORE the shuffle
+    * (the earlier `row_number` window shuffled and sorted all N×C rows).
+    * Probe selection runs only on the nQueries subset, as a per-id
+    * sorted top-C array from one aggregation. The search then joins
+    * probe cells to cell members on the cluster id — an equi-join whose
+    * fan-in is corpus/C per cell. With C ~ sqrt(N) and balanced cells, a
+    * query touches ~nProbe·sqrt(N) vectors instead of N. A production
+    * quantizer would train centroids (k-means); the data-point quantizer
+    * keeps every number oracle-reproducible. */
   def ivfTopK(
       emb: DataFrame,
       idCol: String,
@@ -96,19 +100,33 @@ object Similarity {
     val cents = base
       .filter(col("id") < nCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
-    val scoredAssign = base
+    def scoredAgainstCents(df: DataFrame): DataFrame = df
       .crossJoin(broadcast(cents))
       .withColumn(
         "csim",
         when(col("nrm") * col("cnrm") === 0.0, lit(0.0))
           .otherwise(VectorExpressions.dotF(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
       )
-    val wAssign = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
-    val ranked = scoredAssign.withColumn("r", row_number().over(wAssign))
-    val assigned = ranked.filter(col("r") === 1).select(col("id"), col("vec"), col("nrm"), col("cid").as("cluster"))
-    val probes = ranked
-      .filter(col("id") < nQueries && col("r") <= nProbe)
-      .select(col("id").as("query_id"), col("cid").as("cluster"))
+    // r=1 assignment: argmax by (csim desc, cid asc) == max_by over
+    // (csim, -cid). Grouping carries (vec, nrm) — constant per id — so no
+    // join-back; partial aggregation collapses the C candidate rows per
+    // vector on the map side.
+    val assigned = scoredAgainstCents(base)
+      .groupBy(col("id"), col("vec"), col("nrm"))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("ncid"))).as("cluster"))
+    // nProbe probe cells per query: one aggregation over the nQueries
+    // subset builds the (csim desc, cid asc) top-C array per id — sort
+    // desc on struct(csim, -cid) gives exactly the window's order.
+    val probes = scoredAgainstCents(base.filter(col("id") < nQueries))
+      .groupBy(col("id"))
+      .agg(
+        slice(
+          sort_array(collect_list(struct(col("csim"), (-col("cid")).as("ncid"))), asc = false),
+          1,
+          nProbe
+        ).as("top"))
+      .select(col("id").as("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), (-col("t.ncid")).as("cluster"))
     val qside = assigned
       .filter(col("id") < nQueries)
       .select(col("id").as("query_id"), col("vec").as("qv"), col("nrm").as("qn"))

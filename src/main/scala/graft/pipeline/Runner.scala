@@ -73,8 +73,22 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
     else Option(spark.read.parquet(replicaA).agg(max("source_updated_on")).first().getTimestamp(0))
   }
 
-  /** One scheduled run. Returns the final status. */
-  def run(runId: String, loadDate: String, api: ApiSimulator, maxRetries: Int = 3): String = {
+  /** One scheduled run through the offline page simulator (driver-side
+    * paging with (date, page) checkpoint/resume). Returns the final
+    * status. */
+  def run(runId: String, loadDate: String, api: ApiSimulator, maxRetries: Int = 3): String =
+    runWith(runId, loadDate, (s0, e0) => extractAndLand(s0, e0, loadDate, api, maxRetries))
+
+  /** One scheduled run extracting through the DSv2 connector
+    * (`spark.read.format("graft-api")`, [[graft.sources.ApiTableProvider]])
+    * — the production path: the CDC range pushes into the source scan
+    * (SoQL `updated_on BETWEEN`, `extract.py:11`), pages fetch in
+    * parallel as input partitions, and a failed page retries as a task
+    * retry instead of the driver-side checkpoint loop. */
+  def runWithConnector(runId: String, loadDate: String, apiOptions: Map[String, String] = Map.empty): String =
+    runWith(runId, loadDate, (s0, e0) => extractAndLandConnector(s0, e0, loadDate, apiOptions))
+
+  private def runWith(runId: String, loadDate: String, extract: (String, String) => Unit): String = {
     checkTables()
     val ld = java.sql.Date.valueOf(loadDate)
     val hw = crimeHighWater()
@@ -94,7 +108,7 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
 
     val status =
       try {
-        ranges.foreach { case (s0, e0) => extractAndLand(s0, e0, loadDate, api, maxRetries) }
+        ranges.foreach { case (s0, e0) => extract(s0, e0) }
         loadReplica(replicaA, Seq(loadDate))
         loadReplica(replicaB, Seq(loadDate))
         refreshCatalog()
@@ -128,6 +142,19 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
           if (attempt > maxRetries) { checkpoint.clear(); throw e }
       }
     }
+  }
+
+  /** Connector extract of one query window: the `[startDate, endDate]`
+    * range (inclusive, like the reference's BETWEEN) goes into the scan
+    * as a pushed `:updated_at` filter — rows outside the window are
+    * never produced by the source. One distributed read per window; the
+    * landing write preserves the same partitioned layout as the paged
+    * path. */
+  private def extractAndLandConnector(startDate: String, endDate: String, loadDate: String, options: Map[String, String]): Unit = {
+    val endExclusive = LocalDate.parse(endDate).plusDays(1).toString
+    val src = spark.read.format("graft-api").options(options).load()
+      .filter(col(":updated_at") >= startDate && col(":updated_at") < endExclusive)
+    if (!src.isEmpty) LandingZone.write(src, landingRoot, loadDate)
   }
 
   /** Landing → transform → idempotent keyed upsert into one replica,

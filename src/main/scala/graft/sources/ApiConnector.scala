@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.util
+
+import graft.core.Schemas
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the Socrata-shaped paginated API (S1),
+  * production path: `spark.read.format("graft-api")`.
+  *
+  * Reference: the extract pushes the CDC range into the source query
+  * itself — SoQL `updated_on BETWEEN start AND end` with `pageNumber`/
+  * `pageSize` pagination (`airflow/dags/crimeapi/extract.py:9-42`).
+  * This connector reproduces that contract on Spark's connector API:
+  *
+  *  - **Filter pushdown** ([[SupportsPushDownFilters]]): comparison
+  *    predicates on `:updated_at` become the server-side range — the
+  *    rows never leave the "API" (here: are never generated), exactly
+  *    as SoQL's WHERE clause keeps them out of the HTTP response.
+  *    Pushed filters disappear from the post-scan Filter node and show
+  *    up in `PushedFilters` in explain output.
+  *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *    SoQL `$select` list — a projection-only query reads just those
+  *    fields.
+  *  - **Pagination → partitions**: one [[InputPartition]] per API page,
+  *    so page fetches run in parallel across executors and a failed
+  *    page retries alone (the task-retry analog of the reference's
+  *    page-level checkpoint/resume, `crime_etl.py:132-168`).
+  *
+  * Offline contract: data is served by the same deterministic generator
+  * as [[ApiSimulator]] ([[ApiSimulator.genValues]]), with row i's
+  * `:updated_at` spread over `nDays` days from `baseDate` so range
+  * pushdown has selectivity to exercise. A live deployment would swap
+  * the generator for the HTTP POST; every planner-visible surface
+  * (schema, pushdown, partitions) is the production shape.
+  *
+  * Options: `totalRows` (default 5000), `pageSize` (1000),
+  * `baseDate` (2026-01-01), `nDays` (28).
+  */
+class ApiTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-api"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Schemas.rawCrime
+  override def getTable(schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
+    new ApiTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class ApiTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_api"
+  override def schema(): StructType = Schemas.rawCrime
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(opts)
+    new ApiScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+/** Inclusive/exclusive string bounds on `:updated_at` — the pushed SoQL
+  * range. ISO-8601 strings compare lexicographically, so plain string
+  * comparison is the correct timestamp order. */
+final case class UpdatedRange(
+    ge: Option[String] = None,
+    gt: Option[String] = None,
+    le: Option[String] = None,
+    lt: Option[String] = None
+) extends Serializable {
+  def accepts(v: String): Boolean =
+    ge.forall(v >= _) && gt.forall(v > _) && le.forall(v <= _) && lt.forall(v < _)
+}
+
+final class ApiScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var range = UpdatedRange()
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Schemas.rawCrime
+
+  // the planner backtick-quotes attribute names needing escaping
+  // (":updated_at" contains ':'), so normalize before matching
+  private def isUpdatedAt(name: String): Boolean =
+    name.stripPrefix("`").stripSuffix("`") == ":updated_at"
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, residual) = filters.partition {
+      case GreaterThanOrEqual(a, _: String) => isUpdatedAt(a)
+      case GreaterThan(a, _: String)        => isUpdatedAt(a)
+      case LessThanOrEqual(a, _: String)    => isUpdatedAt(a)
+      case LessThan(a, _: String)           => isUpdatedAt(a)
+      case EqualTo(a, _: String)            => isUpdatedAt(a)
+      case _                                => false
+    }
+    acc.foreach {
+      case GreaterThanOrEqual(_, v: String) => range = range.copy(ge = maxOf(range.ge, v))
+      case GreaterThan(_, v: String)        => range = range.copy(gt = maxOf(range.gt, v))
+      case LessThanOrEqual(_, v: String)    => range = range.copy(le = minOf(range.le, v))
+      case LessThan(_, v: String)           => range = range.copy(lt = minOf(range.lt, v))
+      case EqualTo(_, v: String)            => range = range.copy(ge = maxOf(range.ge, v), le = minOf(range.le, v))
+      case _                                => ()
+    }
+    pushed = acc
+    residual // the connector applies pushed bounds exactly; nothing re-evaluated post-scan
+  }
+  private def maxOf(a: Option[String], v: String) = Some(a.filter(_ > v).getOrElse(v))
+  private def minOf(a: Option[String], v: String) = Some(a.filter(_ < v).getOrElse(v))
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ApiScan(
+    totalRows = options.getInt("totalRows", 5000),
+    pageSize = options.getInt("pageSize", 1000),
+    baseDate = options.getOrDefault("baseDate", "2026-01-01"),
+    nDays = options.getInt("nDays", 28),
+    range = range,
+    required = required
+  )
+}
+
+final class ApiScan(
+    val totalRows: Int,
+    val pageSize: Int,
+    val baseDate: String,
+    val nDays: Int,
+    val range: UpdatedRange,
+    val required: StructType
+) extends Scan
+    with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-api totalRows=$totalRows pageSize=$pageSize range=$range"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val nPages = (totalRows + pageSize - 1) / pageSize
+    Array.tabulate(nPages)(pg => ApiPagePartition(pg, pageSize, totalRows, baseDate, nDays, range))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ApiReaderFactory(
+    required.fieldNames.map(Schemas.rawCrime.fieldIndex))
+}
+
+final case class ApiPagePartition(
+    page: Int,
+    pageSize: Int,
+    totalRows: Int,
+    baseDate: String,
+    nDays: Int,
+    range: UpdatedRange
+) extends InputPartition
+
+/** `ordinals`: for each required output column, its index in the full
+  * rawCrime record — the pruned projection. */
+final class ApiReaderFactory(ordinals: Array[Int]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[ApiPagePartition]
+    val updIdx = Schemas.rawCrime.fieldIndex(":updated_at")
+    val base = java.time.LocalDate.parse(part.baseDate)
+    new PartitionReader[InternalRow] {
+      private var i = part.page * part.pageSize - 1
+      private val end = math.min((part.page + 1) * part.pageSize, part.totalRows)
+      private var current: Array[String] = _
+
+      override def next(): Boolean = {
+        i += 1
+        while (i < end) {
+          // row i "lives" on baseDate + (i % nDays) — the server-side value
+          val rowDate = base.plusDays(i % part.nDays).toString
+          val vals = ApiSimulator.genValues(i, rowDate)
+          if (part.range.accepts(vals(updIdx))) { current = vals; return true }
+          i += 1
+        }
+        false
+      }
+
+      override def get(): InternalRow =
+        new GenericInternalRow(
+          ordinals.map(o => if (current(o) == null) null else UTF8String.fromString(current(o)): Any))
+
+      override def close(): Unit = ()
+    }
+  }
+}

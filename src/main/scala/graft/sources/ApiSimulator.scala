@@ -42,10 +42,24 @@ class ApiSimulator(
   }
 
   /** Deterministic synthetic raw record i (all-string, Socrata shape). */
-  private def genRow(i: Int, baseDate: String): Row = {
+  private def genRow(i: Int, baseDate: String): Row =
+    Row.fromSeq(ApiSimulator.genValues(i, baseDate).toIndexedSeq)
+
+  def toDataFrame(spark: SparkSession, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), Schemas.rawCrime)
+}
+
+object ApiSimulator {
+
+  /** Deterministic synthetic raw record i, values aligned with
+    * `Schemas.rawCrime.fieldNames` — shared by the driver-side page
+    * iterator above and the executor-side DSv2 readers
+    * ([[ApiTableProvider]]), which must generate identical "server"
+    * data without shipping the simulator instance. */
+  def genValues(i: Int, baseDate: String): Array[String] = {
     val day = 1 + (i % 28)
     val primary = Seq("THEFT", "BATTERY", "ASSAULT", "BURGLARY", "ROBBERY")(i % 5)
-    val vals = Schemas.rawCrime.fieldNames.map {
+    Schemas.rawCrime.fieldNames.map {
       case "id"                   => s"C${1000000 + i}"
       case "case_number"          => s"HX${400000 + i}"
       case "date"                 => f"${baseDate.take(8)}$day%02dT${i % 24}%02d:00:00.000"
@@ -68,9 +82,5 @@ class ApiSimulator(
       case ":updated_at"          => s"${baseDate}T12:00:00.000"
       case _                      => null // metadata + computed-region cols
     }
-    Row(vals.toIndexedSeq: _*)
   }
-
-  def toDataFrame(spark: SparkSession, rows: Seq[Row]): DataFrame =
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), Schemas.rawCrime)
 }

@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.Schemas
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector (S1 production path): pushdown of the `:updated_at`
+  * CDC range into the source scan — the Spark twin of the reference's
+  * SoQL `updated_on BETWEEN a AND b` (`extract.py:9-42`). */
+class ApiConnectorSpec extends SparkSpec {
+
+  private def read(): DataFrame =
+    spark.read
+      .format("graft-api")
+      .option("totalRows", 500)
+      .option("pageSize", 100)
+      .option("baseDate", "2026-01-01")
+      .option("nDays", 28)
+      .load()
+
+  private def apiScan(df: DataFrame): ApiScan =
+    df.queryExecution.optimizedPlan
+      .collect { case r: DataSourceV2ScanRelation => r.scan }
+      .head
+      .asInstanceOf[ApiScan]
+
+  test("format is registered and serves the raw Socrata schema") {
+    val df = read()
+    assert(df.schema == Schemas.rawCrime)
+    assert(df.count() == 500)
+    // one InputPartition per API page
+    assert(df.rdd.getNumPartitions == 5)
+  }
+
+  test("updated_at range pushes into the scan (no client-side filtering)") {
+    val df = read().filter(col(":updated_at") >= "2026-01-05" && col(":updated_at") < "2026-01-10")
+    val scan = apiScan(df)
+    assert(scan.range.ge.contains("2026-01-05"))
+    assert(scan.range.lt.contains("2026-01-10"))
+    assert(scan.description().contains("2026-01-05"))
+    // rows live on baseDate + (i % 28): i%28 in {4..8} -> 17 full cycles * 5 + 5
+    assert(df.count() == 90)
+    // and the values agree with the bounds
+    val upd = df.select(":updated_at").distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    assert(upd.forall(v => v >= "2026-01-05" && v < "2026-01-10"))
+  }
+
+  test("equality and resume-shaped predicates push as a degenerate range") {
+    val df = read().filter(col(":updated_at") === "2026-01-03T12:00:00.000")
+    val scan = apiScan(df)
+    assert(scan.range.ge.contains("2026-01-03T12:00:00.000"))
+    assert(scan.range.le.contains("2026-01-03T12:00:00.000"))
+    assert(df.count() == 18) // i%28 == 2: 17 cycles + 1 (500 = 17*28 + 24)
+  }
+
+  test("column pruning reaches the scan (SoQL $select analog)") {
+    val df = read().select("id", "primary_type")
+    val scan = apiScan(df)
+    assert(scan.required.fieldNames.toSeq == Seq("id", "primary_type"))
+    assert(df.distinct().count() == 500) // ids unique
+  }
+
+  test("Runner runs end-to-end through the connector extract path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-runner-dsv2").toString
+    val runner = new graft.pipeline.Runner(spark, dir, epochStart = "2026-01-01", tablePrefix = "dsv2t")
+    val status = runner.runWithConnector(
+      "run-dsv2", "2026-02-05",
+      Map("totalRows" -> "400", "pageSize" -> "100", "baseDate" -> "2026-01-01", "nDays" -> "28"))
+    assert(status == "SUCCESS")
+    val crime = spark.read.parquet(s"$dir/warehouse_a/crime")
+    assert(crime.count() == 400) // all 400 generated rows fall in the FULL window
+    assert(crime.select("crime_id").distinct().count() == 400)
+    assert(runner.logsA.read().filter(col("status") === "SUCCESS").count() == 1)
+  }
+
+  test("non-range predicates stay client-side, results still correct") {
+    val df = read().filter(col("primary_type") === "THEFT" && col(":updated_at") >= "2026-01-20")
+    val scan = apiScan(df)
+    assert(scan.range.ge.contains("2026-01-20"))
+    // primary_type is NOT in the pushed range — evaluated post-scan
+    assert(scan.range.le.isEmpty && scan.range.lt.isEmpty)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("primary_type") == "THEFT"))
+  }
+}
