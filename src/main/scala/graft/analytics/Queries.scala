@@ -779,13 +779,10 @@ object Queries {
       (s, _) => DateDim.build(s, "1995-01-01", "1995-12-31")
         .withColumn("date", col("date").cast("string")),
       Some {
-        val holidayCase = DateDim.fixedHolidays.toSeq.sortBy(_._1)
-          .map { case ((m, dd), name) => s"WHEN month(d) = $m AND day(d) = $dd THEN '${name.replace("'", "''")}'" }
-          .mkString(" ")
         s"""SELECT CAST(d AS VARCHAR) AS "date", CAST(day(d) AS INTEGER) AS day, CAST(month(d) AS INTEGER) AS month,
            |CAST(year(d) AS INTEGER) AS year, CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
            |monthname(d) AS month_name, dayname(d) AS day_of_week_name,
-           |CASE $holidayCase ELSE NULL END AS holiday_name
+           |${DateDim.holidayCaseSql()} AS holiday_name
            |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
            |INTERVAL 1 DAY)) AS DATE) AS d)""".stripMargin
       }
@@ -811,11 +808,8 @@ object Queries {
             countDistinct(col("user_id")).as("n_users")
           ),
       Some {
-        val holidayCase = DateDim.fixedHolidays.toSeq.sortBy(_._1)
-          .map { case ((m, dd), name) => s"WHEN month(d) = $m AND day(d) = $dd THEN '${name.replace("'", "''")}'" }
-          .mkString(" ")
         s"""WITH dd AS (SELECT CAST(d AS DATE) AS date, dayname(d) AS day_of_week_name,
-           |CASE $holidayCase ELSE NULL END AS holiday_name
+           |${DateDim.holidayCaseSql()} AS holiday_name
            |FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
            |INTERVAL 1 DAY)) AS DATE) AS d))
            |SELECT dd.day_of_week_name, coalesce(dd.holiday_name, 'none') AS holiday,

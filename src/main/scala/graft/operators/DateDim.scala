@@ -23,6 +23,14 @@ object DateDim {
     (12, 25) -> "Christmas Day"
   )
 
+  /** The holiday lookup as a SQL CASE over a date expression `d` —
+    * shared by every DuckDB oracle twin that replicates the dim
+    * (p02, j01), so a rendering change can't drift between them. */
+  def holidayCaseSql(d: String = "d"): String =
+    "CASE " + fixedHolidays.toSeq.sortBy(_._1)
+      .map { case ((m, dd), name) => s"WHEN month($d) = $m AND day($d) = $dd THEN '${name.replace("'", "''")}'" }
+      .mkString(" ") + " ELSE NULL END"
+
   def build(spark: SparkSession, start: String, end: String): DataFrame = {
     val holidayCase = fixedHolidays.toSeq.sortBy(_._1).foldRight(lit(null).cast("string")) {
       case (((m, d), name), rest) =>

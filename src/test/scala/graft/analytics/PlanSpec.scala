@@ -41,6 +41,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s04 IVF: assignment aggregates with map-side combine, no N×C window sort") {
+    val p = plan("s04_ann_ivf")
+    // the r3 shape ranked all N×C scored rows through one Window
+    // (Exchange + Sort over the crossJoin output); the r4 shape is a
+    // hash aggregation with partial (map-side) combine before the
+    // shuffle, so no Window may consume a crossJoin anymore
+    assert(!p.contains("CartesianProduct"), "IVF must broadcast the centroid side")
+    assert(p.contains("max_by") || p.contains("HashAggregate"), "assignment should be an aggregation")
+    // exactly one Window remains: the final per-query top-k ranking
+    assert("(?m)Window".r.findAllIn(p).size <= 2, s"unexpected extra Window stages:\n$p")
+  }
+
+  test("d01 minhash: one fused signature aggregate, not 64 min-aggs") {
+    val p = plan("d01_minhash_lsh")
+    assert(p.contains("minhashsig") || p.contains("MinHashSig"), "fused TypedImperativeAggregate missing")
+    assert(!p.contains("m63"), "the 64-column min-agg shape is back")
+  }
+
   test("landing-zone read prunes load_date partitions in the scan") {
     val root = java.nio.file.Files.createTempDirectory("landing").toString + "/raw"
     Seq(("C1", "2024-01-05T10:00:00.000"), ("C2", "2024-02-06T10:00:00.000")).foreach { case (id, d) =>
