@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{DateDim, Dedup, Similarity, Upsert}
+import graft.operators.{DateDim, Dedup, Packing, Similarity, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -481,6 +481,11 @@ object Queries {
     QueryDef("d04_ngram_jaccard", (s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", 20, 0.2),
       Some(ngramJaccardSql(20, 0.2))),
+    QueryDef("d05_dedup_clusters", (s, d) =>
+      // pair-to-cluster resolution: the step after candidate pairing —
+      // min-label connected components over the d01 near-dup graph
+      Dedup.dedupClusters(Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", 0.5)),
+      Some(dedupClustersSql(0.5))),
 
     // ============== embedding aggregation (training-data ops) =============
     QueryDef(
@@ -586,6 +591,42 @@ object Queries {
               |CAST(SUM(len(${toksSql("lower(text)")})) AS BIGINT) * 1000000 // count(*) AS avg_tokens_e6,
               |count(DISTINCT source) AS n_sources, max(n_chars) AS max_chars
               |FROM documents GROUP BY 1""".stripMargin)
+    ),
+
+    QueryDef(
+      "t05_sequence_pack",
+      (s, d) =>
+        Packing.packByBudget(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(Text.tokens(lower(col("text")))).as("nt")),
+          "doc_id",
+          col("nt"),
+          budget = 2048,
+          shards = 8
+        ),
+      Some(s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+              |CAST(len(${toksSql("lower(text)")}) AS BIGINT) AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, shard, n_tokens,
+              |sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM t)
+              |SELECT doc_id, shard, CAST(cum - n_tokens AS BIGINT) // 2048 AS bin, n_tokens
+              |FROM c""".stripMargin)
+    ),
+    QueryDef(
+      "t06_hash_split",
+      (s, d) =>
+        Packing.hashSplit(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(Text.tokens(lower(col("text")))).cast("long").as("nt")),
+          "doc_id",
+          seed = 7,
+          pcts = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+        ).groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").cast("long").as("n_tokens")),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |${Hashing.md5LongSql("concat('split:', CAST(doc_id AS VARCHAR))", 7)} % 100 AS h,
+              |CAST(len(${toksSql("lower(text)")}) AS BIGINT) AS nt FROM documents)
+              |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+              |count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1""".stripMargin)
     ),
 
     // ============================ multimodal ==============================
@@ -851,6 +892,20 @@ object Queries {
        |WHERE CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
        |  (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x)))) >= $threshold""".stripMargin
   }
+
+  /** DuckDB twin of [[Dedup.dedupClusters]] over the d01 pair graph:
+    * transitive closure by recursive CTE, canonical id = min reachable
+    * id — the declarative fixpoint equal to Spark's iterative
+    * min-label propagation. */
+  private def dedupClustersSql(threshold: Double): String =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${minhashLshSql(threshold)})),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, min(label) AS canonical_id FROM reach GROUP BY 1""".stripMargin
 
   /** DuckDB twin of [[Dedup.ngramJaccard]] — the exact quadratic
     * baseline, bounded to the query subset (id % sampleMod == 0). */

@@ -280,6 +280,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
   }
 
+  /** Resolve near-duplicate PAIRS into clusters: every document that
+    * appears in `pairs` (columns id_a, id_b) is labeled with the
+    * smallest doc id reachable through the near-dup graph — i.e.
+    * connected components by min-label propagation. This is the step a
+    * production dedup pipeline actually needs after candidate pairing:
+    * "keep one canonical doc per duplicate cluster" (keep = rows where
+    * doc_id == canonical_id; drop the rest).
+    *
+    * Scale shape: iterative, one equi-join + map-side-combinable
+    * min-agg shuffle per round, converging in O(graph diameter) rounds
+    * — near-dup clusters are dense cliques with tiny diameters
+    * (typically ≤ 3–4 hops), so the loop is short in practice and
+    * capped by `maxIter`. Lineage is cut per round with
+    * `localCheckpoint` (a cluster deployment would use reliable
+    * checkpointing); labels are ids only — the shuffled rows are two
+    * longs regardless of document width. Deterministic: the fixpoint
+    * (min reachable id) is independent of partitioning and iteration
+    * order. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // computed once, reused every round
+    var labels = sym.select(col("src").as("id")).distinct().withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neigh = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nlabel"))
+      val next = labels
+        .join(neigh, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Keep-latest-per-key dedup (J1/ST3 upsert semantics): one row per
     * key, the one with the greatest (orderCol, tieCol). */
   def keepLatest(df: DataFrame, keyCols: Seq[String], orderCol: String, tieCol: String): DataFrame = {

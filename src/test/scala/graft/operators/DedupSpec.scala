@@ -29,6 +29,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("dedupClusters resolves pairs into min-label components") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupClusters converges on a long path (diameter > 2)") {
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(chain).as[(Long, Long)].collect()
+    assert(out.length == 10 && out.forall(_._2 == 0L))
+  }
+
+  test("dedupClusters of empty pair set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dedupClusters(empty).isEmpty)
+  }
+
   test("simhash of identical docs is identical; pairs found within hamming 3") {
     val sh = Dedup.simhashTable(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packByBudget fills bins contiguously per shard by start offset") {
+    // one shard so the packing is easy to eyeball: budget 10
+    val docs = Seq((0L, 4L), (8L, 4L), (16L, 4L), (24L, 9L), (32L, 2L)).toDF("id", "nt")
+    val out = Packing.packByBudget(docs, "id", col("nt"), budget = 10, shards = 8)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // all ids % 8 == 0 -> same shard; cumulative starts: 0,4,8,12,21
+    assert(out == Map(0L -> 0L, 8L -> 0L, 16L -> 0L, 24L -> 1L, 32L -> 2L))
+  }
+
+  test("packByBudget shards are independent") {
+    val docs = Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "nt")
+    val out = Packing.packByBudget(docs, "id", col("nt"), budget = 6, shards = 2)
+    // shard 0 holds ids 0,2; shard 1 holds 1,3 — each second doc starts at 5 < 6? no: starts 0 and 5 -> bins 0,0
+    val bins = out.select("id", "shard", "bin").as[(Long, Long, Long)].collect().toSet
+    assert(bins == Set((0L, 0L, 0L), (2L, 0L, 0L), (1L, 1L, 0L), (3L, 1L, 0L)))
+  }
+
+  test("hashSplit is deterministic, exhaustive, and respects percentages roughly") {
+    val docs = spark.range(2000).toDF("doc_id")
+    val out = Packing.hashSplit(docs, "doc_id", seed = 7, pcts = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1400 && counts("val") < 400 && counts("test") < 400)
+    // deterministic: same assignment on re-evaluation
+    val again = Packing.hashSplit(docs, "doc_id", 7, Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("hashSplit rejects percentages that do not sum to 100") {
+    intercept[IllegalArgumentException] {
+      Packing.hashSplit(spark.range(1).toDF("doc_id"), "doc_id", 1, Seq("a" -> 50, "b" -> 40))
+    }
+  }
+}
