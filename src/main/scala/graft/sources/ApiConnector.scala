@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,6 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
   *    SoQL `$select` list — a projection-only query reads just those
   *    fields.
+  *  - **Limit pushdown** ([[SupportsPushDownLimit]]): the reference's
+  *    page cap (`etl/main.py:57` stops at 50 pages) — a pushed LIMIT
+  *    truncates the page plan to ceil(limit/pageSize) partitions and
+  *    caps rows inside the reader, so capped exploratory reads never
+  *    touch the rest of the "API".
   *  - **Pagination → partitions**: one [[InputPartition]] per API page,
   *    so page fetches run in parallel across executors and a failed
   *    page retries alone (the task-retry analog of the reference's
@@ -79,11 +84,20 @@ final case class UpdatedRange(
 final class ApiScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var range = UpdatedRange()
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Schemas.rawCrime
+  private var limit: Option[Int] = None
+
+  /** Partial push: the per-partition reader stops after the cap, but
+    * Spark still applies the global LIMIT across partitions. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false // partial: rows are capped at the source, Spark finishes the job
+  }
 
   // the planner backtick-quotes attribute names needing escaping
   // (":updated_at" contains ':'), so normalize before matching
@@ -97,6 +111,10 @@ final class ApiScanBuilder(options: CaseInsensitiveStringMap)
       case LessThanOrEqual(a, _: String)    => isUpdatedAt(a)
       case LessThan(a, _: String)           => isUpdatedAt(a)
       case EqualTo(a, _: String)            => isUpdatedAt(a)
+      // the API never emits a null updated_on — absorbing the planner's
+      // inferred IsNotNull leaves no residual Filter, which in turn
+      // lets the planner push LIMIT down to the scan
+      case IsNotNull(a)                     => isUpdatedAt(a)
       case _                                => false
     }
     acc.foreach {
@@ -124,7 +142,8 @@ final class ApiScanBuilder(options: CaseInsensitiveStringMap)
     baseDate = options.getOrDefault("baseDate", "2026-01-01"),
     nDays = options.getInt("nDays", 28),
     range = range,
-    required = required
+    required = required,
+    limit = limit
   )
 }
 
@@ -134,17 +153,26 @@ final class ApiScan(
     val baseDate: String,
     val nDays: Int,
     val range: UpdatedRange,
-    val required: StructType
+    val required: StructType,
+    val limit: Option[Int] = None
 ) extends Scan
     with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-api totalRows=$totalRows pageSize=$pageSize range=$range"
+    s"graft-api totalRows=$totalRows pageSize=$pageSize range=$range limit=$limit"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val nPages = (totalRows + pageSize - 1) / pageSize
-    Array.tabulate(nPages)(pg => ApiPagePartition(pg, pageSize, totalRows, baseDate, nDays, range))
+    // A pushed limit prunes whole pages ONLY when no filter is pushed
+    // (with a filter, a page may contribute fewer rows than generated,
+    // so later pages must stay reachable to supply the limit). Each
+    // reader additionally caps its own output at `limit`.
+    val pages = limit match {
+      case Some(n) if range == UpdatedRange() => math.min(nPages, (n + pageSize - 1) / pageSize)
+      case _                                  => nPages
+    }
+    Array.tabulate(pages)(pg => ApiPagePartition(pg, pageSize, totalRows, baseDate, nDays, range, limit))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ApiReaderFactory(
@@ -157,7 +185,8 @@ final case class ApiPagePartition(
     totalRows: Int,
     baseDate: String,
     nDays: Int,
-    range: UpdatedRange
+    range: UpdatedRange,
+    limit: Option[Int] = None
 ) extends InputPartition
 
 /** `ordinals`: for each required output column, its index in the full
@@ -170,15 +199,17 @@ final class ApiReaderFactory(ordinals: Array[Int]) extends PartitionReaderFactor
     new PartitionReader[InternalRow] {
       private var i = part.page * part.pageSize - 1
       private val end = math.min((part.page + 1) * part.pageSize, part.totalRows)
+      private var emitted = 0
       private var current: Array[String] = _
 
       override def next(): Boolean = {
+        if (part.limit.exists(emitted >= _)) return false
         i += 1
         while (i < end) {
           // row i "lives" on baseDate + (i % nDays) — the server-side value
           val rowDate = base.plusDays(i % part.nDays).toString
           val vals = ApiSimulator.genValues(i, rowDate)
-          if (part.range.accepts(vals(updIdx))) { current = vals; return true }
+          if (part.range.accepts(vals(updIdx))) { current = vals; emitted += 1; return true }
           i += 1
         }
         false

@@ -62,6 +62,19 @@ class ApiConnectorSpec extends SparkSpec {
     assert(df.distinct().count() == 500) // ids unique
   }
 
+  test("limit pushes into the scan and prunes page partitions (page-cap analog)") {
+    val df = read().limit(150)
+    val scan = apiScan(df)
+    assert(scan.limit.contains(150))
+    assert(scan.planInputPartitions().length == 2) // ceil(150/100) pages instead of 5
+    assert(df.count() == 150)
+    // with a pushed filter, pages must NOT be pruned (a page can supply
+    // fewer matching rows than generated), but the result stays correct
+    val filtered = read().filter(col(":updated_at") >= "2026-01-20").limit(30)
+    assert(apiScan(filtered).limit.contains(30))
+    assert(filtered.count() == 30)
+  }
+
   test("Runner runs end-to-end through the connector extract path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-runner-dsv2").toString
     val runner = new graft.pipeline.Runner(spark, dir, epochStart = "2026-01-01", tablePrefix = "dsv2t")
