@@ -715,6 +715,27 @@ object Queries {
               |${dsumSql("value", 6)} AS total FROM g GROUP BY user_id, grp""".stripMargin)
     ),
 
+    QueryDef(
+      "st04_interval_join",
+      // batch twin of the stream-stream interval join: even event_ids
+      // play impressions, odd play clicks; a click attributes to every
+      // impression of the same user in the preceding hour
+      (s, d) => {
+        val e = Tables.events(s, d)
+        graft.streaming.EventStream.intervalJoin(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          withinMinutes = 60)
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |i AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts FROM e WHERE event_id % 2 = 0),
+             |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts FROM e WHERE event_id % 2 = 1)
+             |SELECT i.user_id, imp_id, click_id,
+             |epoch_us(click_ts) - epoch_us(imp_ts) AS delta_us
+             |FROM i JOIN c ON i.user_id = c.c_user
+             |AND click_ts > imp_ts AND click_ts <= imp_ts + INTERVAL 60 MINUTE""".stripMargin)
+    ),
+
     // ==================== SQL/temp-view layer (J4) ========================
     QueryDef(
       "v01_view_chain",

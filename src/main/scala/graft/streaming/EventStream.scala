@@ -132,6 +132,41 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join (click-to-impression attribution
+    * shape): join two event streams on the key with an event-time range
+    * condition — `click_ts` in `(imp_ts, imp_ts + withinMinutes]`.
+    * Both sides carry watermarks and the range condition is on the two
+    * event times, which is exactly what lets Spark bound the join
+    * state: a buffered impression can be dropped once the click-side
+    * watermark passes `imp_ts + withinMinutes`, so state is
+    * O(rate × window), not O(stream). Works identically on batch
+    * frames (watermarks are no-ops there) — the st04 oracle twin runs
+    * this same plan in batch. Output delta is exact integer
+    * microseconds (cross-engine safe). */
+  def intervalJoin(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      withinMinutes: Int = 60,
+      delay: String = "2 hours"
+  ): DataFrame = {
+    val i = impressions
+      .withWatermark("ts", delay)
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+    val c = clicks
+      .withWatermark("ts", delay)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("click_ts"))
+    i.join(
+      c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") > col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $withinMinutes MINUTE"))
+      .select(
+        col("user_id"),
+        col("imp_id"),
+        col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("imp_ts"))).as("delta_us"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id
     * arriving within the watermark window (the at-least-once →
     * effectively-once adapter in front of any non-idempotent sink;

@@ -43,6 +43,24 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
+    writeEvents(dir)
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter($"event_id" % 2 === 0), df.filter($"event_id" % 2 === 1))
+    val (si, sc) = split(EventStream.readEvents(spark, dir, schema))
+    // delay > data span so unordered file arrival can't finalize state early
+    val q = EventStream.runToMemory(
+      EventStream.intervalJoin(si, sc, withinMinutes = 60, delay = "4 hours"),
+      "ijoin", "append")
+    q.awaitTermination(60000)
+    val streamed = spark.table("ijoin")
+    val (bi, bc) = split(spark.read.schema(schema).parquet(dir))
+    val batch = EventStream.intervalJoin(bi, bc, withinMinutes = 60)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("session window stream produces per-user sessions") {
     val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
     writeEvents(dir)
