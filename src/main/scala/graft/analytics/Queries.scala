@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{DateDim, Dedup, Packing, Similarity, Upsert}
+import graft.operators.{DateDim, Dedup, Packing, Quantize, Similarity, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -509,6 +509,20 @@ object Queries {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    QueryDef(
+      "s05_quantize",
+      (s, d) => Quantize.int8Stats(Tables.embeddings(s, d), "vec_id", "embedding"),
+      Some("""WITH e AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+             |  WHERE i <= len(embedding)),
+             |m AS (SELECT vec_id, max(abs(x)) AS mx FROM e GROUP BY 1),
+             |q AS (SELECT e.vec_id,
+             |  CASE WHEN mx = 0 THEN 0 ELSE CAST(floor(x * 127.0 / mx) AS BIGINT) END AS q
+             |  FROM e JOIN m ON e.vec_id = m.vec_id)
+             |SELECT vec_id, CAST(SUM(q) AS BIGINT) AS sum_q, min(q) AS min_q, max(q) AS max_q
+             |FROM q GROUP BY 1""".stripMargin)
+    ),
+
     // ========================== similarity search =========================
     QueryDef("s01_ann_bruteforce", (s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", 50, 10)
@@ -593,6 +607,35 @@ object Queries {
               |FROM documents GROUP BY 1""".stripMargin)
     ),
 
+    QueryDef(
+      "t07_corpus_curation",
+      // the composed curation pipeline a training corpus actually runs:
+      // quality-gate (tokens >= 5, the t02 bucket-1 floor), then drop
+      // every non-canonical member of a near-dup cluster (d01 pairs →
+      // d05 components), then per-language corpus stats. One anti-join
+      // against the (small) duplicate id set — the corpus streams once.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs
+          .select(col("doc_id"), col("lang"), size(Text.tokens(lower(col("text")))).cast("long").as("nt"))
+          .filter(col("nt") >= 5)
+        val dupDrop = Dedup
+          .dedupClusters(Dedup.minhashLsh(docs, "doc_id", "text", 0.5))
+          .filter(col("doc_id") =!= col("canonical_id"))
+          .select("doc_id")
+        base
+          .join(dupDrop, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").cast("long").as("n_tokens"))
+      },
+      Some(s"""WITH drops AS (SELECT doc_id FROM (${dedupClustersSql(0.5)})
+              |  WHERE doc_id != canonical_id),
+              |t AS (SELECT doc_id, lang, CAST(len(${toksSql("lower(text)")}) AS BIGINT) AS nt
+              |  FROM documents)
+              |SELECT lang, count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+              |FROM t WHERE nt >= 5 AND doc_id NOT IN (SELECT doc_id FROM drops)
+              |GROUP BY 1""".stripMargin)
+    ),
     QueryDef(
       "t05_sequence_pack",
       (s, d) =>
