@@ -80,10 +80,17 @@ class RunLog(spark: SparkSession, path: String) {
 }
 
 object RunLog {
-  /** Monotonic per-JVM transition sequence, seeded from wall-clock
-    * microseconds so it also advances across driver restarts (two
-    * transitions in one millisecond never tie; a restarted driver
-    * resumes ahead of any prior run that appended < 1000 rows/ms). */
-  private val seqGen = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
-  private[meta] def nextSeq(): Long = seqGen.incrementAndGet()
+  /** Transition sequence: every append re-reads the wall clock (in
+    * microsecond units) and takes max(clock, prev + 1) — monotonic
+    * within a JVM even under same-millisecond bursts, and a restarted
+    * driver resumes at its current clock rather than a stale seed.
+    * Cross-JVM ordering is wall-clock ordering, the same guarantee
+    * class as the reference's row-keyed UPDATE under concurrent
+    * writers (`db_postgres.py:38-63`): a writer whose clock lags can
+    * still lose to an earlier transition. True multi-driver logging
+    * would need a coordinated sequence (the warehouse played that role
+    * in the reference); the pipeline runs one driver at a time. */
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[meta] def nextSeq(): Long =
+    seqGen.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis() * 1000L))
 }

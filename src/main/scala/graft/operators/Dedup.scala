@@ -298,7 +298,7 @@ object Dedup {
     * longs regardless of document width. Deterministic: the fixpoint
     * (min reachable id) is independent of partitioning and iteration
     * order. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val sym = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -311,17 +311,19 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
-      val next = labels
+      // old and new label side by side: ONE join per round serves both
+      // the update and the convergence test
+      val step = labels
         .join(neigh, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("old"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = next
+      converged = step.filter(col("label") =!= col("old")).isEmpty
+      labels = step.select(col("id"), col("label"))
       i += 1
     }
+    // an unconverged result would silently disagree with the oracle's
+    // full transitive closure and leave >1 "canonical" doc per cluster
+    require(converged, s"dedupClusters did not converge in $maxIter rounds — component diameter exceeds maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -154,7 +154,10 @@ class Runner(spark: SparkSession, workDir: String, epochStart: String = "2001-01
     val endExclusive = LocalDate.parse(endDate).plusDays(1).toString
     val src = spark.read.format("graft-api").options(options).load()
       .filter(col(":updated_at") >= startDate && col(":updated_at") < endExclusive)
-    if (!src.isEmpty) LandingZone.write(src, landingRoot, loadDate)
+    // write unconditionally: an empty window writes no partition
+    // directories, while an isEmpty pre-check would run a whole second
+    // extract pass (double the API fetches per window on a live source)
+    LandingZone.write(src, landingRoot, loadDate)
   }
 
   /** Landing → transform → idempotent keyed upsert into one replica,

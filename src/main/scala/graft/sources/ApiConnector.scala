@@ -69,16 +69,22 @@ final class ApiTable(options: CaseInsensitiveStringMap) extends Table with Suppo
 }
 
 /** Inclusive/exclusive string bounds on `:updated_at` — the pushed SoQL
-  * range. ISO-8601 strings compare lexicographically, so plain string
-  * comparison is the correct timestamp order. */
+  * range — plus the pushed IS NOT NULL flag. ISO-8601 strings compare
+  * lexicographically, so plain string comparison is the correct
+  * timestamp order. The reader enforces every pushed predicate itself
+  * (a null value fails any bound and the notNull flag), so the
+  * guarantee does not rest on the row generator never emitting null —
+  * a live-API adapter behind this planner surface stays correct. */
 final case class UpdatedRange(
     ge: Option[String] = None,
     gt: Option[String] = None,
     le: Option[String] = None,
-    lt: Option[String] = None
+    lt: Option[String] = None,
+    notNull: Boolean = false
 ) extends Serializable {
   def accepts(v: String): Boolean =
-    ge.forall(v >= _) && gt.forall(v > _) && le.forall(v <= _) && lt.forall(v < _)
+    if (v == null) !notNull && ge.isEmpty && gt.isEmpty && le.isEmpty && lt.isEmpty
+    else ge.forall(v >= _) && gt.forall(v > _) && le.forall(v <= _) && lt.forall(v < _)
 }
 
 final class ApiScanBuilder(options: CaseInsensitiveStringMap)
@@ -123,6 +129,7 @@ final class ApiScanBuilder(options: CaseInsensitiveStringMap)
       case LessThanOrEqual(_, v: String)    => range = range.copy(le = minOf(range.le, v))
       case LessThan(_, v: String)           => range = range.copy(lt = minOf(range.lt, v))
       case EqualTo(_, v: String)            => range = range.copy(ge = maxOf(range.ge, v), le = minOf(range.le, v))
+      case IsNotNull(_)                     => range = range.copy(notNull = true)
       case _                                => ()
     }
     pushed = acc

@@ -48,7 +48,7 @@ class PlanSpec extends SparkSpec {
     // hash aggregation with partial (map-side) combine before the
     // shuffle, so no Window may consume a crossJoin anymore
     assert(!p.contains("CartesianProduct"), "IVF must broadcast the centroid side")
-    assert(p.contains("max_by") || p.contains("HashAggregate"), "assignment should be an aggregation")
+    assert(p.contains("max_by"), "assignment should be a max_by aggregation")
     // exactly one Window remains: the final per-query top-k ranking
     assert("(?m)Window".r.findAllIn(p).size <= 2, s"unexpected extra Window stages:\n$p")
   }
