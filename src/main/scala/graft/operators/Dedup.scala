@@ -147,26 +147,20 @@ object Dedup {
   }
 
   // --- SimHash ---------------------------------------------------------------
-  /** Per-doc 60-bit SimHash via explode + one aggregation pass (md5 once
-    * per token; the 60 conditional sums map-side-combine). */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = Par.widen(docs)
+  /** Per-doc 60-bit SimHash via explode + ONE fused aggregate
+    * ([[graft.functions.SimHashSig]]): md5 runs once per token; the 60
+    * signed bit-counters live in a single TypedImperativeAggregate
+    * state that evaluates straight to the packed code — map-side
+    * combinable, one 60-long partial blob per (mapper, doc) on the
+    * shuffle, replacing 60 `sum(when(...))` aggregate columns plus a
+    * 60-term packing projection. Values identical (bit set iff the ±1
+    * sum is positive). */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.widen(docs)
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
       .withColumn("h", Hashing.md5Long(col("t"), 11))
-    val signSums = (0 until Text.simhashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$i")
-    }
-    tok
       .groupBy("id")
-      .agg(signSums.head, signSums.tail: _*)
-      .select(
-        col("id"),
-        (0 until Text.simhashBits)
-          .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _)
-          .as("simhash")
-      )
-  }
+      .agg(graft.functions.SimHashAgg.simhashSig(col("h"), Text.simhashBits).as("simhash"))
 
   val simhashChunks = 4
   val simhashChunkBits: Int = Text.simhashBits / simhashChunks // 15
