@@ -44,6 +44,34 @@ class DedupProps extends SparkSpec {
     }
   }
 
+  test("dedupClusters matches driver-side union-find on random graphs (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(200 + seed)
+      val nNodes = 5 + rnd.nextInt(25)
+      val edges = Seq.fill(rnd.nextInt(40))((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        // reference: plain union-find with min-root resolution
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map(n => n -> find(n)).toMap
+        val got = Dedup.dedupClusters(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"seed $seed: components diverge from union-find")
+      }
+    }
+  }
+
   test("minhashLsh is sound, and complete for identical docs (5 seeds)") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(100 + seed)
