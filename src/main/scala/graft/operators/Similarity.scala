@@ -66,6 +66,75 @@ object Similarity {
     )
   }
 
+  /** Spherical k-means trainer for the IVF coarse quantizer — the
+    * production path the data-point quantizer in [[ivfTopK]] stands in
+    * for when oracle reproducibility matters. Deterministic: centroids
+    * initialize from the k lowest-id vectors, run a fixed `iters`
+    * Lloyd rounds (assign by cosine, recompute the arithmetic mean per
+    * cell), ties broken by centroid id.
+    *
+    * Scale shape per round: one broadcast of k centroid rows against a
+    * linear corpus scan, the same map-side `max_by` argmax as the
+    * search path (N×k scored rows collapse to N before any shuffle),
+    * then a posexplode + avg keyed on (cid, dim) — k·dim result rows.
+    * Lineage is cut per round; k and iters are small constants. */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5): DataFrame = {
+    val base = Par.widen(emb).select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      VectorExpressions.normF(col(vecCol)).as("nrm")
+    )
+    var cents = base
+      .orderBy(col("id"))
+      .limit(k)
+      .select(
+        (row_number().over(Window.orderBy(col("id"))) - 1).cast("long").as("cid"),
+        col("vec").as("cvec"),
+        col("nrm").as("cnrm"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val assigned = base
+        .crossJoin(broadcast(cents))
+        .withColumn(
+          "csim",
+          when(col("nrm") * col("cnrm") === 0.0, lit(0.0))
+            .otherwise(VectorExpressions.dotF(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+        )
+        .groupBy(col("id"), col("vec"))
+        .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("ncid"))).as("cid"))
+      val mean = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))), s => s.getField("m").cast("float")).as("cvec"))
+      cents = mean
+        .select(col("cid"), col("cvec"), VectorExpressions.normF(col("cvec")).as("cnrm"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] against an externally trained quantizer (e.g.
+    * [[trainCentroids]]): same assignment/probe/search shape, centroids
+    * supplied as (cid, cvec, cnrm). */
+  def ivfTopKWith(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      nProbe: Int,
+      nQueries: Int,
+      k: Int
+  ): DataFrame = {
+    val base = Par.widen(emb).select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      VectorExpressions.normF(col(vecCol)).as("nrm")
+    )
+    ivfSearch(base, cents, nProbe, nQueries, k)
+  }
+
   /** ANN top-k via IVF (inverted-file) clustering: a small coarse
     * quantizer (the first `nCentroids` corpus vectors as centroids —
     * deterministic, so the oracle replicates it) partitions the corpus
@@ -100,6 +169,12 @@ object Similarity {
     val cents = base
       .filter(col("id") < nCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+    ivfSearch(base, cents, nProbe, nQueries, k)
+  }
+
+  /** Shared IVF search core: assignment, probe selection, and cell
+    * search against a given (cid, cvec, cnrm) quantizer. */
+  private def ivfSearch(base: DataFrame, cents: DataFrame, nProbe: Int, nQueries: Int, k: Int): DataFrame = {
     def scoredAgainstCents(df: DataFrame): DataFrame = df
       .crossJoin(broadcast(cents))
       .withColumn(

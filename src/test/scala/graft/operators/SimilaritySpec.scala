@@ -29,6 +29,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == bf)
   }
 
+  test("k-means trainer recovers separated clusters; trained IVF matches brute force") {
+    // 18 vectors in 3 well-separated directions, 6 per cluster
+    val dirs = Seq(Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f), Array(0.0f, 0.0f, 1.0f, 0.0f))
+    val rnd = new scala.util.Random(42)
+    val data = (0 until 18).map { i =>
+      val d = dirs(i % 3)
+      (i.toLong, d.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cents.count() == 3)
+    // every trained centroid should point dominantly along one axis,
+    // and the three centroids should cover all three axes
+    val axes = cents.select("cvec").as[Array[Float]].collect()
+      .map(v => v.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1, 2))
+    // with every cell probed, trained-IVF top-k == brute-force top-k
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", 2, 3)
+      .select("query_id", "cand_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopKWith(df, "vec_id", "embedding", cents, nProbe = 3, nQueries = 2, k = 3)
+      .select("query_id", "cand_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == bf)
+  }
+
   test("binary-file ingest reads media blobs with stable hashed ids") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))
