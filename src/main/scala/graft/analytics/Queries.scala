@@ -854,6 +854,22 @@ object Queries {
       }
     ),
 
+    QueryDef(
+      "v04_sql_sketch_agg",
+      (s, d) => {
+        // the fused sketch aggregate through the SQL surface: simhash
+        // per doc computed entirely in spark.sql via graft_simhash_sig
+        graft.plans.GraftExtensions.install(s)
+        Views.registerTables(s, d)
+        s.sql(
+          """SELECT doc_id, graft_simhash_sig(
+            |  CAST(conv(substring(md5(concat('11:', t)), 1, 15), 16, 10) AS BIGINT)) AS simhash
+            |FROM (SELECT doc_id, explode(filter(split(text, ' '), x -> x != '')) AS t FROM documents)
+            |GROUP BY doc_id""".stripMargin)
+      },
+      Some(simhashTableSql)
+    ),
+
     // ================== pipeline operators (oracle-checked) ===============
     QueryDef(
       "p01_upsert_merge",
@@ -983,6 +999,17 @@ object Queries {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, round($jacc, 6) AS jaccard
        |FROM shg a JOIN shg b ON a.doc_id % $sampleMod = 0 AND a.doc_id < b.doc_id
        |WHERE $jacc >= $threshold""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.simhashTable]]: (doc_id, simhash). */
+  private def simhashTableSql: String = {
+    val bitTerms = (0 until Text.simhashBits).map { i =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) > len(hs) THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+       |hsx AS (SELECT doc_id, list_transform(tk, t -> ${Hashing.md5LongSql("t", 11)}) AS hs
+       |  FROM toks WHERE len(tk) > 0)
+       |SELECT doc_id, $bitTerms AS simhash FROM hsx""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.simhashPairs]]: per-doc 60-bit simhash from

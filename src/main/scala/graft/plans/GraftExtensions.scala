@@ -53,6 +53,23 @@ object GraftExtensions {
       "graft_shingles",
       new ExpressionInfo(TextExpressions.ShingleGrams.getClass.getName, "graft_shingles"),
       (args: Seq[Expression]) => TextExpressions.ShingleGrams(args(0), intArg(args(1), "graft_shingles", 1))
+    ),
+    // the fused sketch AGGREGATES (the analyzer wraps a bare
+    // AggregateFunction from the registry in an AggregateExpression)
+    (
+      "graft_minhash_sig",
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) =>
+        graft.functions.MinHashSig(
+          args(0),
+          graft.operators.Dedup.P,
+          (0 until graft.operators.Dedup.numHashes).map(graft.operators.Dedup.hashA),
+          (0 until graft.operators.Dedup.numHashes).map(graft.operators.Dedup.hashB))
+    ),
+    (
+      "graft_simhash_sig",
+      new ExpressionInfo(classOf[graft.functions.SimHashSig].getName, "graft_simhash_sig"),
+      (args: Seq[Expression]) => graft.functions.SimHashSig(args(0), graft.functions.Text.simhashBits)
     )
   )
 
