@@ -672,6 +672,41 @@ object Queries {
               |count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1""".stripMargin)
     ),
 
+    QueryDef(
+      "t08_tfidf_topk",
+      // ranked retrieval with an EXACT integer relevance score:
+      // score_e6 = (tf * n_docs * 1e6) div df — the tf×idf ordering
+      // without the cross-engine log(); terms with df >= 10, top 3 docs
+      // per term by (score desc, doc_id asc). Shuffle shape: one
+      // groupBy(term, doc) with map-side combine, one groupBy(term),
+      // one broadcast-size join back on term, one per-term window.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nDocs = docs.count() // bounded scalar cursor (A1-style)
+        val tf = docs
+          .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")).filter(col("df") >= 10)
+        val w = Window.partitionBy(col("term")).orderBy(col("score_e6").desc, col("doc_id").asc)
+        tf.join(dfreq, "term")
+          .withColumn("score_e6", expr(s"(tf * ${nDocs}L * 1000000L) div df"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("term"), col("doc_id"), col("tf"), col("df"), col("score_e6"), col("rk"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term FROM documents),
+              |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 10),
+              |scored AS (SELECT tf.term, doc_id, tf, df,
+              |  CAST(tf AS BIGINT) * (SELECT count(*) FROM documents) * 1000000 // df AS score_e6
+              |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
+              |SELECT term, doc_id, tf, df, score_e6, rk FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY score_e6 DESC, doc_id ASC) AS rk
+              |  FROM scored)
+              |WHERE rk <= 3""".stripMargin)
+    ),
+
     // ============================ multimodal ==============================
     QueryDef(
       "m01_media_decode",
