@@ -457,6 +457,50 @@ object Queries {
               |FROM lineitem GROUP BY 1""".stripMargin)
     ),
     QueryDef(
+      "q26_exists_subqueries",
+      // correlated EXISTS / NOT EXISTS — Catalyst rewrites them to
+      // left-semi / left-anti joins (RewritePredicateSubquery); no
+      // driver-side logic, no floats, fully deterministic
+      (s, d) => {
+        Views.registerTables(s, d)
+        s.sql(
+          """SELECT c_custkey, c_name FROM customer c
+            |WHERE EXISTS (SELECT 1 FROM orders o
+            |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+            |AND NOT EXISTS (SELECT 1 FROM orders o2
+            |  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |AND NOT EXISTS (SELECT 1 FROM orders o2
+             |  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin)
+    ),
+    QueryDef(
+      "q27_percentiles",
+      // exact linear-interpolation quantiles per group. Deterministic
+      // cross-engine because l_quantity is integer-valued and the
+      // fracs are dyadic (0.25/0.5/0.75): every interpolation
+      // intermediate is exactly representable, so both engines produce
+      // the identical double regardless of formula arrangement.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"),
+            min(col("l_quantity")).as("q_min"),
+            max(col("l_quantity")).as("q_max")
+          ),
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.25) AS p25,
+             |quantile_cont(l_quantity, 0.5) AS p50,
+             |quantile_cont(l_quantity, 0.75) AS p75,
+             |min(l_quantity) AS q_min, max(l_quantity) AS q_max
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
       "q22_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d).agg(
