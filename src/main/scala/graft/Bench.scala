@@ -1,6 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
 import graft.analytics.Queries
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every inventory query on SPARK_GRAFT_SF_DIR and
@@ -38,6 +41,24 @@ object Bench {
     // warm-up: shuffle + codegen machinery
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
 
+    // shuffle-volume accounting: per-query bytes moved through the
+    // shuffle — the number that decides 100 TB behavior. Snapshotted
+    // around the LAST recorded run (shuffle volume is deterministic
+    // per run; the listener bus is drained at each snapshot so stages
+    // attribute to the right query).
+    val shufRead = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        ()
+      }
+    })
+    def shuffleSnapshot(): Long = {
+      org.apache.spark.GraftSparkBridge.flushListeners(spark.sparkContext)
+      shufRead.get()
+    }
+
     val results = Queries.all.map { q =>
       def run(): Unit = q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       def timed(f: => Unit): Double = {
@@ -47,17 +68,22 @@ object Bench {
         (System.nanoTime() - t) / 1e9
       }
       timed(run()) // warm: plan + codegen + JIT (not recorded)
-      val runs = Seq.fill(3)(timed(run())).sorted
-      q.name -> runs // recorded: median-of-3 steady state
+      val first2 = Seq.fill(2)(timed(run()))
+      val s0 = shuffleSnapshot()
+      val last = timed(run())
+      val shuffleMb = (shuffleSnapshot() - s0) / 1e6
+      val runs = (first2 :+ last).sorted
+      (q.name, runs, shuffleMb) // recorded: median-of-3 steady state
     }
     def fmt(sel: Seq[Double] => Double) =
-      results.map { case (k, rs) => "\"" + k + f"""\":${sel(rs)}%.3f""" }.mkString("{", ",", "}")
+      results.map { case (k, rs, _) => "\"" + k + f"""\":${sel(rs)}%.3f""" }.mkString("{", ",", "}")
     val median = fmt(_(1))
     val qmin = fmt(_.head)
     val qmax = fmt(_.last)
+    val shuf = results.map { case (k, _, mb) => "\"" + k + f"""\":$mb%.1f""" }.mkString("{", ",", "}")
     val total = results.map(_._2(1)).sum
     println(
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median_of_3","queries":$median,"queries_min":$qmin,"queries_max":$qmax,"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median_of_3","queries":$median,"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
