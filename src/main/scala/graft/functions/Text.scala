@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** Whitespace tokens with empties removed (parity with DuckDB
-    * `list_filter(string_split(text,' '), x -> x != '')`). */
+    * `list_filter(string_split(text,' '), x -> x != '')`). One
+    * codegen'd byte-scan pass ([[TextExpressions.TokenizeWords]]) —
+    * the built-in `filter(split(...))` form pays an interpreted
+    * higher-order filter per document on every text query. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= lit(""))
+    TextExpressions.tokenizeWords(text)
 
   /** Distinct word n-gram shingles (first-occurrence order; empty when
     * the doc has fewer than n tokens — DuckDB's `generate_series(1, 0)`

@@ -54,6 +54,11 @@ object GraftExtensions {
       new ExpressionInfo(TextExpressions.ShingleGrams.getClass.getName, "graft_shingles"),
       (args: Seq[Expression]) => TextExpressions.ShingleGrams(args(0), intArg(args(1), "graft_shingles", 1))
     ),
+    (
+      "graft_tokenize",
+      new ExpressionInfo(TextExpressions.TokenizeWords.getClass.getName, "graft_tokenize"),
+      (args: Seq[Expression]) => TextExpressions.TokenizeWords(args(0))
+    ),
     // the fused sketch AGGREGATES (the analyzer wraps a bare
     // AggregateFunction from the registry in an AggregateExpression)
     (

@@ -18,6 +18,26 @@ class TextSpec extends SparkSpec {
     assert(sh.toSet == Set("a b", "b c", "c a")) // distinct
   }
 
+  test("codegen'd tokenizer matches the built-in filter(split(...)) form exactly") {
+    val cases = Seq(
+      "",                       // empty -> no tokens
+      " ",                      // only spaces -> no tokens
+      "  leading",              // leading runs
+      "trailing  ",             // trailing runs
+      "a", "a b", "a  b",
+      "日本語 テキスト mixed ascii", // multi-byte UTF-8 around the space byte
+      "tab\tand\nnewline stay single tokens" // only 0x20 splits
+    )
+    val df = cases.toDF("t")
+    val custom = df.select(Text.tokens($"t").as("x")).as[Seq[String]].collect().toSeq
+    val builtin = df.select(filter(split($"t", " "), c => c =!= lit("")).as("x"))
+      .as[Seq[String]].collect().toSeq
+    assert(custom == builtin)
+    // null propagates like the built-in
+    val nulls = Seq(Option.empty[String]).toDF("t")
+    assert(nulls.select(Text.tokens($"t")).first().isNullAt(0))
+  }
+
   test("langId picks the marker-winning language, und when none") {
     val df = Seq("the cat is on the mat", "der hund ist gut und", "xyzzy plugh").toDF("t")
     val out = df.select(Text.langId(Text.tokens($"t")).as("l")).as[String].collect()
