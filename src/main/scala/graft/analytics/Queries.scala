@@ -457,6 +457,30 @@ object Queries {
               |FROM lineitem GROUP BY 1""".stripMargin)
     ),
     QueryDef(
+      "q28_range_window",
+      // RANGE-frame window: per-user trailing-hour sum/count over event
+      // time — value-based frames (q11 covered ROWS frames). Ordering
+      // key is integer epoch seconds on both engines; the sum runs
+      // through DECIMAL so frame accumulation order can't flicker it.
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("es", col("ts").cast("long"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("es")).rangeBetween(-3599, 0)
+        e.select(
+          col("event_id"),
+          col("user_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("trailing_sum"),
+          count(lit(1)).over(w).cast("long").as("trailing_n")
+        )
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es FROM events)
+             |SELECT event_id, user_id,
+             |CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trailing_sum,
+             |count(*) OVER w AS trailing_n
+             |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es
+             |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin)
+    ),
+    QueryDef(
       "q26_exists_subqueries",
       // correlated EXISTS / NOT EXISTS — Catalyst rewrites them to
       // left-semi / left-anti joins (RewritePredicateSubquery); no
