@@ -75,16 +75,29 @@ object Bench {
       val runs = (first2 :+ last).sorted
       (q.name, runs, shuffleMb) // recorded: median-of-3 steady state
     }
-    def fmt(sel: Seq[Double] => Double) =
-      results.map { case (k, rs, _) => "\"" + k + f"""\":${sel(rs)}%.3f""" }.mkString("{", ",", "}")
-    val median = fmt(_(1))
-    val qmin = fmt(_.head)
-    val qmax = fmt(_.last)
+    def fmt(sel: Seq[Double] => Double, dec: Int) =
+      results.map { case (k, rs, _) => "\"" + k + s"""":${s"%.${dec}f".format(sel(rs))}""" }
+        .mkString("{", ",", "}")
+    val qmin = fmt(_.head, 3)
+    val qmax = fmt(_.last, 3)
     val shuf = results.map { case (k, _, mb) => "\"" + k + f"""\":$mb%.1f""" }.mkString("{", ",", "}")
     val total = results.map(_._2(1)).sum
-    println(
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median_of_3","queries":$median,"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
-    )
+    val load1 = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    def line(dec: Int) =
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median_of_3","load1":$load1%.1f,"queries":${fmt(_(1), dec)},"sf":"$sfDir"}"""
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail — r04's line (median+min+max+shuffle maps,
+    // 5.7 KB) overflowed the buffer and the round recorded "parsed": null.
+    // Keep stdout to ONE compact line (drop to 2-decimal values if the
+    // inventory ever grows past the buffer) and put the full detail in a
+    // sidecar file next to the repo's bench artifacts.
+    val compact = if (line(3).length <= 1800) line(3) else line(2)
+    val detail =
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median_of_3","load1":$load1%.1f,"queries":${fmt(_(1), 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(compact)
     spark.stop()
   }
 }
