@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{DateDim, Dedup, Packing, Quantize, Similarity, Upsert}
+import graft.operators.{AsOf, DateDim, Dedup, Packing, Quantize, RangeJoin, Similarity, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -674,6 +674,36 @@ object Queries {
               |count(DISTINCT source) AS n_sources, max(n_chars) AS max_chars
               |FROM documents GROUP BY 1""".stripMargin)
     ),
+    QueryDef(
+      "t09_repetition",
+      // Gopher-style repetition signal: fraction of duplicated word
+      // bigrams per document. Total bigrams is size(toks)-1 (no second
+      // pass); distinct bigrams reuses the codegen'd first-occurrence
+      // shingle expression. Ratio exported in exact integer micro-units
+      // (the t04 rule: no rounded doubles cross the oracle gate).
+      (s, d) => {
+        val toks = Text.tokens(lower(col("text")))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            greatest(size(toks) - 1, lit(0)).cast("long").as("n_bigrams"),
+            size(Text.shingles(toks, 2)).cast("long").as("n_uniq_bigrams")
+          )
+          .withColumn(
+            "rep_e6",
+            expr("CASE WHEN n_bigrams > 0 THEN ((n_bigrams - n_uniq_bigrams) * 1000000L) div n_bigrams ELSE 0L END"))
+      },
+      Some {
+        val tk = toksSql("lower(text)")
+        s"""WITH b AS (SELECT doc_id,
+           |  CAST(greatest(len($tk) - 1, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(len(${Text.shinglesSql(tk, 2)}) AS BIGINT) AS n_uniq_bigrams
+           |FROM documents)
+           |SELECT doc_id, n_bigrams, n_uniq_bigrams,
+           |CASE WHEN n_bigrams > 0 THEN (n_bigrams - n_uniq_bigrams) * 1000000 // n_bigrams
+           |ELSE 0 END AS rep_e6 FROM b""".stripMargin
+      }
+    ),
 
     QueryDef(
       "t07_corpus_curation",
@@ -1042,6 +1072,70 @@ object Queries {
            |FROM events e JOIN dd ON CAST(e.ts AS DATE) = dd.date
            |GROUP BY 1, 2""".stripMargin
       }
+    ),
+    QueryDef(
+      "j02_asof_join",
+      // Point-in-time enrichment: each purchase picks up the latest view
+      // by the same user at or before it ([[AsOf.joinAsOf]] — one
+      // union + window pass, a single Exchange+Sort over |L|+|R| rows;
+      // the oracle is DuckDB's native ASOF LEFT JOIN, a genuinely
+      // independent implementation of the same semantics). The view side
+      // is collapsed to max(event_id) per (user, ts) so ties are
+      // deterministic in both engines.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
+          .groupBy(col("user_id"), col("view_ts"))
+          .agg(max(col("event_id")).as("last_view_id"))
+        AsOf.joinAsOf(purchases, views, Seq("user_id"), "ts", "view_ts")
+          .select(
+            col("event_id"), col("user_id"), col("last_view_id"),
+            (col("ts").cast("long") - col("view_ts").cast("long")).as("gap_sec"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |v0 AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'view'),
+             |v AS (SELECT user_id, ts, max(event_id) AS last_view_id FROM v0 GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, v.last_view_id,
+             |epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000 AS gap_sec
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin)
+    ),
+    QueryDef(
+      "j03_range_join",
+      // Batch interval join via the bucketing rewrite ([[RangeJoin]]):
+      // activity (clicks+views) in the 24 h before each error, same
+      // user. The naive non-equi form is a nested-loop product; the
+      // bucketed form is an equi shuffle join on (user, day-bucket) with
+      // the left exploded to ≤ 2 candidate buckets. Zero-activity errors
+      // are kept by a final left join against the aggregated counts.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val acts = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id").as("act_id"), col("ts").as("act_ts"))
+        val pairs = RangeJoin.intervalJoin(
+          errors, acts, Seq("user_id"), "ts", "act_ts",
+          beforeUs = 24L * 3600 * 1000000, afterUs = 0L)
+        errors
+          .join(pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n")), Seq("event_id"), "left")
+          .select(
+            col("event_id"), col("user_id"),
+            coalesce(col("n"), lit(0L)).as("n_acts_24h"))
+      },
+      Some("""WITH er AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'error'),
+             |act AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type IN ('click', 'view'))
+             |SELECT e.event_id, e.user_id, count(a.event_id) AS n_acts_24h
+             |FROM er e LEFT JOIN act a ON a.user_id = e.user_id
+             |  AND epoch_us(a.ts) >= epoch_us(e.ts) - 86400000000
+             |  AND epoch_us(a.ts) < epoch_us(e.ts)
+             |GROUP BY 1, 2""".stripMargin)
     )
   )
 

@@ -34,7 +34,8 @@ class PlanSpec extends SparkSpec {
   test("LSH operators never plan a cartesian or nested-loop join") {
     // the whole point of the banded candidate generation: every join is
     // an equi-join on a band/bucket key or an id
-    Seq("d01_minhash_lsh", "d02_simhash_pairs", "d03_embedding_neardup", "s02_ann_lsh").foreach { n =>
+    Seq("d01_minhash_lsh", "d02_simhash_pairs", "d03_embedding_neardup", "s02_ann_lsh",
+        "j02_asof_join", "j03_range_join").foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")
