@@ -296,6 +296,11 @@ object Dedup {
     val sym = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      // hash-partition by the per-round join key BEFORE materializing:
+      // LogicalRDD preserves the physical partitioning, so every round's
+      // edges⋈labels join reshuffles only the (small) label side — the
+      // edge set crosses the wire once, not once per round
+      .repartition(col("dst"))
       .localCheckpoint() // computed once, reused every round
     var labels = sym.select(col("src").as("id")).distinct().withColumn("label", col("id"))
     var converged = false
