@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, DateDim, Dedup, Packing, Quantize, RangeJoin, Similarity, Upsert}
+import graft.operators.{AsOf, DateDim, Dedup, Packing, Quantize, RangeJoin, Similarity, Skew, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -525,6 +525,35 @@ object Queries {
              |FROM lineitem GROUP BY 1""".stripMargin)
     ),
     QueryDef(
+      "q29_salted_join",
+      // the skew remedy as an oracle-checked query: fact ⋈ dim through
+      // [[Skew.saltedJoin]] (8 salts — each suppkey's rows spread over 8
+      // shuffle sub-keys, dim replicated ×8) must produce EXACTLY the
+      // rows of the plain equi-join the oracle runs. Proves salting is a
+      // pure parallelism transform, not a semantics change.
+      (s, d) => {
+        val fact = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"), col("l_discount"))
+        val dim = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        // revenue in decimal end-to-end: price and (1-discount) are
+        // 2-decimal values, exact as DECIMAL, so the product and sum
+        // never touch double rounding (a computed double cast to
+        // DECIMAL can round differently per engine on tie digits)
+        Skew.saltedJoin(fact, dim, "suppkey", salts = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(4,2)")).cast("double").as("revenue"))
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_lines,
+              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              |  CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
       "q22_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d).agg(
@@ -768,6 +797,31 @@ object Queries {
               |CAST(len(${toksSql("lower(text)")}) AS BIGINT) AS nt FROM documents)
               |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
               |count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1""".stripMargin)
+    ),
+
+    QueryDef(
+      "t10_domain_mix",
+      // training-data mixing: re-weight the corpus to a target source
+      // distribution with a deterministic md5 keep-decision per doc
+      // ([[Packing.weightedSample]] — a pure filter, no shuffle until
+      // the final stats agg). src0 is upsampled-in-full, src1 halved,
+      // everything else quartered.
+      (s, d) =>
+        Packing.weightedSample(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), size(Text.tokens(lower(col("text")))).cast("long").as("nt")),
+          "doc_id", "source", seed = 11,
+          ratesE6 = Map("src0" -> 1000000L, "src1" -> 500000L),
+          defaultE6 = 250000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").cast("long").as("n_tokens")),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |${Hashing.md5LongSql("concat('mix:', CAST(doc_id AS VARCHAR))", 11)} % 1000000 AS h,
+              |CAST(len(${toksSql("lower(text)")}) AS BIGINT) AS nt FROM documents)
+              |SELECT source, count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM t
+              |WHERE h < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+              |ELSE 250000 END
+              |GROUP BY 1""".stripMargin)
     ),
 
     QueryDef(

@@ -55,4 +55,31 @@ object Packing {
     }
     df.withColumn("split", assign)
   }
+
+  /** Deterministic domain-mixing sampler: keep each row with a
+    * per-group probability (`ratesE6`, parts-per-million keyed by the
+    * group column's value; `defaultE6` for unlisted groups), decided by
+    * an md5 hash of the id — no RNG, so the sampled corpus is
+    * reproducible across runs, engines, and cluster layouts, and the
+    * same document is never in-sample for one epoch and out for the
+    * next. This is the re-weighting step of training-data mixing
+    * (up-/down-sampling sources to a target distribution), implemented
+    * as a pure per-row filter: embarrassingly parallel, no shuffle. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      seed: Int,
+      ratesE6: Map[String, Long],
+      defaultE6: Long): DataFrame = {
+    require((ratesE6.values ++ Seq(defaultE6)).forall(r => r >= 0 && r <= 1000000),
+      "rates are parts-per-million in [0, 1e6]")
+    val h = pmod(
+      graft.functions.Hashing.md5Long(concat(lit("mix:"), col(idCol).cast("string")), seed),
+      lit(1000000L))
+    val rate = ratesE6.toSeq.sortBy(_._1).foldLeft(lit(defaultE6): Column) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(h < rate)
+  }
 }

@@ -40,4 +40,33 @@ class PackingSpec extends SparkSpec {
       Packing.hashSplit(spark.range(1).toDF("doc_id"), "doc_id", 1, Seq("a" -> 50, "b" -> 40))
     }
   }
+
+  test("weightedSample keeps per-group rates, deterministically") {
+    val docs = spark.range(3000)
+      .select($"id".as("doc_id"), concat(lit("g"), ($"id" % 3).cast("string")).as("grp"))
+    val out = Packing.weightedSample(docs, "doc_id", "grp", seed = 5,
+      ratesE6 = Map("g0" -> 1000000L, "g1" -> 500000L), defaultE6 = 0L)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("g0", 0L) === 1000L) // rate 1.0: everything kept
+    assert(!counts.contains("g2")) // rate 0: nothing kept
+    assert(counts("g1") > 350 && counts("g1") < 650) // ~half of 1000
+    val again = Packing.weightedSample(docs, "doc_id", "grp", 5,
+      Map("g0" -> 1000000L, "g1" -> 500000L), 0L)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
+  test("weightedSample plan is a pure filter — no shuffle, no join") {
+    val docs = spark.range(100)
+      .select($"id".as("doc_id"), lit("g").as("grp"))
+    val p = Packing.weightedSample(docs, "doc_id", "grp", 1, Map("g" -> 700000L), 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), s"expected shuffle-free filter:\n$p")
+  }
+
+  test("weightedSample rejects rates outside [0, 1e6]") {
+    intercept[IllegalArgumentException] {
+      Packing.weightedSample(spark.range(1).toDF("doc_id").withColumn("g", lit("x")),
+        "doc_id", "g", 1, Map("x" -> 2000000L), 0L)
+    }
+  }
 }
