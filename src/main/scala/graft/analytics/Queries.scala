@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, DateDim, Dedup, Packing, Quantize, RangeJoin, Similarity, Skew, Upsert}
+import graft.operators.{AsOf, DateDim, Dedup, IncrementalAgg, Packing, Quantize, RangeJoin, Similarity, Skew, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1058,6 +1058,32 @@ object Queries {
     ),
 
     // ================== pipeline operators (oracle-checked) ===============
+    QueryDef(
+      "p03_incremental_rollup",
+      // incremental aggregate maintenance driven end-to-end through the
+      // gate: three disjoint batches folded one at a time into a stored
+      // state table ([[IncrementalAgg]] — each fold shuffles only
+      // |batch keys| + |state| rows), and the resulting state must equal
+      // the oracle's single full-history aggregate. Fresh temp dir per
+      // invocation so bench re-runs don't double-count.
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-incagg").toString + "/state"
+        val spec = IncrementalAgg.Spec(
+          keys = Seq("event_type"), sums = Seq("value"), mins = Seq("value"), maxs = Seq("value"))
+        val e = Tables.events(s, d)
+        (0 until 3).foreach { i =>
+          IncrementalAgg.update(s, dir, e.filter(col("event_id") % 3 === i), spec)
+        }
+        IncrementalAgg.read(s, dir).select(
+          col("event_type"), col("n_rows"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("min_value"), col("max_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n_rows,
+             |CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+             |min(value) AS min_value, max(value) AS max_value
+             |FROM events GROUP BY 1""".stripMargin)
+    ),
     QueryDef(
       "p01_upsert_merge",
       (s, d) => {
