@@ -60,26 +60,53 @@ object IncrementalAgg {
   def read(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(statePath)
 
-  /** Fold one batch into the stored state. The combined state is
-    * materialized to a temp directory BEFORE the old state is touched
-    * (the combine plan reads the old state lazily), then swapped in;
-    * both failure modes are loud, never silent truncation. Returns the
-    * new state. */
-  def update(spark: SparkSession, statePath: String, batch: DataFrame, spec: Spec): DataFrame = {
+  /** Id of the last batch folded into the state (see [[update]]'s
+    * `batchId`), or -1 for a fresh/unversioned state. */
+  def appliedBatchId(spark: SparkSession, statePath: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(statePath, MarkerFile)
+    if (!fs.exists(marker)) -1L
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
+    }
+  }
+
+  private val MarkerFile = "_applied_batch" // leading '_': parquet readers skip it
+
+  /** Fold one batch into the stored state. The new state is always
+    * materialized to a temp directory first (the combine plan reads the
+    * old state lazily) and swapped in with a single rename; both
+    * failure modes are loud, never silent truncation.
+    *
+    * `batchId` makes replays idempotent for checkpointed callers (e.g.
+    * `foreachBatch`, which re-runs a batch after a crash): the id is
+    * written INTO the temp directory before the rename, so state and
+    * watermark commit atomically, and a batch whose id is `<=` the
+    * recorded one is skipped. Returns the new state. */
+  def update(
+      spark: SparkSession,
+      statePath: String,
+      batch: DataFrame,
+      spec: Spec,
+      batchId: Option[Long] = None): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(statePath)
+    val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    if (batchId.exists(_ <= appliedBatchId(spark, statePath)) && exists)
+      return read(spark, statePath) // replayed batch: already folded in
     val delta = partial(batch, spec)
-    if (!fs.exists(path) || fs.listStatus(path).isEmpty) {
-      delta.write.mode(SaveMode.Overwrite).parquet(statePath)
-    } else {
-      val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp-incagg")
-      combine(read(spark, statePath), delta, spec)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (!fs.delete(path, true))
-        throw new java.io.IOException(s"incremental-agg swap: failed to delete stale $path")
-      if (!fs.rename(tmp, path))
-        throw new java.io.IOException(s"incremental-agg swap: failed to rename $tmp -> $path")
+    val next = if (exists) combine(read(spark, statePath), delta, spec) else delta
+    val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp-incagg")
+    next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    batchId.foreach { id =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerFile), true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
     }
+    if (exists && !fs.delete(path, true))
+      throw new java.io.IOException(s"incremental-agg swap: failed to delete stale $path")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"incremental-agg swap: failed to rename $tmp -> $path")
     read(spark, statePath)
   }
 }

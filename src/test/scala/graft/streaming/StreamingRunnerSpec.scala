@@ -36,4 +36,42 @@ class StreamingRunnerSpec extends SparkSpec {
       .first().getTimestamp(0).toString
     assert(maxUpd.startsWith("2025-07-02"))
   }
+
+  test("streaming rollup maintains IncrementalAgg state; replay is a watermarked no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IncrementalAgg, Transform}
+    val base = java.nio.file.Files.createTempDirectory("srollup").toString
+    val landing = s"$base/landing"
+    val api = new ApiSimulator(totalRows = 120, pageSize = 40)
+    api.fetchPages("2025-07-01", "2025-07-01").foreach { case (_, rows) =>
+      if (rows.nonEmpty) LandingZone.write(api.toDataFrame(spark, rows), landing, "2025-07-01")
+    }
+    val spec = IncrementalAgg.Spec(keys = Seq("primary_description"))
+
+    val q1 = StreamingRunner.runRollup(spark, landing, s"$base/state", s"$base/ckpt", spec)
+    q1.awaitTermination(60000)
+    val st = IncrementalAgg.read(spark, s"$base/state")
+
+    // the state equals the batch aggregate over everything landed
+    val expected = Transform.crimeRecords(
+      spark.read.schema(graft.core.Schemas.rawCrime).json(s"$landing/year=*/month=*/load_date=*"))
+      .groupBy("primary_description").count().withColumnRenamed("count", "n_rows")
+    assert(st.select("primary_description", "n_rows").except(expected).isEmpty)
+    assert(expected.except(st.select("primary_description", "n_rows")).isEmpty)
+    assert(IncrementalAgg.appliedBatchId(spark, s"$base/state") >= 0L)
+
+    // a foreachBatch replay of an already-folded batch must not double-count
+    val replayed = IncrementalAgg.update(
+      spark, s"$base/state",
+      Transform.crimeRecords(
+        spark.read.schema(graft.core.Schemas.rawCrime).json(s"$landing/year=*/month=*/load_date=*")),
+      spec, batchId = Some(0L))
+    assert(replayed.agg(sum("n_rows")).first().getLong(0) === 120L)
+
+    // restart with the same checkpoint and no new files: state unchanged
+    val q2 = StreamingRunner.runRollup(spark, landing, s"$base/state", s"$base/ckpt", spec)
+    q2.awaitTermination(60000)
+    assert(IncrementalAgg.read(spark, s"$base/state")
+      .agg(sum("n_rows")).first().getLong(0) === 120L)
+  }
 }
