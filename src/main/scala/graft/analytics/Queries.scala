@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, DateDim, Dedup, IncrementalAgg, Packing, Quantize, RangeJoin, Similarity, Skew, Upsert}
+import graft.operators.{AsOf, BloomPrune, DateDim, Dedup, IncrementalAgg, Packing, Quantize, RangeJoin, Similarity, Skew, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -552,6 +552,28 @@ object Queries {
               |  CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
               |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               |GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
+      "q30_bloom_join",
+      // bloom-pruned join: the fact side is pre-filtered by a Bloom
+      // filter of the (filtered) dim keys ([[BloomPrune.semiFilter]]),
+      // so only probable matches reach the shuffle; the exact equi-join
+      // that follows absorbs false positives, making the result
+      // bit-identical to the oracle's plain filtered join.
+      (s, d) => {
+        val smallParts = Tables.part(s, d).filter(col("p_size") <= 5)
+        val pruned = BloomPrune.semiFilter(
+          Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity")),
+          smallParts, "l_partkey", "p_partkey", expectedKeys = 1000L)
+        pruned
+          .join(smallParts.select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT p_brand, count(*) AS n_lines, ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE p_size <= 5 GROUP BY 1""".stripMargin)
     ),
     QueryDef(
       "q22_approx_distinct",
