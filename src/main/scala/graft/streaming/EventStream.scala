@@ -167,6 +167,20 @@ object EventStream {
         (unix_micros(col("click_ts")) - unix_micros(col("imp_ts"))).as("delta_us"))
   }
 
+  /** Stream-static enrichment: join the event stream against a
+    * slowly-changing batch dimension. The static side is re-resolved
+    * every micro-batch (Spark re-plans the batch relation per trigger),
+    * so a dimension refreshed on disk is picked up without restarting
+    * the stream; the broadcast keeps the stream side shuffle-free —
+    * the streaming twin of j01's broadcast date-dim enrichment. Left
+    * join: an event never blocks on a missing dim row. */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: org.apache.spark.sql.Column,
+      dimKey: org.apache.spark.sql.Column): DataFrame =
+    events.join(broadcast(dim), eventKey === dimKey, "left")
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id
     * arriving within the watermark window (the at-least-once →
     * effectively-once adapter in front of any non-idempotent sink;

@@ -178,4 +178,25 @@ class EventStreamSpec extends SparkSpec {
     val kept = tbl.select("user_id", "event_id").as[(Long, Long)].collect().toMap
     assert(kept(0L) == 196L) // last event for user 0: id 196 (196 % 7 == 0)
   }
+
+  test("stream-static dim enrichment matches the batch join, shuffle-free") {
+    import graft.operators.DateDim
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
+    writeEvents(dir)
+    val dim = DateDim.build(spark, "2024-01-01", "2024-01-07")
+    val enriched = EventStream.enrichWithDim(
+      EventStream.readEvents(spark, dir, schema), dim,
+      to_date($"ts"), $"date")
+      .select($"event_id", $"day_of_week_name")
+    val q = EventStream.runToMemory(enriched, "enriched", "append")
+    q.awaitTermination(60000)
+    val streamed = spark.table("enriched")
+    val batch = spark.read.schema(schema).parquet(dir)
+      .join(dim, to_date($"ts") === $"date", "left")
+      .select($"event_id", $"day_of_week_name")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    assert(streamed.count() === 200)
+    // every event on 2024-01-01 (a Monday) carries the dim row
+    assert(streamed.filter($"day_of_week_name" === "Monday").count() === 200)
+  }
 }
