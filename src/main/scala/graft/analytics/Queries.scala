@@ -576,6 +576,31 @@ object Queries {
               |WHERE p_size <= 5 GROUP BY 1""".stripMargin)
     ),
     QueryDef(
+      "q31_unpivot",
+      // wide-to-long reshaping (melt): the W surface's inverse of q24's
+      // pivot, via the native `Dataset.unpivot` — the oracle uses
+      // DuckDB's native UNPIVOT, an independent implementation of the
+      // same relational operator. Sums travel through DECIMAL as usual.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("returnflag"))
+          .agg(
+            dsum(col("l_quantity")).as("qty"),
+            dsum(col("l_extendedprice")).as("price"),
+            dsum(col("l_tax"), 6).as("tax"))
+          .unpivot(
+            Array(col("returnflag")),
+            Array(col("qty"), col("price"), col("tax")),
+            "metric", "value"),
+      Some(s"""WITH a AS (SELECT l_returnflag AS returnflag,
+              |${dsumSql("l_quantity")} AS qty,
+              |${dsumSql("l_extendedprice")} AS price,
+              |${dsumSql("l_tax", 6)} AS tax
+              |FROM lineitem GROUP BY 1)
+              |SELECT returnflag, metric, value FROM
+              |(UNPIVOT a ON qty, price, tax INTO NAME metric VALUE value)""".stripMargin)
+    ),
+    QueryDef(
       "q22_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d).agg(

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** Bloom-filter join pruning: drop big-side rows that cannot possibly
   * join BEFORE they reach the shuffle.
@@ -16,12 +18,24 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   * positives (rate `fpp`) just let a few extra rows into the exact join
   * that follows; false negatives cannot occur, so results are exact.
   *
-  * Spark's own runtime filters (`InjectRuntimeFilter`) apply the same
-  * idea automatically, but only within one query and under size
-  * thresholds; this operator makes the technique explicit and lets the
-  * key set come from anywhere (another query, a previous job's output).
+  * Implementation: the same Catalyst pair Spark's own runtime filters
+  * (`InjectRuntimeFilter`) use — `BloomFilterAggregate` to build,
+  * `BloomFilterMightContain` to probe — driven explicitly so the key
+  * set can come from anywhere (another query, a previous job's output)
+  * rather than only from within one optimized query. Both sides hash
+  * through the same codegen'd `xxhash64`, so the probe stays inside
+  * whole-stage codegen (a Scala UDF here would pay per-row
+  * serialization on the hot scan).
   */
 object BloomPrune {
+
+  private def supported(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BinaryType |
+        org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.DateType |
+        org.apache.spark.sql.types.TimestampType => true
+    case _: org.apache.spark.sql.types.NumericType => true
+    case _ => false
+  }
 
   /** `big` filtered to rows whose `bigKey` is (probably) present in
     * `small`'s `smallKey` set. `expectedKeys` sizes the filter —
@@ -34,17 +48,24 @@ object BloomPrune {
       smallKey: String,
       expectedKeys: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
-    val bcast = big.sparkSession.sparkContext.broadcast(bf)
-    val probe: Column = big.schema(bigKey).dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
-        val f = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
-        f(col(bigKey).cast("long"))
-      case StringType =>
-        val f = udf((k: String) => k != null && bcast.value.mightContainString(k))
-        f(col(bigKey))
-      case t => throw new IllegalArgumentException(s"bloom key type unsupported: $t")
+    require(expectedKeys > 0 && fpp > 0 && fpp < 1, "expectedKeys > 0, fpp in (0,1)")
+    Seq(big.schema(bigKey), small.schema(smallKey)).foreach { f =>
+      if (!supported(f.dataType))
+        throw new IllegalArgumentException(s"bloom key type unsupported: ${f.dataType}")
     }
-    big.filter(probe)
+    // optimal bit count for the target false-positive rate
+    val numBits = math.ceil(-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val buildHash = new XxHash64(Seq(GraftSqlBridge.expression(small(smallKey))))
+    val agg = new BloomFilterAggregate(buildHash, Literal(expectedKeys), Literal(numBits))
+    val bloomBytes = small
+      .select(GraftSqlBridge.column(agg.toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    if (bloomBytes == null) return big.filter(lit(false)) // empty key side: nothing joins
+    val probe = new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      new XxHash64(Seq(GraftSqlBridge.expression(big(bigKey)))))
+    // xxhash64(null) degenerates to the seed, so nulls must be excluded
+    // explicitly — they never equi-join anyway
+    big.filter(col(bigKey).isNotNull && GraftSqlBridge.column(probe))
   }
 }

@@ -35,6 +35,17 @@ class BloomPruneSpec extends SparkSpec {
     assert(bloomed.except(plain).isEmpty && plain.except(bloomed).isEmpty)
   }
 
+  test("the probe is a codegen'd expression, not a UDF") {
+    val big = spark.range(100).toDF("k")
+    val small = spark.range(10).toDF("k")
+    val p = BloomPrune.semiFilter(big, small, "k", "k", 10L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"expected bloom probe in plan:\n$p")
+    assert(!p.contains("UDF"), s"probe fell out of codegen into a UDF:\n$p")
+    // '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
+    assert(p.contains("*(1) Filter might_contain"), s"probe not inside codegen:\n$p")
+  }
+
   test("unsupported key types are rejected loudly") {
     val big = Seq((Seq(1, 2), 1)).toDF("k", "v")
     intercept[IllegalArgumentException] {
