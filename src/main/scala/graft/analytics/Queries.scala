@@ -601,6 +601,32 @@ object Queries {
               |(UNPIVOT a ON qty, price, tax INTO NAME metric VALUE value)""".stripMargin)
     ),
     QueryDef(
+      "q32_cumulative_distinct",
+      // cumulative distinct users per day via the FIRST-SEEN rewrite: a
+      // naive cumulative COUNT(DISTINCT) re-scans every prefix (O(n·d));
+      // instead each user contributes once at min(day) — two
+      // map-side-combinable aggregations over the raw data, and the
+      // running sum's global window runs over |days| rows (the time
+      // dimension), never the event stream.
+      (s, d) => {
+        val firstSeen = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_day"))
+        val daily = firstSeen.groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy(col("first_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.select(
+          col("first_day").cast("string").as("day"),
+          col("new_users"),
+          sum(col("new_users")).over(w).cast("long").as("cum_users"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+             |d AS (SELECT first_day, count(*) AS new_users FROM f GROUP BY 1)
+             |SELECT CAST(first_day AS VARCHAR) AS day, new_users,
+             |CAST(SUM(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+             |FROM d""".stripMargin)
+    ),
+    QueryDef(
       "q22_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d).agg(
