@@ -651,6 +651,14 @@ object Queries {
     QueryDef("d04_ngram_jaccard", (s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text", 20, 0.2),
       Some(ngramJaccardSql(20, 0.2))),
+    QueryDef("d06_set_similarity_join", (s, d) =>
+      // EXACT all-pairs Jaccard over the full corpus, but scalable:
+      // prefix filtering turns the quadratic comparison into an equi
+      // self-join on rare-first prefix tokens + exact verify (d04 keeps
+      // the declared quadratic baseline for contrast; this is the form
+      // that survives 100 TB)
+      Dedup.exactJaccardJoin(Tables.documents(s, d), "doc_id", "text", 0.5),
+      Some(exactJaccardJoinSql(0.5))),
     QueryDef("d05_dedup_clusters", (s, d) =>
       // pair-to-cluster resolution: the step after candidate pairing —
       // min-label connected components over the d01 near-dup graph
@@ -1349,6 +1357,23 @@ object Queries {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, round($jacc, 6) AS jaccard
        |FROM shg a JOIN shg b ON a.doc_id % $sampleMod = 0 AND a.doc_id < b.doc_id
        |WHERE $jacc >= $threshold""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.exactJaccardJoin]]: the same exact all-pairs
+    * semantics computed quadratically (feasible at oracle scale) with
+    * the similarity in exact integer micro-units. */
+  private def exactJaccardJoinSql(threshold: Double): String = {
+    val tE6 = math.round(threshold * 1000000)
+    val inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+       |shg AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+       |  FROM toks WHERE len(tk) >= 3)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |CAST($inter AS BIGINT) * 1000000 // (len(a.sh) + len(b.sh) - $inter) AS jaccard_e6
+       |FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |AND CAST($inter AS BIGINT) * 1000000 >= $tE6 * (len(a.sh) + len(b.sh) - $inter)""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.simhashTable]]: (doc_id, simhash). */

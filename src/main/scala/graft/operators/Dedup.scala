@@ -197,6 +197,59 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // --- exact set-similarity self-join via prefix filtering --------------------
+  /** EXACT all-pairs 3-gram Jaccard >= threshold over the whole corpus —
+    * the scalable form of [[ngramJaccard]]'s quadratic baseline, using
+    * prefix filtering (the AllPairs/PPJoin family): with shingles
+    * globally ordered by (document frequency asc, token), any pair with
+    * `J >= t` must share a token within each side's first
+    * `s - ceil(t*s) + 1` ordered shingles (since `J >= t` forces
+    * `|A∩B| >= ceil(t*s)` for both sizes s). Candidates therefore come
+    * from an EQUI self-join on prefix tokens — rare tokens first, so
+    * prefixes mostly hold low-df tokens and candidate volume stays near
+    * the true pair count — then a size filter (`min >= t*max`) and an
+    * exact intersection verify. No sampling, no broadcast pinning, no
+    * quadratic stage; every shuffle is linear in data or candidates.
+    * Similarity is returned in exact integer micro-units. */
+  def exactJaccardJoin(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val tE6 = math.round(threshold * 1000000)
+    val withSh = Par.widen(docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) >= 3)
+      .select(col("id"), Text.shingles(col("tk"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairsTok = withSh.select(col("id"), explode(col("sh")).as("tok"))
+    val df = pairsTok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted by global (df, tok) rarity order
+    val ordered = pairsTok.join(df, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("arr"))
+      .select(col("id"), size(col("arr")).as("s"), col("arr"))
+    val prefix = ordered.select(
+      col("id"), col("s"),
+      explode(slice(
+        col("arr"), lit(1),
+        (col("s") - ceil(col("s") * lit(threshold)) + 1).cast("int"))).as("pt"))
+      .select(col("id"), col("s"), col("pt.tok").as("tok"))
+    val cand = prefix.select(col("id").as("id_a"), col("s").as("sa"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("s").as("sb"), col("tok")), Seq("tok"))
+      .filter(
+        col("id_a") < col("id_b") &&
+          col("sa") * lit(threshold) <= col("sb") && col("sb") * lit(threshold) <= col("sa"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("tot"))
+      .filter(col("inter") * 1000000L >= lit(tE6) * (col("tot") - col("inter")))
+      .select(
+        col("id_a"), col("id_b"),
+        expr("(inter * 1000000L) div (tot - inter)").as("jaccard_e6"))
+  }
+
   // --- exact n-gram Jaccard (bounded quadratic baseline) ----------------------
   /** Exact 3-gram Jaccard of query docs (id % sampleMod == 0) against the
     * corpus; pairs with jaccard >= threshold. */

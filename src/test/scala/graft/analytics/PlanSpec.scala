@@ -35,7 +35,7 @@ class PlanSpec extends SparkSpec {
     // the whole point of the banded candidate generation: every join is
     // an equi-join on a band/bucket key or an id
     Seq("d01_minhash_lsh", "d02_simhash_pairs", "d03_embedding_neardup", "s02_ann_lsh",
-        "j02_asof_join", "j03_range_join").foreach { n =>
+        "j02_asof_join", "j03_range_join", "d06_set_similarity_join").foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$n plans a nested-loop join")

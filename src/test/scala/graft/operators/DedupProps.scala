@@ -104,4 +104,31 @@ class DedupProps extends SparkSpec {
       }
     }
   }
+
+  test("exactJaccardJoin (prefix filtering) equals brute force — EXACT, all pairs") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val docs = randDocs(rnd, 40)
+      val df = docs.toDF("doc_id", "text")
+      def shingleSet(t: String): Set[String] =
+        t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = docs
+        .map { case (id, t) => id -> shingleSet(t) }
+        .filter { case (id, s) => s.nonEmpty && docs(id.toInt)._2.split(" ").count(_.nonEmpty) >= 3 }
+        .toMap
+
+      val threshold = 0.3 + 0.2 * (seed % 3) // 0.3 / 0.5 / 0.7
+      val got = Dedup.exactJaccardJoin(df, "doc_id", "text", threshold)
+        .select("id_a", "id_b", "jaccard_e6").as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- sets.toSeq
+        (b, sb) <- sets.toSeq
+        if a < b
+        inter = sa.intersect(sb).size.toLong
+        union = sa.union(sb).size.toLong
+        if inter * 1000000L >= math.round(threshold * 1000000) * union
+      } yield (a, b, inter * 1000000L / union)).toSet
+      assert(got === want, s"seed $seed threshold $threshold")
+    }
+  }
 }
