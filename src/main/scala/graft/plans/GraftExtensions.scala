@@ -20,10 +20,12 @@ import org.apache.spark.sql.types.IntegerType
   *  - `graft_shingles(tokens, n)` — distinct word n-grams.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -83,4 +85,15 @@ object GraftExtensions {
     functions.foreach { case (name, _, builder) =>
       org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, name, builder)
     }
+
+  /** Activate [[RangeJoinRewrite]] on a live session. Deliberately NOT
+    * part of [[install]]: install runs inside the v03/v04 query
+    * definitions, and an optimizer rule silently switching on mid-run
+    * would make every later query's plan depend on execution order. The
+    * config-path extensions class injects the rule at session build,
+    * where the choice is explicit. */
+  def installRangeJoinRewrite(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
 }
