@@ -96,7 +96,7 @@ object Bench {
     // Keep stdout to ONE compact line (drop to 2-decimal values if the
     // inventory ever grows past the buffer) and put the full detail in a
     // sidecar file next to the repo's bench artifacts.
-    val compact = if (line(3).length <= 1800) line(3) else line(2)
+    val compact = Iterator(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1))
     val detail =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median_of_3","load1":$load1%.1f,"queries":${fmt(_(1), 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
     java.nio.file.Files.write(

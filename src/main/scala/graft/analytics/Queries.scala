@@ -816,6 +816,48 @@ object Queries {
     ),
 
     QueryDef(
+      "t11_lexical_diversity",
+      // Gopher-style lexical-diversity signals: type-token ratio and the
+      // mass of the single most frequent token, per document, in exact
+      // integer micro-units (the t04 rule). The per-token counts ride
+      // two map-side-combinable shuffles — (doc_id, token) then doc_id —
+      // so the wide text column never shuffles; the per-doc stats side
+      // is a pure projection joined back on doc_id.
+      (s, d) => {
+        val toks = Text.tokens(lower(col("text")))
+        val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"))
+        val top = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok_n"))
+        base.join(top, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_types"),
+            expr("CASE WHEN n_tokens > 0 THEN (n_types * 1000000L) div n_tokens ELSE 0L END")
+              .as("ttr_e6"),
+            coalesce(col("top_tok_n"), lit(0L)).as("top_tok_n"),
+            expr("CASE WHEN n_tokens > 0 THEN (coalesce(top_tok_n, 0L) * 1000000L) div n_tokens ELSE 0L END")
+              .as("top_frac_e6"))
+      },
+      Some {
+        val tk = toksSql("lower(text)")
+        s"""WITH b AS (SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct($tk)) AS BIGINT) AS n_types FROM documents),
+           |tc AS (SELECT doc_id, tok, count(*) AS c FROM
+           |  (SELECT doc_id, unnest($tk) AS tok FROM documents) GROUP BY 1, 2),
+           |top AS (SELECT doc_id, max(c) AS top_tok_n FROM tc GROUP BY 1)
+           |SELECT b.doc_id, n_tokens, n_types,
+           |CASE WHEN n_tokens > 0 THEN n_types * 1000000 // n_tokens ELSE 0 END AS ttr_e6,
+           |CAST(coalesce(top_tok_n, 0) AS BIGINT) AS top_tok_n,
+           |CASE WHEN n_tokens > 0 THEN coalesce(top_tok_n, 0) * 1000000 // n_tokens ELSE 0 END AS top_frac_e6
+           |FROM b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "t07_corpus_curation",
       // the composed curation pipeline a training corpus actually runs:
       // quality-gate (tokens >= 5, the t02 bucket-1 floor), then drop
