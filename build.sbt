@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the LAST ~2000 chars of stdout for Bench's one
+// JSON line. sbt's default outputStrategy for a forked `run` is
+// LoggedOutput, which prefixes every stdout line with "[info] " —
+// that prefix made the driver's JSON parse fail in rounds 1-5
+// (BENCH_r0{1..5}.json all "parsed": null). StdoutOutput passes the
+// forked process's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
