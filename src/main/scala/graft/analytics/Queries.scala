@@ -1339,6 +1339,41 @@ object Queries {
              |  AND epoch_us(a.ts) >= epoch_us(e.ts) - 86400000000
              |  AND epoch_us(a.ts) < epoch_us(e.ts)
              |GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      "j04_band_join_auto",
+      // The RAW non-equi band join, written the way a user writes it —
+      // no manual bucketing: clicks in the hour before each purchase by
+      // the same user, LEFT OUTER so zero-click purchases keep a row.
+      // In the gate sessions (Verify/Bench build with GraftExtensions)
+      // [[graft.plans.RangeJoinRewrite]] rewrites this automatically
+      // into the bucketed equi join + copy-resolution window; in a
+      // session without the rule the same code still returns identical
+      // rows through Spark's stock per-key hash join. This is the
+      // production proof that the rule fires outside its spec.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+        purchases.join(clicks,
+            col("user_id") === col("cu") &&
+              unix_micros(col("cts")) >= unix_micros(col("ts")) - 3600L * 1000000L &&
+              unix_micros(col("cts")) < unix_micros(col("ts")),
+            "left_outer")
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(count(col("click_id")).as("n_clicks_1h"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks_1h
+             |FROM p LEFT JOIN c ON c.user_id = p.user_id
+             |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+             |  AND epoch_us(c.ts) < epoch_us(p.ts)
+             |GROUP BY 1, 2""".stripMargin)
     )
   )
 

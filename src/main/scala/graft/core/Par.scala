@@ -13,10 +13,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
-  /** Repartition `df` to the session's default parallelism iff the
-    * current plan has fewer partitions. */
+  /** Repartition `df` to the session's default parallelism iff the scan
+    * is estimated narrower than it.
+    *
+    * The estimate reads the ANALYZED plan's leaf statistics
+    * (`sizeInBytes` / `spark.sql.files.maxPartitionBytes`, the same
+    * arithmetic file splitting uses) instead of `df.rdd
+    * .getNumPartitions` — materializing the RDD forces full physical
+    * planning + codegen of the query twice (once here, once at
+    * execution), which billed every sketch query a second planning pass.
+    * Analysis is already done by the time a DataFrame exists, so the
+    * stats read is free. The estimate ignores per-file packing
+    * (`openCostInBytes`), which can only UNDER-estimate width and cause
+    * a redundant repartition of an already-wide scan — a second shuffle,
+    * never a lost one.
+    */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estimated = df.queryExecution.analyzed.collectLeaves()
+      .map(l => (l.stats.sizeInBytes / maxPartBytes).toLong + 1L)
+      .sum
+    if (estimated >= target) df else df.repartition(target)
   }
 }

@@ -1,10 +1,11 @@
 package graft.operators
 
+import graft.functions.BloomProbe
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.DataType
 
 /** Bloom-filter join pruning: drop big-side rows that cannot possibly
   * join BEFORE they reach the shuffle.
@@ -18,14 +19,19 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * positives (rate `fpp`) just let a few extra rows into the exact join
   * that follows; false negatives cannot occur, so results are exact.
   *
-  * Implementation: the same Catalyst pair Spark's own runtime filters
-  * (`InjectRuntimeFilter`) use — `BloomFilterAggregate` to build,
-  * `BloomFilterMightContain` to probe — driven explicitly so the key
-  * set can come from anywhere (another query, a previous job's output)
-  * rather than only from within one optimized query. Both sides hash
-  * through the same codegen'd `xxhash64`, so the probe stays inside
-  * whole-stage codegen (a Scala UDF here would pay per-row
-  * serialization on the hot scan).
+  * Implementation: built with the same codegen'd `BloomFilterAggregate`
+  * Spark's own runtime filters (`InjectRuntimeFilter`) use, driven
+  * explicitly so the key set can come from anywhere (another query, a
+  * previous job's output) rather than only from within one optimized
+  * query. The probe side diverges from Spark's `BloomFilterMightContain`
+  * deliberately: that expression carries the serialized filter as a plan
+  * `Literal`, which rides every task's serialized binary — fine at KB
+  * sizes, wrong at this operator's tens-of-MB regime. The filter ships
+  * as a [[org.apache.spark.broadcast.Broadcast]] instead, probed by the
+  * codegen'd [[graft.functions.BloomProbe]] (one torrent-broadcast fetch
+  * + one deserialization per executor). Both sides hash through the same
+  * codegen'd `xxhash64`, so the probe stays inside whole-stage codegen
+  * (a Scala UDF here would pay per-row serialization on the hot scan).
   */
 object BloomPrune {
 
@@ -61,9 +67,8 @@ object BloomPrune {
       .select(GraftSqlBridge.column(agg.toAggregateExpression()))
       .head().getAs[Array[Byte]](0)
     if (bloomBytes == null) return big.filter(lit(false)) // empty key side: nothing joins
-    val probe = new BloomFilterMightContain(
-      Literal(bloomBytes, BinaryType),
-      new XxHash64(Seq(GraftSqlBridge.expression(big(bigKey)))))
+    val bc = big.sparkSession.sparkContext.broadcast(bloomBytes)
+    val probe = BloomProbe(bc, new XxHash64(Seq(GraftSqlBridge.expression(big(bigKey)))))
     // xxhash64(null) degenerates to the seed, so nulls must be excluded
     // explicitly — they never equi-join anyway
     big.filter(col(bigKey).isNotNull && GraftSqlBridge.column(probe))

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite band (time-range) joins into bucketed equi
   * joins.
@@ -16,9 +17,9 @@ import org.apache.spark.sql.types.LongType
   * alongside the range, Spark hash-joins on the key instead — no NLJ,
   * but every same-key pair is still compared, which is quadratic in any
   * hot key (one heavy user = one giant task). A conjunction that bounds
-  * the difference of one long-valued expression pair from the two
-  * sides — `lo <= r.t - l.t <= hi`, the shape of every event-window
-  * join — admits the classic bucketing rewrite in both cases
+  * the difference of one expression pair from the two sides —
+  * `lo <= r.t - l.t <= hi`, the shape of every event-window join —
+  * admits the classic bucketing rewrite in both cases
   * ([[graft.operators.RangeJoin]], here applied automatically): with
   * bucket width `W = hi - lo + 1`, any matching right row lies in one
   * of (at most) two consecutive buckets of the left row, so the rule
@@ -26,14 +27,39 @@ import org.apache.spark.sql.types.LongType
   * (bucket [, original equi keys]), and re-applies the original range
   * predicates exactly. Same rows, partition-parallel shuffle join.
   *
-  * The rule fires on Inner joins whose condition contains both a lower
-  * and an upper bound on the same expression pair (each side's
-  * expression may carry literal long offsets, e.g.
-  * `unix_micros(r.ts) >= unix_micros(l.ts) - 86400000000`); every other
-  * conjunct is preserved in a filter above the new join. A tag plus a
-  * marker attribute name keep the fixed-point optimizer from rewriting
-  * its own output after predicate pushdown re-inlines the range
-  * conjuncts into the join condition.
+  * Bound detection works in an exact Long image of the comparison's
+  * value space, one mapping per type family:
+  *   - `LongType`: the expression itself, literal `+`/`-` offsets peeled;
+  *   - `IntegerType`: `Cast(_, LongType)` (exact), Int literal offsets;
+  *   - `TimestampType`: `unix_micros(_)`, day-time interval literal
+  *     offsets from `ts ± INTERVAL` arithmetic (micros-exact; year-month
+  *     intervals are not constant-width and never match);
+  *   - `DateType`: `unix_date(_)` cast to Long, `date_add`/`date_sub`
+  *     literal day offsets.
+  * Both comparison operands share one type family (the comparison
+  * type-checked), so the difference space is consistent; the original
+  * predicates are re-applied verbatim, so the rewrite's exactness never
+  * depends on the mapping — the mapping only has to put every true
+  * match in one of the two candidate buckets.
+  *
+  * Join types:
+  *   - **Inner**: explode left to its ≤ 2 candidate buckets, equi-join,
+  *     re-filter. Each right row carries exactly one bucket, so no
+  *     duplicate pairs arise.
+  *   - **LeftOuter**: the same bucketed join run LEFT OUTER over the
+  *     exploded left would emit one null row per *bucket copy*, not per
+  *     left row. The rewrite tags each left row with a per-execution id
+  *     ([[MonotonicallyIncreasingID]] — consumed entirely inside this
+  *     one plan, so its nondeterminism across executions is harmless),
+  *     left-outer-joins the exploded side with the FULL original
+  *     condition in the ON clause, and resolves copies with one window
+  *     pass per id: keep every matched row; keep exactly one null row
+  *     iff the id matched nowhere. One extra hash shuffle on the id —
+  *     linear, against the quadratic BNLJ it replaces.
+  *
+  * A tag plus a marker attribute name keep the fixed-point optimizer
+  * from rewriting its own output after predicate pushdown re-inlines
+  * the range conjuncts into the join condition.
   *
   * Install via `spark.sql.extensions=graft.plans.GraftExtensions`
   * (session build) or `GraftExtensions.installRangeJoinRewrite(spark)`
@@ -44,15 +70,43 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private val rewritten = TreeNodeTag[Boolean]("graft.rangeJoinRewritten")
   private val BucketCol = "__graft_bkt"
 
-  /** (base expression, literal offset) for one comparison operand, when
-    * it is a long expression over exactly one join side plus literal
-    * adjustments. */
-  private def peel(e: Expression): Option[(Expression, Long)] = e match {
-    case Add(x, Literal(o: Long, LongType), _)      => peel(x).map { case (b, c) => (b, c + o) }
-    case Add(Literal(o: Long, LongType), x, _)      => peel(x).map { case (b, c) => (b, c + o) }
-    case Subtract(x, Literal(o: Long, LongType), _) => peel(x).map { case (b, c) => (b, c - o) }
-    case b if b.dataType == LongType && b.deterministic => Some((b, 0L))
-    case _ => None
+  /** (Long-valued image of the base, literal offset in that image) for
+    * one comparison operand. Offset arithmetic assumes no overflow in
+    * the original expression — the ANSI default, where overflow throws
+    * instead of wrapping. */
+  private def peel(e: Expression): Option[(Expression, Long)] = {
+    if (!e.deterministic) return None
+    e.dataType match {
+      case LongType =>
+        e match {
+          case Add(x, Literal(o: Long, LongType), _)      => peel(x).map { case (b, c) => (b, c + o) }
+          case Add(Literal(o: Long, LongType), x, _)      => peel(x).map { case (b, c) => (b, c + o) }
+          case Subtract(x, Literal(o: Long, LongType), _) => peel(x).map { case (b, c) => (b, c - o) }
+          case b => Some((b, 0L))
+        }
+      case IntegerType =>
+        e match {
+          case Add(x, Literal(o: Int, IntegerType), _)      => peel(x).map { case (b, c) => (b, c + o) }
+          case Add(Literal(o: Int, IntegerType), x, _)      => peel(x).map { case (b, c) => (b, c + o) }
+          case Subtract(x, Literal(o: Int, IntegerType), _) => peel(x).map { case (b, c) => (b, c - o) }
+          case b => Some((Cast(b, LongType), 0L))
+        }
+      case TimestampType =>
+        e match {
+          // ts ± INTERVAL folds to TimestampAddInterval with a (possibly
+          // negative) day-time interval literal, whose value is micros
+          case TimestampAddInterval(x, Literal(o: Long, _: DayTimeIntervalType), _) =>
+            peel(x).map { case (b, c) => (b, c + o) }
+          case b => Some((UnixMicros(b), 0L))
+        }
+      case DateType =>
+        e match {
+          case DateAdd(x, Literal(o: Int, IntegerType)) => peel(x).map { case (b, c) => (b, c + o) }
+          case DateSub(x, Literal(o: Int, IntegerType)) => peel(x).map { case (b, c) => (b, c - o) }
+          case b => Some((Cast(UnixDate(b), LongType), 0L))
+        }
+      case _ => None
+    }
   }
 
   private final case class Bound(lBase: Expression, rBase: Expression, lo: Option[Long], hi: Option[Long])
@@ -70,11 +124,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         else None
       }
     // cmp(x, y): bound on d = rBase - lBase
-    def mk(x: Expression, y: Expression, strictGt: Boolean, orEqual: Boolean): Option[Bound] =
+    def mk(x: Expression, y: Expression, orEqual: Boolean): Option[Bound] =
       (sided(x), sided(y)) match {
         case (Some((xb, xo, xIsLeft)), Some((yb, yo, yIsLeft))) if xIsLeft != yIsLeft =>
           // x > y (or >=): if x is right → d > yo - xo (lower); else d < xo - yo (upper)
-          val _ = strictGt
           if (!xIsLeft) {
             val lo = yo - xo + (if (orEqual) 0 else 1)
             Some(Bound(yb, xb, Some(lo), None))
@@ -85,47 +138,61 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
     c match {
-      case GreaterThan(a, b)        => mk(a, b, strictGt = true, orEqual = false)
-      case GreaterThanOrEqual(a, b) => mk(a, b, strictGt = true, orEqual = true)
-      case LessThan(a, b)           => mk(b, a, strictGt = true, orEqual = false)
-      case LessThanOrEqual(a, b)    => mk(b, a, strictGt = true, orEqual = true)
+      case GreaterThan(a, b)        => mk(a, b, orEqual = false)
+      case GreaterThanOrEqual(a, b) => mk(a, b, orEqual = true)
+      case LessThan(a, b)           => mk(b, a, orEqual = false)
+      case LessThanOrEqual(a, b)    => mk(b, a, orEqual = true)
       case _ => None
     }
   }
 
+  private final case class Band(lBase: Expression, rBase: Expression, lo: Long, hi: Long)
+
+  /** Find one (expression pair, [lo, hi]) band among the conjuncts. */
+  private def detect(conjuncts: Seq[Expression], left: LogicalPlan, right: LogicalPlan): Option[Band] = {
+    val bounds = conjuncts.flatMap(c => asBound(c, left.outputSet, right.outputSet))
+    val grouped = bounds.groupBy(b => (b.lBase.canonicalized, b.rBase.canonicalized))
+    grouped.values.collectFirst {
+      case bs if bs.exists(_.lo.isDefined) && bs.exists(_.hi.isDefined) &&
+          bs.flatMap(_.lo).max <= bs.flatMap(_.hi).min =>
+        Band(bs.head.lBase, bs.head.rBase, bs.flatMap(_.lo).max, bs.flatMap(_.hi).min)
+    }
+  }
+
+  // Batch only: a stream-stream interval join's range condition is what
+  // BOUNDS its buffered state (watermark eviction) — bucketing it away
+  // would break state cleanup, and Generate/Window aren't streamable in
+  // that position anyway.
+  private def eligible(j: Join): Boolean =
+    j.getTagValue(rewritten).isEmpty &&
+      !j.isStreaming &&
+      !j.output.exists(a => a.name.startsWith(BucketCol) || a.name.startsWith("__bkt")) &&
+      j.resolved
+
+  // Exact floorDiv in Long space: subtract the positive modulus first so
+  // the difference divides exactly (see graft.operators.RangeJoin).
+  private def bucket(w: Long)(x: Expression): Expression =
+    IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
+
+  /** Explode `child` (left side) to the ≤ 2 candidate buckets of `band`,
+    * appending bucket attribute `bktL`. */
+  private def explodeLeft(child: LogicalPlan, band: Band, bktL: AttributeReference): Generate = {
+    val w = band.hi - band.lo + 1
+    val arr = ArrayDistinct(CreateArray(Seq(
+      bucket(w)(Add(band.lBase, Literal(band.lo))), bucket(w)(Add(band.lBase, Literal(band.hi))))))
+    Generate(Explode(arr), Nil, outer = false, None, Seq(bktL), child)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.getTagValue(rewritten).isEmpty &&
-          !j.output.exists(a => a.name.startsWith(BucketCol) || a.name.startsWith("__bkt")) &&
-          j.resolved =>
+    case j @ Join(left, right, Inner, Some(cond), hint) if eligible(j) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val bounds = conjuncts.flatMap(c => asBound(c, left.outputSet, right.outputSet).map(c -> _))
-      // bounds grouped by the (lBase, rBase) pair they constrain
-      val grouped = bounds.groupBy { case (_, b) => (b.lBase.canonicalized, b.rBase.canonicalized) }
-      grouped.collectFirst {
-        case (_, bs)
-            if bs.exists(_._2.lo.isDefined) && bs.exists(_._2.hi.isDefined) &&
-              bs.flatMap(_._2.lo).max <= bs.flatMap(_._2.hi).min =>
-          bs
-      } match {
+      detect(conjuncts, left, right) match {
         case None => j
-        case Some(bs) =>
-          val lBase = bs.head._2.lBase
-          val rBase = bs.head._2.rBase
-          val lo = bs.flatMap(_._2.lo).max
-          val hi = bs.flatMap(_._2.hi).min
-          val w = hi - lo + 1 // covers the inclusive span; exactness comes from re-applied predicates
-
-          def bucket(x: Expression): Expression =
-            IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
-
-          // left: explode to the <= 2 candidate buckets
+        case Some(band) =>
+          val w = band.hi - band.lo + 1
           val bktL = AttributeReference(BucketCol + "_l", LongType)()
-          val arr = ArrayDistinct(CreateArray(Seq(
-            bucket(Add(lBase, Literal(lo))), bucket(Add(lBase, Literal(hi))))))
-          val lGen = Generate(Explode(arr), Nil, outer = false, None, Seq(bktL), left)
-          // right: its single bucket
-          val rAlias = Alias(bucket(rBase), BucketCol + "_r")()
+          val lGen = explodeLeft(left, band, bktL)
+          val rAlias = Alias(bucket(w)(band.rBase), BucketCol + "_r")()
           val rProj = Project(right.output :+ rAlias, right)
 
           // original equi conjuncts join alongside the bucket equality;
@@ -144,6 +211,52 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             case cs  => Filter(cs.reduce(And), newJoin)
           }
           Project(left.output ++ right.output, filtered)
+      }
+
+    case j @ Join(left, right, LeftOuter, Some(cond), hint) if eligible(j) =>
+      detect(splitConjunctivePredicates(cond), left, right) match {
+        case None => j
+        case Some(band) =>
+          // per-execution row id: groups the ≤ 2 bucket copies of one
+          // left row back together (and keeps duplicate left rows apart)
+          val uid = Alias(MonotonicallyIncreasingID(), "__graft_uid")()
+          val lTagged = Project(left.output :+ uid, left)
+          val uidRef = uid.toAttribute
+          val bktL = AttributeReference(BucketCol + "_l", LongType)()
+          val lGen = explodeLeft(lTagged, band, bktL)
+
+          val w = band.hi - band.lo + 1
+          val rBkt = Alias(bucket(w)(band.rBase), BucketCol + "_r")()
+          val marker = Alias(Literal(true), BucketCol + "_m")()
+          val rProj = Project(right.output :+ rBkt :+ marker, right)
+
+          // LEFT OUTER: the entire original condition must live in the
+          // ON clause (filtering afterwards would turn it inner)
+          val joinCond = And(EqualTo(bktL, rBkt.toAttribute), cond)
+          val newJoin = Join(lGen, rProj, LeftOuter, Some(joinCond), hint)
+          newJoin.setTagValue(rewritten, true)
+
+          // copy resolution: count matches per uid; null rows survive
+          // only when the uid matched nowhere, and then exactly once
+          val mRef = marker.toAttribute.withNullability(true)
+          val order = Seq(SortOrder(mRef, Ascending))
+          val cnt = Alias(
+            WindowExpression(
+              AggregateExpression(Count(Seq(mRef)), Complete, isDistinct = false),
+              WindowSpecDefinition(Seq(uidRef), order,
+                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
+            BucketCol + "_cnt")()
+          val rn = Alias(
+            WindowExpression(
+              RowNumber(),
+              WindowSpecDefinition(Seq(uidRef), order,
+                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+            BucketCol + "_rn")()
+          val win = Window(Seq(cnt, rn), Seq(uidRef), order, newJoin, None)
+          val keep = Or(
+            IsNotNull(mRef),
+            And(EqualTo(cnt.toAttribute, Literal(0L)), EqualTo(rn.toAttribute, Literal(1))))
+          Project(left.output ++ right.output.map(_.withNullability(true)), Filter(keep, win))
       }
   }
 }

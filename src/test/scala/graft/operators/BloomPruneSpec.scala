@@ -35,15 +35,18 @@ class BloomPruneSpec extends SparkSpec {
     assert(bloomed.except(plain).isEmpty && plain.except(bloomed).isEmpty)
   }
 
-  test("the probe is a codegen'd expression, not a UDF") {
+  test("the probe is a codegen'd broadcast expression, not a UDF or a plan literal") {
     val big = spark.range(100).toDF("k")
     val small = spark.range(10).toDF("k")
     val p = BloomPrune.semiFilter(big, small, "k", "k", 10L)
       .queryExecution.executedPlan.toString
-    assert(p.contains("might_contain"), s"expected bloom probe in plan:\n$p")
+    assert(p.contains("graft_bloom_probe"), s"expected bloom probe in plan:\n$p")
     assert(!p.contains("UDF"), s"probe fell out of codegen into a UDF:\n$p")
     // '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
-    assert(p.contains("*(1) Filter might_contain"), s"probe not inside codegen:\n$p")
+    assert(p.contains("*(1) Filter graft_bloom_probe"), s"probe not inside codegen:\n$p")
+    // the serialized filter must NOT appear as an inline literal — it
+    // ships once per executor via broadcast, not per task in the plan
+    assert(!p.contains("might_contain(0x"), s"filter bytes inlined into the plan:\n$p")
   }
 
   test("unsupported key types are rejected loudly") {

@@ -95,4 +95,114 @@ class RangeJoinRewriteSpec extends SparkSpec {
       assert(!p.contains("__graft_bkt"), s"rule fired without both bounds:\n$p")
     }
   }
+
+  // --- typed bounds: the comparison space mapped to Long per type family ---
+
+  test("fires on raw timestamp comparisons with INTERVAL arithmetic") {
+    def q() = errors.join(clicks,
+      $"u" === $"cu" &&
+        $"cts" >= $"ts" - expr("INTERVAL 1 SECOND") &&
+        $"cts" < $"ts")
+      .select($"eid", $"cid")
+    val want = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule {
+      val df = q()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("__graft_bkt"), s"bucket key missing from plan:\n$p")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === want)
+      assert(want === Set((1L, 101L), (2L, 102L), (3L, 104L)))
+    }
+  }
+
+  test("fires on integer-typed bounds") {
+    val l = Seq((1L, 100), (2L, 500), (3L, 900)).toDF("lid", "lx")
+    val r = Seq((11L, 120), (12L, 480), (13L, 485), (14L, 2000)).toDF("rid", "rx")
+    def q() = l.join(r, $"rx" >= $"lx" - 30 && $"rx" <= $"lx" + 25).select($"lid", $"rid")
+    val want = q().collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    withRule {
+      val df = q()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet === want)
+      assert(want === Set((1L, 11L), (2L, 12L), (2L, 13L)))
+    }
+  }
+
+  test("fires on date-typed bounds via date_add/date_sub") {
+    val l = Seq((1L, "2024-01-10"), (2L, "2024-03-01")).toDF("lid", "ld")
+      .select($"lid", to_date($"ld").as("ld"))
+    val r = Seq((11L, "2024-01-08"), (12L, "2024-01-20"), (13L, "2024-03-03")).toDF("rid", "rd")
+      .select($"rid", to_date($"rd").as("rd"))
+    def q() = l.join(r, $"rd" >= date_sub($"ld", 3) && $"rd" <= date_add($"ld", 4)).select($"lid", $"rid")
+    val want = q().collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    withRule {
+      val df = q()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet === want)
+      assert(want === Set((1L, 11L), (2L, 13L)))
+    }
+  }
+
+  // --- left outer ---
+
+  private def outerBand(l: DataFrame): DataFrame =
+    l.join(clicks,
+      $"u" === $"cu" &&
+        unix_micros($"cts") >= unix_micros($"ts") - 1000000L &&
+        unix_micros($"cts") < unix_micros($"ts"),
+      "left_outer")
+      .select($"eid", $"cid")
+
+  test("left outer: matched rows plus exactly one null row per unmatched left row") {
+    // eid=4 (user 99) never matches; duplicate it to prove multiplicity
+    val extra = Seq((4L, 99, 7000000L), (4L, 99, 7000000L))
+      .toDF("eid", "u", "us").select($"eid", $"u", timestamp_micros($"us").as("ts"))
+    val l = errors.unionByName(extra)
+    val want = outerBand(l).collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    withRule {
+      val df = outerBand(l)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("__graft_bkt"), s"bucket key missing from plan:\n$p")
+      val got = df.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === want)
+      // the two copies of eid=4 each yield their own null row
+      assert(got((4L, -1L)) === 2)
+      assert(got((1L, 101L)) === 1)
+    }
+  }
+
+  test("left outer: null left time yields a null row, not a dropped row") {
+    val withNull = errors.unionByName(
+      Seq((9L, 10)).toDF("eid", "u").select($"eid", $"u", lit(null).cast("timestamp").as("ts")))
+    val want = outerBand(withNull).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    withRule {
+      val got = outerBand(withNull).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got === want)
+      assert(got.contains((9L, -1L)))
+    }
+  }
+
+  test("left outer through the SQL surface") {
+    errors.createOrReplaceTempView("rr_err")
+    clicks.createOrReplaceTempView("rr_clk")
+    val sql =
+      """SELECT eid, cid FROM rr_err LEFT JOIN rr_clk
+        |ON u = cu AND cts >= ts - INTERVAL '1' SECOND AND cts < ts
+        |""".stripMargin
+    val want = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    withRule {
+      val df = spark.sql(sql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(df.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet === want)
+    }
+  }
 }
