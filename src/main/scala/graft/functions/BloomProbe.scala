@@ -1,13 +1,13 @@
 package graft.functions
 
 import java.io.ByteArrayInputStream
-import java.util.concurrent.ConcurrentHashMap
+import java.util.WeakHashMap
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, LongType}
-import org.apache.spark.sql.types.AbstractDataType
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Codegen'd Bloom-filter probe over a BROADCAST filter.
@@ -20,20 +20,27 @@ import org.apache.spark.util.sketch.BloomFilter
   * bytes live in a [[Broadcast]]: the expression serializes as a
   * broadcast HANDLE, executors fetch the bytes once via torrent
   * broadcast, and [[BloomProbe.filterFor]] memoizes deserialization per
-  * executor (keyed by broadcast id) so tasks share one in-memory filter.
-  *
-  * `child` is the 64-bit hash of the probe key (the caller hashes with
-  * the same `xxhash64` used to build the filter, exactly like Spark's
-  * build/probe pair), so the generated code is one virtual call + bit
-  * test per row, inside whole-stage codegen.
+  * executor so tasks share one in-memory filter. The deserialized
+  * filter is additionally cached in a per-task `@transient lazy val`,
+  * so the per-row cost is one field read + bit test — the shared memo
+  * is consulted once per task, not once per row.
   */
 case class BloomProbe(bloom: Broadcast[Array[Byte]], child: Expression)
-    extends UnaryExpression with Predicate with ExpectsInputTypes {
+    extends UnaryExpression with Predicate {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_probe expects a LongType key hash, got ${child.dataType.catalogString}")
+
   override def prettyName: String = "graft_bloom_probe"
 
-  def probe(h: Long): Boolean = BloomProbe.filterFor(bloom).mightContainLong(h)
+  // The expression instance is deserialized once per task; the first
+  // probe resolves the filter through the executor-wide memo and every
+  // subsequent row reads this field.
+  @transient private lazy val filter: BloomFilter = BloomProbe.filterFor(bloom)
+
+  def probe(h: Long): Boolean = filter.mightContainLong(h)
 
   override def nullSafeEval(h: Any): Any = probe(h.asInstanceOf[Long])
 
@@ -47,12 +54,20 @@ case class BloomProbe(bloom: Broadcast[Array[Byte]], child: Expression)
 }
 
 object BloomProbe {
-  // One deserialization per executor per filter (keyed by broadcast id)
-  // instead of one per task. Bounded: a long-lived executor running many
-  // distinct pruned queries clears the memo rather than growing it.
-  private val cache = new ConcurrentHashMap[Long, BloomFilter]()
-  private[functions] def filterFor(b: Broadcast[Array[Byte]]): BloomFilter = {
-    if (cache.size > 64) cache.clear()
-    cache.computeIfAbsent(b.id, _ => BloomFilter.readFrom(new ByteArrayInputStream(b.value)))
-  }
+  // One deserialization per executor per live filter. Keyed WEAKLY by
+  // the Broadcast instance itself (Broadcast does not override equals,
+  // so WeakHashMap keys on identity): a restarted SparkContext that
+  // reuses broadcast ids can never be served a stale filter, and
+  // entries vanish with their broadcast under GC instead of a racy
+  // size-triggered clear() that could evict in-use filters mid-query.
+  private val cache = new WeakHashMap[Broadcast[Array[Byte]], BloomFilter]()
+  private[functions] def filterFor(b: Broadcast[Array[Byte]]): BloomFilter =
+    cache.synchronized {
+      var f = cache.get(b)
+      if (f == null) {
+        f = BloomFilter.readFrom(new ByteArrayInputStream(b.value))
+        cache.put(b, f)
+      }
+      f
+    }
 }
