@@ -81,6 +81,55 @@ object Upsert {
       .getOrElse(lit(false))
   }
 
+  /** Path of a table's key→partition sidecar (the "keymap"): one row
+    * per key holding the key columns and the key's CURRENT partition
+    * value, partitioned like the table itself so its maintenance is
+    * partition-scoped too. Size ∝ key count × (key width + partition
+    * width) — orders of magnitude smaller than the table. */
+  def keymapPath(tablePath: String): String = tablePath + ".keymap"
+
+  /** Partitions OUTSIDE `updatedParts` that still hold an old version
+    * of one of this batch's keys, computed against the keymap sidecar —
+    * NOT the table. This is the query that used to be a per-batch
+    * complement scan of the whole table; exposed so the spec can assert
+    * its physical plan only ever reads `<table>.keymap`. */
+  private[graft] def stalePartitionsFrame(
+      spark: SparkSession,
+      tablePath: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      updatedParts: Seq[Any]
+  ): DataFrame = {
+    // no broadcast hint: batches are usually small and AQE broadcasts
+    // them; a huge backfill's key set must be free to sort-merge
+    val updKeys = updates.select(keyCols.map(col): _*).distinct()
+    spark.read.parquet(keymapPath(tablePath))
+      .filter(!partitionFilter(partitionCol, updatedParts))
+      .join(updKeys, keyCols, "left_semi")
+      .select(partitionCol).distinct()
+  }
+
+  /** Replace the `touched` partition directories of `basePath` with
+    * their freshly-written counterparts under `tmpPath` (a touched
+    * partition absent from tmp lost all its rows — its stale directory
+    * is removed). */
+  private def swapPartitions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      basePath: String,
+      tmpPath: String,
+      partitionCol: String,
+      touched: Seq[Any]
+  ): Unit = touched.foreach { v =>
+    val part = partitionDir(partitionCol, v)
+    val dst = new org.apache.hadoop.fs.Path(s"$basePath/$part")
+    val src = new org.apache.hadoop.fs.Path(s"$tmpPath/$part")
+    if (fs.exists(dst) && !fs.delete(dst, true))
+      throw new java.io.IOException(s"upsert swap: failed to delete stale $dst")
+    if (fs.exists(src) && !fs.rename(src, dst))
+      throw new java.io.IOException(s"upsert swap: failed to rename $src -> $dst")
+  }
+
   /** Partition-scoped parquet upsert: rewrite only the partitions this
     * batch touches; leave the rest untouched. Returns the touched
     * partition values (callers scope their post-load checks to them).
@@ -90,12 +139,23 @@ object Upsert {
     * an OLD version of an updated key (a key whose partition value
     * changed — e.g. a corrected occurrence date — must vanish from its
     * old partition or the table would carry duplicates). The second set
-    * costs one key/partition-column semi-join scan of the
-    * complement partitions per batch — column-pruned, and the price of
-    * keeping the table keyed; the reference pays the same via its
-    * global MERGE. Pass `trackPartitionMoves = false` ONLY when the
-    * partition value of a key can never change (e.g. a constant
-    * partition column) — it skips that scan entirely.
+    * is found by semi-joining the batch keys against the [[keymapPath
+    * keymap sidecar]] — a per-key (key, partition) map maintained by
+    * the same tmp-write + directory-swap as the table — NEVER by
+    * scanning the table's complement partitions: at 100 TB a
+    * complement scan per micro-batch is a full-table read, while the
+    * keymap is proportional to the key count. Pass
+    * `trackPartitionMoves = false` when the partition value of a key
+    * can never change (e.g. a constant partition column) — it skips
+    * stale detection; the sidecar is still maintained once it exists,
+    * so later tracked calls stay correct across mixed-mode usage.
+    *
+    * Keymap lifecycle: built lazily from a one-time column-pruned table
+    * scan when absent (legacy tables); updated partition-scoped per
+    * batch. Write ordering is data-tmp, keymap-tmp, data swap, keymap
+    * swap — a leftover keymap tmp on entry therefore means a crash may
+    * have landed between the two swaps, and the keymap is rebuilt from
+    * the table (which is always authoritative) before use.
     *
     * Null partition values are first-class: the target filter matches
     * them with `isNull` and the directory swap uses Spark's
@@ -116,45 +176,54 @@ object Upsert {
   ): Seq[Any] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(tablePath)
+    val kmDir = keymapPath(tablePath)
+    val kmTmp = kmDir + ".tmp-upsert"
+    val keymapCols = (keyCols :+ partitionCol).map(col)
     val updatedParts = updates.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
     if (updatedParts.isEmpty) return Seq.empty // empty update batch
     // bootstrap also when the path is an EMPTY directory (catalog DDL
     // pre-creates external-table locations before the first load)
     if (!fs.exists(path) || fs.listStatus(path).isEmpty) {
-      merge(updates.filter(lit(false)), updates, keyCols, versionCol)
-        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tablePath)
+      val merged = merge(updates.filter(lit(false)), updates, keyCols, versionCol).cache()
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tablePath)
+      if (trackPartitionMoves)
+        merged.select(keymapCols: _*)
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(kmDir)
+      merged.unpersist()
       return updatedParts
     }
-    // complement partitions holding stale versions of this batch's keys
-    // (no broadcast hint: batches are usually small and AQE broadcasts
-    // them; a huge backfill's key set must be free to sort-merge)
+    // self-heal: a leftover keymap tmp means a prior run may have died
+    // between the data swap and the keymap swap — drop the (possibly
+    // half-swapped) keymap and rebuild from the authoritative table
+    if (fs.exists(new org.apache.hadoop.fs.Path(kmTmp))) {
+      fs.delete(new org.apache.hadoop.fs.Path(kmTmp), true)
+      fs.delete(new org.apache.hadoop.fs.Path(kmDir), true)
+    }
+    if (trackPartitionMoves && !fs.exists(new org.apache.hadoop.fs.Path(kmDir)))
+      // one-time build for legacy/recovered tables: column-pruned scan
+      spark.read.parquet(tablePath).select(keymapCols: _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(kmDir)
+    // keep an existing keymap current even on untracked batches, so a
+    // later tracked call never consults a map missing these inserts
+    val maintainKeymap =
+      trackPartitionMoves || fs.exists(new org.apache.hadoop.fs.Path(kmDir))
     val staleParts =
       if (!trackPartitionMoves) Seq.empty
-      else {
-        val updKeys = updates.select(keyCols.map(col): _*).distinct()
-        spark.read.parquet(tablePath)
-          .filter(!partitionFilter(partitionCol, updatedParts))
-          .join(updKeys, keyCols, "left_semi")
-          .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
-      }
+      else stalePartitionsFrame(spark, tablePath, updates, keyCols, partitionCol, updatedParts)
+        .collect().map(_.get(0)).toSeq
     val touched = (updatedParts ++ staleParts).distinct
     val target = spark.read.parquet(tablePath).filter(partitionFilter(partitionCol, touched))
     val merged = merge(target, updates, keyCols, versionCol).cache()
     val tmp = tablePath + ".tmp-upsert"
     merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    if (maintainKeymap)
+      merged.select(keymapCols: _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(kmTmp)
     merged.unpersist()
-    // swap only the touched partition directories (a touched partition
-    // absent from tmp lost all its rows — its stale directory is removed)
-    touched.foreach { v =>
-      val part = partitionDir(partitionCol, v)
-      val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$part")
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/$part")
-      if (fs.exists(dst) && !fs.delete(dst, true))
-        throw new java.io.IOException(s"upsert swap: failed to delete stale $dst")
-      if (fs.exists(src) && !fs.rename(src, dst))
-        throw new java.io.IOException(s"upsert swap: failed to rename $src -> $dst")
-    }
+    swapPartitions(fs, tablePath, tmp, partitionCol, touched)
+    if (maintainKeymap) swapPartitions(fs, kmDir, kmTmp, partitionCol, touched)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(kmTmp), true)
     touched
   }
 }

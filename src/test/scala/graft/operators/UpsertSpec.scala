@@ -103,6 +103,71 @@ class UpsertSpec extends SparkSpec {
     assert(out.toSeq == Seq(("k1", 2, "x2"), ("k2", 1, "y")))
   }
 
+  test("stale-partition detection reads the keymap sidecar, never the table") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val init = Seq(("k1", 1, 2020, "a"), ("k2", 1, 2021, "b")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "yr")
+    val upd = Seq(("k1", 2, 2021, "moved")).toDF("id", "v", "yr", "payload")
+    val frame = Upsert.stalePartitionsFrame(spark, dir, upd, Seq("id"), "yr", Seq(2021))
+    // every file-scan location in the physical plan is the sidecar
+    val locations = "\\[file:[^\\]]*\\]".r
+      .findAllIn(frame.queryExecution.executedPlan.toString).toList
+    val fileScans = locations.filterNot(_.contains("/tbl.tmp")) // updates side is in-memory
+    assert(fileScans.nonEmpty)
+    assert(fileScans.forall(_.contains("/tbl.keymap")),
+      s"stale detection scanned a non-keymap path: $fileScans")
+    // and it still finds the stale partition
+    assert(frame.collect().map(_.getInt(0)).toSeq == Seq(2020))
+  }
+
+  test("keymap sidecar mirrors the table's (key, partition) map across moves") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val init = Seq(("k1", 1, 2020, "a"), ("k2", 1, 2021, "b")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "yr")
+    val upd = Seq(("k1", 2, 2021, "moved"), ("k3", 1, 2022, "new")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, upd, Seq("id"), "v", "yr")
+    val table = spark.read.parquet(dir).select("id", "yr")
+      .as[(String, Int)].collect().sortBy(_._1).toSeq
+    val keymap = spark.read.parquet(Upsert.keymapPath(dir)).select("id", "yr")
+      .as[(String, Int)].collect().sortBy(_._1).toSeq
+    assert(table == Seq(("k1", 2021), ("k2", 2021), ("k3", 2022)))
+    assert(keymap == table)
+  }
+
+  test("an existing keymap is maintained even by untracked batches") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val init = Seq(("k1", 1, 2020, "a")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "yr") // builds keymap
+    // untracked insert of k2 must still reach the sidecar...
+    val ins = Seq(("k2", 1, 2021, "b")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, ins, Seq("id"), "v", "yr", trackPartitionMoves = false)
+    // ...so this tracked move of k2 finds and removes the 2021 copy
+    val mv = Seq(("k2", 2, 2022, "b2")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, mv, Seq("id"), "v", "yr")
+    val out = spark.read.parquet(dir).select("id", "v", "yr")
+      .as[(String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("k1", 1, 2020), ("k2", 2, 2022)))
+  }
+
+  test("a leftover keymap tmp triggers a rebuild from the table") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    val init = Seq(("k1", 1, 2020, "a"), ("k2", 1, 2021, "b")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "yr")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the data swap and the keymap swap:
+    // poison the keymap (k1 mapped to the wrong partition) + leftover tmp
+    Seq(("k1", 1999), ("k2", 2021)).toDF("id", "yr")
+      .write.mode("overwrite").partitionBy("yr").parquet(Upsert.keymapPath(dir))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(Upsert.keymapPath(dir) + ".tmp-upsert"))
+    // a move of k1 must still remove the 2020 copy (rebuilt map, not the poisoned one)
+    val mv = Seq(("k1", 2, 2021, "moved")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, mv, Seq("id"), "v", "yr")
+    val out = spark.read.parquet(dir).select("id", "v", "yr")
+      .as[(String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("k1", 2, 2021), ("k2", 1, 2021)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/yr=2020")))
+  }
+
   test("upsertIntoParquet rewrites only touched partitions") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
     val init = Seq(("k1", 1, 2020), ("k2", 1, 2021)).toDF("id", "v", "yr")
