@@ -38,6 +38,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sf0.1 inputs are megabytes, under the rewrite's default
+      // decline-if-broadcastable guard — lower it so the bench measures
+      // the REWRITTEN band-join plans (the shape that runs at scale)
+      .config(graft.plans.RangeJoinRewrite.SmallRightBytesKey, "65536")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sf0.01/sf0.1 inputs are KB-MB, under the rewrite's default
+      // decline-if-broadcastable guard — lower it so the gate checks
+      // the REWRITTEN band-join plans (the shape that runs at scale)
+      .config(graft.plans.RangeJoinRewrite.SmallRightBytesKey, "65536")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -55,7 +55,32 @@ import org.apache.spark.sql.types._
   *     condition in the ON clause, and resolves copies with one window
   *     pass per id: keep every matched row; keep exactly one null row
   *     iff the id matched nowhere. One extra hash shuffle on the id —
-  *     linear, against the quadratic BNLJ it replaces.
+  *     linear, against the quadratic BNLJ it replaces. Only fires when
+  *     every expression in the left subtree is deterministic: a
+  *     distributed stage retry recomputes lost left partitions, and a
+  *     nondeterministic left (e.g. `rand()`) could put different rows
+  *     under an already-consumed id, duplicating or suppressing null
+  *     rows. (Order-nondeterminism under round-robin repartition is
+  *     already neutralized by Spark's sort-before-repartition.)
+  *   - **LeftSemi / LeftAnti**: explode the RIGHT side instead — a
+  *     matching left row satisfies `lBase ∈ [rBase-hi, rBase-lo]`, an
+  *     interval also of width W, so each right row lands in the ≤ 2
+  *     buckets a matching left row's single bucket could be. Semi/anti
+  *     joins only test *existence* against the right side, so right-row
+  *     duplication is invisible and no id/window copy-resolution is
+  *     needed: plain LEFT SEMI (or ANTI) on bucket equality with the
+  *     full original condition in the ON clause.
+  *
+  * **Size guard**: the rewrite declines when the right side's logical
+  * `stats.sizeInBytes` is at or under `spark.graft.rangeJoinRewrite
+  * .smallRightBytes` (default: the session's
+  * `spark.sql.autoBroadcastJoinThreshold`). A right side that small
+  * broadcasts, and Spark's stock broadcast hash/nested-loop join costs
+  * no shuffle at all — two shuffles plus a window would be a
+  * pessimization. Leaves without real statistics saturate to
+  * `defaultSizeInBytes`/Long.MaxValue and therefore rewrite — the safe
+  * direction at scale. The gate harnesses (Verify/Bench) lower the knob
+  * to 64 KB because the whole sf0.1 fixture set is megabytes.
   *
   * A tag plus a marker attribute name keep the fixed-point optimizer
   * from rewriting its own output after predicate pushdown re-inlines
@@ -159,6 +184,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Conf key for the size guard; value in bytes, -1 disables the guard. */
+  val SmallRightBytesKey = "spark.graft.rangeJoinRewrite.smallRightBytes"
+
   // Batch only: a stream-stream interval join's range condition is what
   // BOUNDS its buffered state (watermark eviction) — bucketing it away
   // would break state cleanup, and Generate/Window aren't streamable in
@@ -167,7 +195,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     j.getTagValue(rewritten).isEmpty &&
       !j.isStreaming &&
       !j.output.exists(a => a.name.startsWith(BucketCol) || a.name.startsWith("__bkt")) &&
-      j.resolved
+      j.resolved &&
+      !rightBroadcastable(j)
+
+  /** True when the right side is small enough that Spark's stock
+    * broadcast join (hash or nested-loop) is the better plan — see the
+    * size-guard paragraph in the class doc. */
+  private def rightBroadcastable(j: Join): Boolean = {
+    val thr = conf.getConfString(SmallRightBytesKey, conf.autoBroadcastJoinThreshold.toString).toLong
+    thr >= 0 && j.right.stats.sizeInBytes <= thr
+  }
+
+  /** Stage retries recompute lost partitions; an id-keyed copy
+    * resolution is only exact when recomputation reproduces the rows
+    * (see the LeftOuter paragraph in the class doc). */
+  private def deterministicSubtree(p: LogicalPlan): Boolean =
+    p.find(n => n.expressions.exists(!_.deterministic)).isEmpty
 
   // Exact floorDiv in Long space: subtract the positive modulus first so
   // the difference divides exactly (see graft.operators.RangeJoin).
@@ -213,7 +256,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Project(left.output ++ right.output, filtered)
       }
 
-    case j @ Join(left, right, LeftOuter, Some(cond), hint) if eligible(j) =>
+    case j @ Join(left, right, jt @ (LeftSemi | LeftAnti), Some(cond), hint) if eligible(j) =>
+      detect(splitConjunctivePredicates(cond), left, right) match {
+        case None => j
+        case Some(band) =>
+          val w = band.hi - band.lo + 1
+          // left keeps its single bucket; right explodes to the ≤ 2
+          // buckets a matching left row could occupy
+          val lBkt = Alias(bucket(w)(band.lBase), BucketCol + "_l")()
+          val lProj = Project(left.output :+ lBkt, left)
+          val bktR = AttributeReference(BucketCol + "_r", LongType)()
+          val arr = ArrayDistinct(CreateArray(Seq(
+            bucket(w)(Subtract(band.rBase, Literal(band.hi))),
+            bucket(w)(Subtract(band.rBase, Literal(band.lo))))))
+          val rGen = Generate(Explode(arr), Nil, outer = false, None, Seq(bktR), right)
+          // existence test: the whole original condition rides the ON
+          // clause; Spark's planner extracts its equi conjuncts (if any)
+          // as hash keys alongside the bucket equality
+          val joinCond = And(EqualTo(lBkt.toAttribute, bktR), cond)
+          val newJoin = Join(lProj, rGen, jt, Some(joinCond), hint)
+          newJoin.setTagValue(rewritten, true)
+          Project(left.output, newJoin)
+      }
+
+    case j @ Join(left, right, LeftOuter, Some(cond), hint)
+        if eligible(j) && deterministicSubtree(left) =>
       detect(splitConjunctivePredicates(cond), left, right) match {
         case None => j
         case Some(band) =>
