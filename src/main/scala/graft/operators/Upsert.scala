@@ -104,8 +104,12 @@ object Upsert {
     // no broadcast hint: batches are usually small and AQE broadcasts
     // them; a huge backfill's key set must be free to sort-merge
     val updKeys = updates.select(keyCols.map(col): _*).distinct()
+    // coalesce: for a null-partition keymap row the isin half of the
+    // filter is NULL, and !NULL is NULL — which would silently drop the
+    // row and leave a duplicate behind when a key moves OUT of the null
+    // partition; NULL must read as "not an updated partition" instead
     spark.read.parquet(keymapPath(tablePath))
-      .filter(!partitionFilter(partitionCol, updatedParts))
+      .filter(!coalesce(partitionFilter(partitionCol, updatedParts), lit(false)))
       .join(updKeys, keyCols, "left_semi")
       .select(partitionCol).distinct()
   }
@@ -151,11 +155,13 @@ object Upsert {
     * so later tracked calls stay correct across mixed-mode usage.
     *
     * Keymap lifecycle: built lazily from a one-time column-pruned table
-    * scan when absent (legacy tables); updated partition-scoped per
-    * batch. Write ordering is data-tmp, keymap-tmp, data swap, keymap
-    * swap — a leftover keymap tmp on entry therefore means a crash may
-    * have landed between the two swaps, and the keymap is rebuilt from
-    * the table (which is always authoritative) before use.
+    * scan when absent (legacy tables) — written under the tmp name and
+    * renamed into place, so a half-built map is never visible under
+    * `kmDir`; updated partition-scoped per batch. Write ordering is
+    * data-tmp, keymap-tmp, data swap, keymap swap — a leftover keymap
+    * tmp on entry therefore means a crash landed mid-build or between
+    * the two swaps, and the keymap is rebuilt from the table (which is
+    * always authoritative) before use.
     *
     * Null partition values are first-class: the target filter matches
     * them with `isNull` and the directory swap uses Spark's
@@ -199,10 +205,17 @@ object Upsert {
       fs.delete(new org.apache.hadoop.fs.Path(kmTmp), true)
       fs.delete(new org.apache.hadoop.fs.Path(kmDir), true)
     }
-    if (trackPartitionMoves && !fs.exists(new org.apache.hadoop.fs.Path(kmDir)))
-      // one-time build for legacy/recovered tables: column-pruned scan
+    if (trackPartitionMoves && !fs.exists(new org.apache.hadoop.fs.Path(kmDir))) {
+      // one-time build for legacy/recovered tables: column-pruned scan.
+      // Built under the tmp name and renamed into place — a direct
+      // write could crash half-done and the next run would silently
+      // trust the partial map (missed stale partitions → duplicate
+      // keys); a leftover tmp instead trips the self-heal above.
       spark.read.parquet(tablePath).select(keymapCols: _*)
-        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(kmDir)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(kmTmp)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(kmTmp), new org.apache.hadoop.fs.Path(kmDir)))
+        throw new java.io.IOException(s"upsert: failed to rename keymap build $kmTmp -> $kmDir")
+    }
     // keep an existing keymap current even on untracked batches, so a
     // later tracked call never consults a map missing these inserts
     val maintainKeymap =

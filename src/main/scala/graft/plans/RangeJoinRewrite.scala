@@ -71,16 +71,26 @@ import org.apache.spark.sql.types._
   *     needed: plain LEFT SEMI (or ANTI) on bucket equality with the
   *     full original condition in the ON clause.
   *
-  * **Size guard**: the rewrite declines when the right side's logical
-  * `stats.sizeInBytes` is at or under `spark.graft.rangeJoinRewrite
-  * .smallRightBytes` (default: the session's
-  * `spark.sql.autoBroadcastJoinThreshold`). A right side that small
+  * **Size guard**: the rewrite declines only when the right side is
+  * small in BOTH bytes and estimated rows: `stats.sizeInBytes` at or
+  * under `spark.graft.rangeJoinRewrite.smallRightBytes` (default: the
+  * session's `spark.sql.autoBroadcastJoinThreshold`) AND estimated
+  * rows (`stats.rowCount`, else sizeInBytes over the schema's
+  * per-row width) at or under `spark.graft.rangeJoinRewrite
+  * .smallRightRows` (default 65536). A right side that small
   * broadcasts, and Spark's stock broadcast hash/nested-loop join costs
   * no shuffle at all — two shuffles plus a window would be a
-  * pessimization. Leaves without real statistics saturate to
-  * `defaultSizeInBytes`/Long.MaxValue and therefore rewrite — the safe
-  * direction at scale. The gate harnesses (Verify/Bench) lower the knob
-  * to 64 KB because the whole sf0.1 fixture set is megabytes.
+  * pessimization. Bytes alone are not enough: a byte-small but
+  * row-heavy right (9 MB of narrow rows = millions) broadcasts into a
+  * BroadcastNestedLoopJoin that compares every right row against every
+  * left row — exactly the quadratic this rule exists to kill — so such
+  * sides rewrite. Either knob at -1 disables its half of the guard;
+  * malformed values log a warning and fall back to the default rather
+  * than failing the optimizer. Leaves without real statistics saturate
+  * to `defaultSizeInBytes`/Long.MaxValue and therefore rewrite — the
+  * safe direction at scale. The gate harnesses (Verify/Bench) lower
+  * the bytes knob to 64 KB because the whole sf0.1 fixture set is
+  * megabytes.
   *
   * A tag plus a marker attribute name keep the fixed-point optimizer
   * from rewriting its own output after predicate pushdown re-inlines
@@ -184,8 +194,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Conf key for the size guard; value in bytes, -1 disables the guard. */
+  /** Conf key for the size guard's byte half; -1 disables the guard. */
   val SmallRightBytesKey = "spark.graft.rangeJoinRewrite.smallRightBytes"
+
+  /** Conf key for the size guard's row half; -1 lets bytes alone decide. */
+  val SmallRightRowsKey = "spark.graft.rangeJoinRewrite.smallRightRows"
+
+  /** Default row ceiling for "small": a broadcast NLJ does this many
+    * comparisons per left row, so past it the bucketed shuffle wins. */
+  val DefaultSmallRightRows = 65536L
 
   // Batch only: a stream-stream interval join's range condition is what
   // BOUNDS its buffered state (watermark eviction) — bucketing it away
@@ -198,12 +215,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       j.resolved &&
       !rightBroadcastable(j)
 
-  /** True when the right side is small enough that Spark's stock
-    * broadcast join (hash or nested-loop) is the better plan — see the
-    * size-guard paragraph in the class doc. */
+  /** Parse a long-valued conf; a malformed value must not throw from
+    * inside the optimizer (it would fail every query in the session),
+    * so it logs and falls back to the default. */
+  private def confLong(key: String, default: Long): Long = {
+    val raw = conf.getConfString(key, default.toString)
+    try raw.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        logWarning(s"Ignoring malformed $key='$raw'; using default $default")
+        default
+    }
+  }
+
+  /** True when the right side is small enough — in bytes AND estimated
+    * rows — that Spark's stock broadcast join (hash or nested-loop) is
+    * the better plan; see the size-guard paragraph in the class doc. */
   private def rightBroadcastable(j: Join): Boolean = {
-    val thr = conf.getConfString(SmallRightBytesKey, conf.autoBroadcastJoinThreshold.toString).toLong
-    thr >= 0 && j.right.stats.sizeInBytes <= thr
+    val bytesThr = confLong(SmallRightBytesKey, conf.autoBroadcastJoinThreshold)
+    val stats = j.right.stats
+    if (bytesThr < 0 || stats.sizeInBytes > BigInt(bytesThr)) return false
+    val rowsThr = confLong(SmallRightRowsKey, DefaultSmallRightRows)
+    if (rowsThr < 0) return true // row half disabled: bytes alone decide
+    // rowCount stats when available; else bytes over the schema's width
+    val rowWidth = math.max(1L, j.right.output.map(_.dataType.defaultSize.toLong).sum + 8L)
+    stats.rowCount.getOrElse(stats.sizeInBytes / rowWidth) <= BigInt(rowsThr)
   }
 
   /** Stage retries recompute lost partitions; an id-keyed copy

@@ -27,11 +27,28 @@ class RangeJoinRewriteSpec extends SparkSpec {
         unix_micros($"cts") < unix_micros($"ts"))
       .select($"eid", $"cid")
 
-  private def withRule[A](f: => A): A = {
+  /** Install the rule with the size guard pinned for tiny test frames.
+    * Every fixture here is bytes-small, so at the default threshold the
+    * guard (correctly) declines in favor of a stock broadcast join —
+    * the same reason Verify/Bench lower the knob for sf0.1. Confs are
+    * restored after, the session being shared across suites. */
+  private def withRuleConf[A](bytes: String, rows: String)(f: => A): A = {
     val saved = spark.experimental.extraOptimizations
+    val keys = Seq(RangeJoinRewrite.SmallRightBytesKey -> bytes,
+      RangeJoinRewrite.SmallRightRowsKey -> rows)
+    val savedConf = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => if (v != null) spark.conf.set(k, v) else spark.conf.unset(k) }
     GraftExtensions.installRangeJoinRewrite(spark)
-    try f finally spark.experimental.extraOptimizations = saved
+    try f finally {
+      spark.experimental.extraOptimizations = saved
+      savedConf.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
   }
+
+  private def withRule[A](f: => A): A = withRuleConf("-1", null)(f)
 
   test("baseline: without the rule a pure band join is a nested-loop product") {
     // (with an equi key Spark hash-joins on the key and evaluates the
@@ -83,6 +100,41 @@ class RangeJoinRewriteSpec extends SparkSpec {
           |""".stripMargin)
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 101L), (2L, 102L), (3L, 104L)))
+    }
+  }
+
+  // --- size guard ---
+
+  test("size guard: declines a genuinely small right side (broadcast wins)") {
+    // both halves at their defaults: a 6-row, few-hundred-byte right is
+    // bytes-small and rows-small, so the stock broadcast plan stands
+    withRuleConf(null, null) {
+      val df = bandJoin()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_bkt"), s"rule fired despite a broadcastable right side:\n$p")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 101L), (2L, 102L), (3L, 104L)))
+    }
+  }
+
+  test("size guard: a byte-small but row-heavy right side still rewrites") {
+    // bytes half passes (1 GB threshold), but with the row ceiling at 3
+    // the 6-row right counts as row-heavy — the BNLJ-killer must fire
+    withRuleConf((1L << 30).toString, "3") {
+      val df = bandJoin()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_bkt"), s"row-heavy right side was left to nested-loop:\n$p")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 101L), (2L, 102L), (3L, 104L)))
+    }
+  }
+
+  test("size guard: malformed conf values fall back instead of failing the query") {
+    withRuleConf("not-a-number", "also-bad") {
+      // defaults apply → small right declines; the query must still run
+      val df = bandJoin()
       assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
         Set((1L, 101L), (2L, 102L), (3L, 104L)))
     }
