@@ -55,19 +55,28 @@ case class BloomProbe(bloom: Broadcast[Array[Byte]], child: Expression)
 
 object BloomProbe {
   // One deserialization per executor per live filter. Keyed WEAKLY by
-  // the Broadcast instance itself (Broadcast does not override equals,
-  // so WeakHashMap keys on identity): a restarted SparkContext that
-  // reuses broadcast ids can never be served a stale filter, and
-  // entries vanish with their broadcast under GC instead of a racy
-  // size-triggered clear() that could evict in-use filters mid-query.
-  private val cache = new WeakHashMap[Broadcast[Array[Byte]], BloomFilter]()
-  private[functions] def filterFor(b: Broadcast[Array[Byte]]): BloomFilter =
+  // the broadcast's VALUE (the byte array), not the Broadcast wrapper:
+  // the wrapper is deserialized fresh for every task, so a
+  // wrapper-keyed map never hits across tasks and the tens-of-MB
+  // filter would be re-`readFrom`'d per TASK — a cluster-wide latency
+  // tax at 100 TB. `b.value` is served from the executor's block
+  // manager and is identity-stable for every task on the executor
+  // (Array does not override equals, so WeakHashMap keys on identity);
+  // a restarted SparkContext that reuses broadcast ids yields a
+  // different array instance, so a stale filter can never be served,
+  // and entries vanish when the block manager drops the broadcast
+  // block instead of a racy size-triggered clear() that could evict
+  // in-use filters mid-query.
+  private val cache = new WeakHashMap[Array[Byte], BloomFilter]()
+  private[functions] def filterFor(b: Broadcast[Array[Byte]]): BloomFilter = {
+    val bytes = b.value
     cache.synchronized {
-      var f = cache.get(b)
+      var f = cache.get(bytes)
       if (f == null) {
-        f = BloomFilter.readFrom(new ByteArrayInputStream(b.value))
-        cache.put(b, f)
+        f = BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+        cache.put(bytes, f)
       }
       f
     }
+  }
 }

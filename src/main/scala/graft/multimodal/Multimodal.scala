@@ -8,14 +8,18 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The decode step is a clearly-marked STUB (the container has no
-  * image/audio codecs): [[FakeDecoder]] derives deterministic
-  * pseudo-metadata from the bytes. Everything around it — the binary
-  * column schema, the batched `mapPartitions` shape (the Scala
-  * equivalent of `mapInPandas`: an iterator-of-batches UDF that never
-  * materializes a partition), the typed output struct, and partition
-  * sizing — is real and tested, so swapping in a real codec is a
-  * one-function change.
+  * The decode step is REAL for images: [[ImageHeader]] detects
+  * PNG/JPEG/GIF by magic bytes and parses width/height from the
+  * format's header (IHDR / SOFn / logical screen descriptor) with
+  * stdlib byte arithmetic — no external codecs needed. Payloads that
+  * are not a recognizable image (the synthetic fixtures' UTF-8 text,
+  * audio/video containers this build doesn't parse) fall back to
+  * [[FakeDecoder]]'s deterministic pseudo-metadata, keeping the
+  * fixture oracles exact. The plumbing — the binary column schema, the
+  * batched `mapPartitions` shape (the Scala equivalent of
+  * `mapInPandas`: an iterator-of-batches UDF that never materializes a
+  * partition), the typed output struct, and partition sizing — is
+  * shared by both paths.
   *
   * Scale notes: binary payloads dominate row width, so the operator (a)
   * keeps the decode in a narrow `mapPartitions` (no shuffle), (b)
@@ -24,7 +28,7 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata produced by the (stubbed) decoder. */
+  /** Typed metadata produced by the decoder. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("byte_len", LongType),
@@ -35,9 +39,70 @@ object Multimodal {
     StructField("duration_ms", LongType)
   ))
 
-  /** STUB decoder: deterministic fake metadata from raw bytes. A real
-    * deployment replaces this body with an actual codec call; the
-    * signature (bytes in, typed struct out) is the stable contract. */
+  /** Real image header parser: format + dimensions for PNG / JPEG /
+    * GIF from the raw bytes, stdlib only. Used by [[decodeMetadata]]
+    * for any payload whose magic bytes identify one of the three
+    * formats; returns None otherwise (never throws — a truncated or
+    * corrupt header reads as "not an image" and falls back). */
+  object ImageHeader {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    /** (format, width, height), or None if not a parsable PNG/JPEG/GIF. */
+    def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
+      def png: Option[(String, Int, Int)] =
+        // 8-byte signature, then the IHDR chunk: len(4) "IHDR" w(4 BE) h(4 BE)
+        if (b.length >= 24 &&
+          u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+          val (w, h) = (be32(b, 16), be32(b, 20))
+          if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+            Some(("png", w.toInt, h.toInt)) else None
+        } else None
+      def gif: Option[(String, Int, Int)] =
+        // "GIF87a"/"GIF89a", then the logical screen descriptor (LE u16 × 2)
+        if (b.length >= 10 &&
+          b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+          val (w, h) = (le16(b, 6), le16(b, 8))
+          if (w > 0 && h > 0) Some(("gif", w, h)) else None
+        } else None
+      def jpeg: Option[(String, Int, Int)] =
+        if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+          // walk the marker segments to the first SOFn frame header:
+          // [FF marker][len(2 BE)] ... SOFn payload = precision(1) h(2) w(2)
+          var i = 2
+          while (i + 3 < b.length && u8(b, i) == 0xff) {
+            val marker = u8(b, i + 1)
+            if (marker == 0xff) i += 1 // fill byte
+            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) i += 2 // standalone
+            else {
+              val len = be16(b, i + 2)
+              if (len < 2) return None
+              val isSof = marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+              if (isSof) {
+                if (i + 9 >= b.length) return None
+                val (h, w) = (be16(b, i + 5), be16(b, i + 7))
+                return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+              }
+              i += 2 + len
+            }
+          }
+          None
+        } else None
+      png.orElse(gif).orElse(jpeg)
+    }
+  }
+
+  /** STUB decoder: deterministic fake metadata from raw bytes, the
+    * fallback for payloads [[ImageHeader]] doesn't recognize (a real
+    * deployment swaps this body for its audio/video codec call; the
+    * signature — bytes in, typed struct out — is the stable contract). */
   object FakeDecoder {
     def decode(id: Long, bytes: Array[Byte]): Row = {
       val n = bytes.length.toLong
@@ -48,6 +113,15 @@ object Multimodal {
       Row(id, n, fmt, width, height, frames, n * 40 % 600000)
     }
   }
+
+  /** Production decode: real image headers first, deterministic
+    * fallback otherwise. Images are single-frame stills (animated-GIF
+    * frame counting needs a full block walk — out of scope). */
+  def decodeOne(id: Long, bytes: Array[Byte]): Row =
+    ImageHeader.parse(bytes) match {
+      case Some((fmt, w, h)) => Row(id, bytes.length.toLong, fmt, w, h, 1, 0L)
+      case None              => FakeDecoder.decode(id, bytes)
+    }
 
   /** Real binary ingest: read a directory of media files as
     * (media_id, payload) via Spark's binaryFile source — the production
@@ -81,7 +155,7 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(mediaMetaSchema)
     val ds: Dataset[Row] = media.select("media_id", "payload").mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map(r => FakeDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+        batch.map(r => decodeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
       }
     }
     ds.toDF()

@@ -207,10 +207,26 @@ object Dedup {
     * `|A∩B| >= ceil(t*s)` for both sizes s). Candidates therefore come
     * from an EQUI self-join on prefix tokens — rare tokens first, so
     * prefixes mostly hold low-df tokens and candidate volume stays near
-    * the true pair count — then a size filter (`min >= t*max`) and an
-    * exact intersection verify. No sampling, no broadcast pinning, no
-    * quadratic stage; every shuffle is linear in data or candidates.
-    * Similarity is returned in exact integer micro-units. */
+    * the true pair count — then a size filter (`min >= t*max`), the
+    * PPJoin POSITIONAL filter (see below), and an exact intersection
+    * verify. No sampling, no broadcast pinning, no quadratic stage;
+    * every shuffle is linear in data or candidates.
+    *
+    * Positional filter (the PPJoin refinement over plain AllPairs): a
+    * prefix match at 0-based positions (pa, pb) bounds the overlap —
+    * with both arrays in the same global order, common tokens appear in
+    * the same relative order, so for a qualifying pair the FIRST common
+    * token is matched in both prefixes and
+    * `overlap <= 1 + min(sa-1-min(pa), sb-1-min(pb))`; dually every
+    * common token before the LAST match is itself matched, so
+    * `overlap <= matches + min(sa-1-max(pa), sb-1-max(pb))`. Candidates
+    * whose tighter bound cannot reach the required overlap
+    * `o*(1e6+t_e6) >= t_e6*(sa+sb)` (the exact integer form of
+    * `J >= t`, identical to the verify stage's test, so the pruning is
+    * exact) are dropped BEFORE the shingle arrays are joined back —
+    * this is what keeps the verify stage small on low-vocabulary
+    * corpora where shared prefix tokens are common but real near-dups
+    * are rare. Similarity is returned in exact integer micro-units. */
   def exactJaccardJoin(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val tE6 = math.round(threshold * 1000000)
@@ -227,16 +243,27 @@ object Dedup {
       .select(col("id"), size(col("arr")).as("s"), col("arr"))
     val prefix = ordered.select(
       col("id"), col("s"),
-      explode(slice(
+      posexplode(slice(
         col("arr"), lit(1),
-        (col("s") - ceil(col("s") * lit(threshold)) + 1).cast("int"))).as("pt"))
-      .select(col("id"), col("s"), col("pt.tok").as("tok"))
-    val cand = prefix.select(col("id").as("id_a"), col("s").as("sa"), col("tok"))
-      .join(prefix.select(col("id").as("id_b"), col("s").as("sb"), col("tok")), Seq("tok"))
+        (col("s") - ceil(col("s") * lit(threshold)) + 1).cast("int"))))
+      .select(col("id"), col("s"), col("pos"), col("col.tok").as("tok"))
+    // required overlap, exact integers: J >= t  ⇔  o*(1e6+tE6) >= tE6*(sa+sb)
+    val needed = lit(tE6) * (col("sa") + col("sb"))
+    def bound(o: Column) = o * lit(1000000L + tE6)
+    val cand = prefix.select(col("id").as("id_a"), col("s").as("sa"), col("pos").as("pa"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("s").as("sb"), col("pos").as("pb"), col("tok")), Seq("tok"))
       .filter(
         col("id_a") < col("id_b") &&
           col("sa") * lit(threshold) <= col("sb") && col("sb") * lit(threshold) <= col("sa"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b", "sa", "sb")
+      .agg(
+        min(col("pa")).as("mina"), min(col("pb")).as("minb"),
+        max(col("pa")).as("maxa"), max(col("pb")).as("maxb"),
+        count(lit(1)).as("matches"))
+      .filter(
+        bound(lit(1L) + least(col("sa") - 1 - col("mina"), col("sb") - 1 - col("minb"))) >= needed &&
+          bound(col("matches") + least(col("sa") - 1 - col("maxa"), col("sb") - 1 - col("maxb"))) >= needed)
+      .select("id_a", "id_b")
     cand
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -192,9 +192,22 @@ object Upsert {
     if (!fs.exists(path) || fs.listStatus(path).isEmpty) {
       val merged = merge(updates.filter(lit(false)), updates, keyCols, versionCol).cache()
       merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tablePath)
-      if (trackPartitionMoves)
+      if (trackPartitionMoves) {
+        // tmp + rename, same as the legacy build below: a crash during
+        // the keymap job's commit could otherwise leave a
+        // partial-but-readable map directly under kmDir with no
+        // leftover tmp, so the self-heal would never trigger and later
+        // runs would trust an incomplete map (missed stale partitions
+        // → duplicate keys). With the tmp protocol a half-written map
+        // is never visible under kmDir.
         merged.select(keymapCols: _*)
-          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(kmDir)
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(kmTmp)
+        // a keymap orphaned by an externally-deleted table would make
+        // the rename nest kmTmp INSIDE it (Hadoop rename-into-dir)
+        fs.delete(new org.apache.hadoop.fs.Path(kmDir), true)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(kmTmp), new org.apache.hadoop.fs.Path(kmDir)))
+          throw new java.io.IOException(s"upsert: failed to rename bootstrap keymap $kmTmp -> $kmDir")
+      }
       merged.unpersist()
       return updatedParts
     }

@@ -237,8 +237,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (bytesThr < 0 || stats.sizeInBytes > BigInt(bytesThr)) return false
     val rowsThr = confLong(SmallRightRowsKey, DefaultSmallRightRows)
     if (rowsThr < 0) return true // row half disabled: bytes alone decide
-    // rowCount stats when available; else bytes over the schema's width
-    val rowWidth = math.max(1L, j.right.output.map(_.dataType.defaultSize.toLong).sum + 8L)
+    // rowCount stats when available; else bytes over the schema's width.
+    // For file relations sizeInBytes is the COMPRESSED on-disk size
+    // while defaultSize is the uncompressed in-memory width, so the
+    // quotient can undercount rows several-fold — the width is
+    // discounted by a columnar-typical 4x so the estimate errs HIGH:
+    // an overestimate merely declines broadcastable-sized sides the
+    // stock planner handles anyway, while an undercount would wave a
+    // genuinely row-heavy side into a broadcast nested-loop join.
+    val rowWidth = math.max(1L, (j.right.output.map(_.dataType.defaultSize.toLong).sum + 8L) / 4L)
     stats.rowCount.getOrElse(stats.sizeInBytes / rowWidth) <= BigInt(rowsThr)
   }
 

@@ -40,15 +40,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *    page retries alone (the task-retry analog of the reference's
   *    page-level checkpoint/resume, `crime_etl.py:132-168`).
   *
-  * Offline contract: data is served by the same deterministic generator
-  * as [[ApiSimulator]] ([[ApiSimulator.genValues]]), with row i's
-  * `:updated_at` spread over `nDays` days from `baseDate` so range
-  * pushdown has selectivity to exercise. A live deployment would swap
-  * the generator for the HTTP POST; every planner-visible surface
-  * (schema, pushdown, partitions) is the production shape.
+  * The page fetch itself sits behind the [[ApiTransport]] seam, chosen
+  * by the `transport` OPTION (a class name) — deployment against the
+  * live API is configuration, not code: point `transport` at an HTTP
+  * POST implementation of the one-method trait and every
+  * planner-visible surface (schema, pushdown, pagination, retries)
+  * stays exactly as tested here. The default [[SimulatorTransport]]
+  * serves the same deterministic rows as [[ApiSimulator]]
+  * ([[ApiSimulator.genValues]]), with row i's `:updated_at` spread
+  * over `nDays` days from `baseDate` so range pushdown has
+  * selectivity to exercise. The reader re-checks every pushed
+  * predicate client-side, so a transport whose server-side filter is
+  * approximate (or absent) is still correct.
   *
   * Options: `totalRows` (default 5000), `pageSize` (1000),
-  * `baseDate` (2026-01-01), `nDays` (28).
+  * `baseDate` (2026-01-01), `nDays` (28) — consumed by the simulator
+  * transport; `transport` (class name, default [[SimulatorTransport]]),
+  * `maxPages` (page-plan cap for transports without a known row count —
+  * the reference stops at 50 pages, `etl/main.py:57`).
   */
 class ApiTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-api"
@@ -85,6 +94,59 @@ final case class UpdatedRange(
   def accepts(v: String): Boolean =
     if (v == null) !notNull && ge.isEmpty && gt.isEmpty && le.isEmpty && lt.isEmpty
     else ge.forall(v >= _) && gt.forall(v > _) && le.forall(v <= _) && lt.forall(v < _)
+}
+
+/** One SoQL-shaped page request — everything a transport needs: the
+  * pushed `$where` range, the page geometry, and the connector options
+  * (a live transport reads its endpoint/credentials alias from them;
+  * the simulator its `totalRows`/`baseDate`/`nDays`). Option keys are
+  * lower-cased. */
+final case class ApiPageRequest(
+    page: Int,
+    pageSize: Int,
+    range: UpdatedRange,
+    options: Map[String, String]) {
+  /** The pushed range rendered as the SoQL WHERE clause the reference
+    * sends (`extract.py:21-24`) — what a live transport puts in
+    * `$where`. Empty string when nothing was pushed. */
+  def soqlWhere: String =
+    (range.ge.map(v => s":updated_at >= '$v'").toSeq ++
+      range.gt.map(v => s":updated_at > '$v'") ++
+      range.le.map(v => s":updated_at <= '$v'") ++
+      range.lt.map(v => s":updated_at < '$v'")).mkString(" AND ")
+}
+
+/** The S1 transport seam: how a page of rows is actually obtained.
+  * Selected per-read with `.option("transport", className)` — swapping
+  * in the live HTTP POST is deployment configuration, not a code
+  * change. Implementations need a public no-arg constructor: one
+  * instance is created PER PARTITION on the executor via reflection
+  * (never serialized, so non-serializable fields like an HTTP client
+  * are fine). Rows come back as rawCrime-ordered value arrays, nulls
+  * allowed; an exhausted page is an empty iterator. Applying
+  * `req.range`/[[ApiPageRequest.soqlWhere]] server-side is the point
+  * of pushdown but is OPTIONAL for correctness — the reader re-checks
+  * every pushed predicate on every row. */
+trait ApiTransport {
+  def fetchPage(req: ApiPageRequest): Iterator[Array[String]]
+}
+
+/** Default transport: the deterministic offline generator — same rows
+  * as [[ApiSimulator]]. Pages are full (`pageSize` rows) up to
+  * `totalRows`, which is what lets the scan prune whole pages under a
+  * pushed LIMIT. */
+final class SimulatorTransport extends ApiTransport {
+  override def fetchPage(req: ApiPageRequest): Iterator[Array[String]] = {
+    val totalRows = req.options.getOrElse("totalrows", "5000").toInt
+    val nDays = req.options.getOrElse("ndays", "28").toInt
+    val base = java.time.LocalDate.parse(req.options.getOrElse("basedate", "2026-01-01"))
+    val start = req.page * req.pageSize
+    val end = math.min(start + req.pageSize, totalRows)
+    Iterator.range(start, math.max(start, end)).map { i =>
+      // row i "lives" on baseDate + (i % nDays) — the server-side value
+      ApiSimulator.genValues(i, base.plusDays(i % nDays).toString)
+    }
+  }
 }
 
 final class ApiScanBuilder(options: CaseInsensitiveStringMap)
@@ -143,43 +205,56 @@ final class ApiScanBuilder(options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ApiScan(
-    totalRows = options.getInt("totalRows", 5000),
-    pageSize = options.getInt("pageSize", 1000),
-    baseDate = options.getOrDefault("baseDate", "2026-01-01"),
-    nDays = options.getInt("nDays", 28),
-    range = range,
-    required = required,
-    limit = limit
-  )
+  override def build(): Scan = {
+    import scala.jdk.CollectionConverters._
+    // CaseInsensitiveStringMap stores lower-cased keys; freeze them into
+    // a plain serializable Map for the partitions/transport
+    val opts = options.asScala.toMap.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new ApiScan(
+      totalRows = options.getInt("totalRows", 5000),
+      pageSize = options.getInt("pageSize", 1000),
+      range = range,
+      required = required,
+      limit = limit,
+      transportClass = options.getOrDefault("transport", classOf[SimulatorTransport].getName),
+      opts = opts
+    )
+  }
 }
 
 final class ApiScan(
     val totalRows: Int,
     val pageSize: Int,
-    val baseDate: String,
-    val nDays: Int,
     val range: UpdatedRange,
     val required: StructType,
-    val limit: Option[Int] = None
+    val limit: Option[Int] = None,
+    val transportClass: String = classOf[SimulatorTransport].getName,
+    val opts: Map[String, String] = Map.empty
 ) extends Scan
     with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-api totalRows=$totalRows pageSize=$pageSize range=$range limit=$limit"
+    s"graft-api totalRows=$totalRows pageSize=$pageSize range=$range limit=$limit transport=$transportClass"
+
+  private def isSimulator = transportClass == classOf[SimulatorTransport].getName
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val nPages = (totalRows + pageSize - 1) / pageSize
+    // the simulator's row count is known; other transports page up to
+    // an explicit maxPages cap (the reference stops at 50 pages)
+    val nPages = opts.get("maxpages").map(_.toInt)
+      .getOrElse((totalRows + pageSize - 1) / pageSize)
     // A pushed limit prunes whole pages ONLY when no filter is pushed
-    // (with a filter, a page may contribute fewer rows than generated,
-    // so later pages must stay reachable to supply the limit). Each
-    // reader additionally caps its own output at `limit`.
+    // AND pages are known full (simulator) — with a filter or an
+    // unknown-fullness transport, a page may contribute fewer rows, so
+    // later pages must stay reachable to supply the limit. Each reader
+    // additionally caps its own output at `limit`.
     val pages = limit match {
-      case Some(n) if range == UpdatedRange() => math.min(nPages, (n + pageSize - 1) / pageSize)
-      case _                                  => nPages
+      case Some(n) if range == UpdatedRange() && isSimulator =>
+        math.min(nPages, (n + pageSize - 1) / pageSize)
+      case _ => nPages
     }
-    Array.tabulate(pages)(pg => ApiPagePartition(pg, pageSize, totalRows, baseDate, nDays, range, limit))
+    Array.tabulate(pages)(pg => ApiPagePartition(pg, pageSize, range, limit, transportClass, opts))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new ApiReaderFactory(
@@ -189,11 +264,10 @@ final class ApiScan(
 final case class ApiPagePartition(
     page: Int,
     pageSize: Int,
-    totalRows: Int,
-    baseDate: String,
-    nDays: Int,
     range: UpdatedRange,
-    limit: Option[Int] = None
+    limit: Option[Int],
+    transportClass: String,
+    opts: Map[String, String]
 ) extends InputPartition
 
 /** `ordinals`: for each required output column, its index in the full
@@ -202,22 +276,21 @@ final class ApiReaderFactory(ordinals: Array[Int]) extends PartitionReaderFactor
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ApiPagePartition]
     val updIdx = Schemas.rawCrime.fieldIndex(":updated_at")
-    val base = java.time.LocalDate.parse(part.baseDate)
     new PartitionReader[InternalRow] {
-      private var i = part.page * part.pageSize - 1
-      private val end = math.min((part.page + 1) * part.pageSize, part.totalRows)
+      private val transport = Class.forName(part.transportClass)
+        .getDeclaredConstructor().newInstance().asInstanceOf[ApiTransport]
+      private val rows = transport.fetchPage(
+        ApiPageRequest(part.page, part.pageSize, part.range, part.opts))
       private var emitted = 0
       private var current: Array[String] = _
 
       override def next(): Boolean = {
         if (part.limit.exists(emitted >= _)) return false
-        i += 1
-        while (i < end) {
-          // row i "lives" on baseDate + (i % nDays) — the server-side value
-          val rowDate = base.plusDays(i % part.nDays).toString
-          val vals = ApiSimulator.genValues(i, rowDate)
+        while (rows.hasNext) {
+          val vals = rows.next()
+          // pushed predicates re-checked per row: correctness never
+          // rests on the transport's server-side filter being exact
           if (part.range.accepts(vals(updIdx))) { current = vals; emitted += 1; return true }
-          i += 1
         }
         false
       }

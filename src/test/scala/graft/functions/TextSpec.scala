@@ -77,7 +77,15 @@ class TextSpec extends SparkSpec {
     val jan1 = dim.filter($"date" === "1995-01-01").first()
     assert(jan1.getAs[String]("holiday_name") == "New Year's Day")
     assert(jan1.getAs[String]("day_of_week_name") == "Sunday")
-    assert(dim.filter($"holiday_name".isNotNull).count() == 4)
+    // 4 fixed + 6 floating (nth-weekday) holidays
+    assert(dim.filter($"holiday_name".isNotNull).count() == 10)
+    val byName = dim.filter($"holiday_name".isNotNull)
+      .select($"holiday_name", $"date".cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(byName("Martin Luther King Jr. Day") == "1995-01-16") // 3rd Monday
+    assert(byName("Memorial Day") == "1995-05-29")               // last Monday
+    assert(byName("Labor Day") == "1995-09-04")                  // 1st Monday
+    assert(byName("Thanksgiving") == "1995-11-23")               // 4th Thursday
   }
 
   test("checkpoint roundtrip + clear") {

@@ -92,6 +92,25 @@ class UpsertSpec extends SparkSpec {
     assert(out.toSeq == Seq(("k1", 2, 2021, "corrected"), ("k2", 1, 2020, "other")))
   }
 
+  test("upsertIntoParquet removes the null-partition copy when a key moves OUT of it") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
+    // kn starts in the NULL partition (e.g. a malformed timestamp
+    // Transform mapped to NULL, later corrected to a real year)
+    val init = Seq(("kn", 1, None: Option[Int], "malformed"), ("k2", 1, Some(2020), "other"))
+      .toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, init, Seq("id"), "v", "yr")
+    val upd = Seq(("kn", 2, Some(2021), "corrected")).toDF("id", "v", "yr", "payload")
+    Upsert.upsertIntoParquet(spark, dir, upd, Seq("id"), "v", "yr")
+    val out = spark.read.parquet(dir).select("id", "v", "yr", "payload")
+      .as[(String, Int, Option[Int], String)].collect().sortBy(_._1)
+    // exactly one kn row, in the NEW partition — without the coalesce in
+    // stalePartitionsFrame the !isin(...) filter is NULL for the
+    // null-partition keymap row and the stale copy silently survives
+    assert(out.toSeq == Seq(("k2", 1, Some(2020), "other"), ("kn", 2, Some(2021), "corrected")))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/yr=${Upsert.NullPartitionDir}")))
+  }
+
   test("upsertIntoParquet swaps partition values that Spark escapes in dir names") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/tbl"
     val init = Seq(("k1", 1, "a b:c", "x"), ("k2", 1, "plain", "y")).toDF("id", "v", "part", "payload")

@@ -122,4 +122,26 @@ class RunnerSpec extends SparkSpec {
     assert(SyncRepair.diff(r.logsA.read(), r.logsB.read()).count() == 0)
     assert(spark.read.parquet(r.replicaB).count() == 100)
   }
+
+  test("ConfigMain drives a full run from a properties file") {
+    val dir = java.nio.file.Files.createTempDirectory("runner-cfg").toString
+    val props = new java.util.Properties()
+    props.setProperty("workDir", dir)
+    props.setProperty("runId", "cfg-run-1")
+    props.setProperty("loadDate", "2026-02-05")
+    props.setProperty("epochStart", "2026-01-01")
+    props.setProperty("tablePrefix", "t6")
+    props.setProperty("api.totalRows", "300")
+    props.setProperty("api.pageSize", "100")
+    props.setProperty("api.baseDate", "2026-01-01")
+    props.setProperty("api.nDays", "28")
+    assert(ConfigMain.run(spark, props) == "SUCCESS")
+    val crime = spark.read.parquet(s"$dir/warehouse_a/crime")
+    assert(crime.count() == 300)
+    // missing required keys fail fast with the key name
+    val bad = new java.util.Properties()
+    bad.setProperty("runId", "x")
+    val e = intercept[RuntimeException](ConfigMain.run(spark, bad))
+    assert(e.getMessage.contains("workDir"))
+  }
 }

@@ -6,6 +6,16 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.functions._
 
+/** A stand-in "live" transport: 3 fixed rows on page 0, empty pages
+  * after — and it deliberately IGNORES the pushed range, proving the
+  * reader's client-side re-check. Public no-arg ctor, instantiated by
+  * the connector via reflection. */
+class FixedPageTransport extends ApiTransport {
+  override def fetchPage(req: ApiPageRequest): Iterator[Array[String]] =
+    if (req.page == 0) Iterator.range(0, 3).map(i => ApiSimulator.genValues(i, "2031-07-09"))
+    else Iterator.empty
+}
+
 /** DSv2 connector (S1 production path): pushdown of the `:updated_at`
   * CDC range into the source scan — the Spark twin of the reference's
   * SoQL `updated_on BETWEEN a AND b` (`extract.py:9-42`). */
@@ -86,6 +96,35 @@ class ApiConnectorSpec extends SparkSpec {
     assert(crime.count() == 400) // all 400 generated rows fall in the FULL window
     assert(crime.select("crime_id").distinct().count() == 400)
     assert(runner.logsA.read().filter(col("status") === "SUCCESS").count() == 1)
+  }
+
+  test("transport seam: a custom transport is selected by option, pushdown still enforced") {
+    val df = spark.read
+      .format("graft-api")
+      .option("transport", classOf[FixedPageTransport].getName)
+      .option("maxPages", 3)
+      .option("pageSize", 100)
+      .load()
+    val scan = apiScan(df)
+    assert(scan.transportClass == classOf[FixedPageTransport].getName)
+    // 3 planned pages, only page 0 serves rows (empty-page end contract)
+    assert(scan.planInputPartitions().length == 3)
+    assert(df.count() == 3)
+    assert(df.select(":updated_at").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().forall(_.startsWith("2031-07-09")))
+    // a pushed limit must NOT prune pages for an unknown-fullness transport
+    assert(apiScan(df.limit(2)).planInputPartitions().length == 3)
+    // the reader re-checks pushed predicates even if the transport
+    // ignores the range (FixedPageTransport does)
+    assert(df.filter(col(":updated_at") >= "2040-01-01").count() == 0)
+    assert(df.filter(col(":updated_at") >= "2031-01-01").count() == 3)
+  }
+
+  test("the pushed range renders as the reference's SoQL WHERE clause") {
+    val req = ApiPageRequest(0, 100,
+      UpdatedRange(ge = Some("2026-01-05"), lt = Some("2026-01-10")), Map.empty)
+    assert(req.soqlWhere == ":updated_at >= '2026-01-05' AND :updated_at < '2026-01-10'")
+    assert(ApiPageRequest(0, 100, UpdatedRange(), Map.empty).soqlWhere == "")
   }
 
   test("non-range predicates stay client-side, results still correct") {
