@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The decode step is REAL for images: [[ImageHeader]] detects
-  * PNG/JPEG/GIF by magic bytes and parses width/height from the
-  * format's header (IHDR / SOFn / logical screen descriptor) with
-  * stdlib byte arithmetic — no external codecs needed. Payloads that
-  * are not a recognizable image (the synthetic fixtures' UTF-8 text,
-  * audio/video containers this build doesn't parse) fall back to
+  * The decode step is REAL for images and WAV audio: [[ImageHeader]]
+  * detects PNG/JPEG/GIF by magic bytes and parses width/height from
+  * the format's header (IHDR / SOFn / logical screen descriptor),
+  * plus the true frame count for animated GIFs; [[WavHeader]] walks
+  * the RIFF chunks for exact sample-frame count and duration — all
+  * stdlib byte arithmetic, no external codecs. Payloads that are none
+  * of these (the synthetic fixtures' UTF-8 text, compressed-audio or
+  * video containers this build doesn't parse) fall back to
   * [[FakeDecoder]]'s deterministic pseudo-metadata, keeping the
   * fixture oracles exact. The plumbing — the binary column schema, the
   * batched `mapPartitions` shape (the Scala equivalent of
@@ -97,6 +99,75 @@ object Multimodal {
         } else None
       png.orElse(gif).orElse(jpeg)
     }
+
+    /** Frame count of a GIF: walks the block stream counting image
+      * descriptors (animated GIFs have one per frame). None when the
+      * walk runs off the end before the trailer — the caller falls
+      * back to 1 (a still). */
+    def gifFrameCount(b: Array[Byte]): Option[Int] = {
+      if (b.length < 14 || !(b(0) == 'G' && b(1) == 'I' && b(2) == 'F')) return None
+      // logical screen descriptor: packed field bit 7 = global color
+      // table present, bits 0-2 = its size as 2^(n+1) 3-byte entries
+      val packed = u8(b, 10)
+      var i = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 0x07) + 1)) else 0)
+      def skipSubBlocks(): Boolean = {
+        while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+        if (i < b.length) { i += 1; true } else false // the 0x00 block terminator
+      }
+      var frames = 0
+      while (i < b.length) {
+        u8(b, i) match {
+          case 0x3b => return Some(frames) // trailer
+          case 0x21 => // extension: label byte, then sub-blocks
+            i += 2
+            if (!skipSubBlocks()) return None
+          case 0x2c => // image descriptor (+ optional local color table)
+            if (i + 10 > b.length) return None
+            val p = u8(b, i + 9)
+            i += 10 + (if ((p & 0x80) != 0) 3 * (1 << ((p & 0x07) + 1)) else 0)
+            i += 1 // LZW minimum code size
+            if (!skipSubBlocks()) return None
+            frames += 1
+          case _ => return None // corrupt stream
+        }
+      }
+      None
+    }
+  }
+
+  /** Real audio header parser: WAV/RIFF format + sample geometry +
+    * exact duration, stdlib only. Same contract as [[ImageHeader]]:
+    * None (never a throw) for anything that isn't a parsable WAV. */
+  object WavHeader {
+    private def u16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+      b(i) == s(0) && b(i + 1) == s(1) && b(i + 2) == s(2) && b(i + 3) == s(3)
+
+    /** (sampleFrames, durationMs), from the fmt and data chunks. */
+    def parse(b: Array[Byte]): Option[(Long, Long)] = {
+      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+      var i = 12
+      var byteRate = 0L
+      var blockAlign = 0
+      var dataSize = -1L
+      while (i + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
+        val size = u32(b, i + 4)
+        if (size > Int.MaxValue - 16) return None // also guards the Int cast below
+        if (tag(b, i, "fmt ")) {
+          if (i + 24 > b.length) return None
+          byteRate = u32(b, i + 16)
+          blockAlign = u16(b, i + 20)
+        } else if (tag(b, i, "data")) {
+          // size may overrun a truncated buffer; clamp to what's present
+          dataSize = math.min(size, (b.length - i - 8).toLong)
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (byteRate <= 0 || blockAlign <= 0 || dataSize < 0) None
+      else Some((dataSize / blockAlign, dataSize * 1000L / byteRate))
+    }
   }
 
   /** STUB decoder: deterministic fake metadata from raw bytes, the
@@ -114,13 +185,23 @@ object Multimodal {
     }
   }
 
-  /** Production decode: real image headers first, deterministic
-    * fallback otherwise. Images are single-frame stills (animated-GIF
-    * frame counting needs a full block walk — out of scope). */
+  /** Production decode: real image/audio headers first, deterministic
+    * fallback otherwise. PNG/JPEG are stills (n_frames 1); GIF frame
+    * count comes from the block walk (animated GIFs report their real
+    * frame count); WAV rows carry null width/height and exact
+    * sample-frame count + duration. */
   def decodeOne(id: Long, bytes: Array[Byte]): Row =
     ImageHeader.parse(bytes) match {
-      case Some((fmt, w, h)) => Row(id, bytes.length.toLong, fmt, w, h, 1, 0L)
-      case None              => FakeDecoder.decode(id, bytes)
+      case Some((fmt, w, h)) =>
+        val frames = if (fmt == "gif") ImageHeader.gifFrameCount(bytes).getOrElse(1) else 1
+        Row(id, bytes.length.toLong, fmt, w, h, frames, 0L)
+      case None =>
+        WavHeader.parse(bytes) match {
+          case Some((frames, durMs)) =>
+            Row(id, bytes.length.toLong, "wav", null, null,
+              math.min(frames, Int.MaxValue.toLong).toInt, durMs)
+          case None => FakeDecoder.decode(id, bytes)
+        }
     }
 
   /** Real binary ingest: read a directory of media files as

@@ -131,4 +131,34 @@ class DedupProps extends SparkSpec {
       assert(got === want, s"seed $seed threshold $threshold")
     }
   }
+
+  test("exactJaccardJoin equals brute force on a LOW-VOCABULARY corpus (positional-filter stress)") {
+    // 4-word vocabulary: every prefix token is shared by most docs, the
+    // exact regime where the PPJoin positional filter does the pruning —
+    // any over-pruning (a dropped qualifying pair) fails the comparison
+    val tinyVocab = Vector("aa", "bb", "cc", "dd")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(25))(tinyVocab(rnd.nextInt(tinyVocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      def shingleSet(t: String): Set[String] =
+        t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      for (threshold <- Seq(0.5, 0.8)) {
+        val got = Dedup.exactJaccardJoin(df, "doc_id", "text", threshold)
+          .select("id_a", "id_b", "jaccard_e6").as[(Long, Long, Long)].collect().toSet
+        val want = (for {
+          (a, sa) <- sets.toSeq
+          (b, sb) <- sets.toSeq
+          if a < b && sa.nonEmpty && sb.nonEmpty
+          inter = sa.intersect(sb).size.toLong
+          union = sa.union(sb).size.toLong
+          if inter * 1000000L >= math.round(threshold * 1000000) * union
+        } yield (a, b, inter * 1000000L / union)).toSet
+        assert(got === want, s"seed $seed threshold $threshold")
+      }
+    }
+  }
 }
