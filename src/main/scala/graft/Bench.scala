@@ -87,6 +87,18 @@ object Bench {
     case _                                           => None
   }
 
+  /** Physical core count as /proc/stat reports it (cpuN lines) — the
+    * busy-jiffies denominator MUST match the counter's scope; the JVM's
+    * availableProcessors can be smaller under cgroups/taskset, which
+    * would inflate the external fraction and mark a quiet machine
+    * contended. Falls back to availableProcessors off-Linux. */
+  private def machineCores(): Int =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try math.max(1, src.getLines().count(_.matches("cpu\\d+\\s.*")))
+      finally src.close()
+    } catch { case _: Throwable => Runtime.getRuntime.availableProcessors }
+
   /** Fraction of TOTAL machine CPU capacity spent outside this JVM
     * during `f` — the direct external-contention signal. 0.0 when the
     * needed counters are unavailable (the retry logic then degrades to
@@ -178,7 +190,7 @@ object Bench {
     val selected = only.fold(Queries.all.filterNot(q => demoted(q.name)))(
       f => Queries.all.filter(q => f(q.name)))
     var retriesTotal = 0
-    val nCores = Runtime.getRuntime.availableProcessors
+    val nCores = machineCores()
     var contendedQueries = List.empty[String]
     val results = selected.map { q =>
       def run(): Unit = q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -256,26 +268,26 @@ object Bench {
       (s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // (3) sidecar protection: a contended run must not destroy cleaner
     // evidence — r09's contended artifact overwrote a clean r08 sidecar
-    // and cost a round of forensics. The existing file's own
-    // load1_start decides; absent or unparsable reads as "replaceable".
-    def existingLoad1Start(path: String): Option[Double] = {
+    // and cost a round of forensics. "Contended" covers BOTH a hot
+    // start and mid-run bursts (the contendedQueries path): the
+    // existing artifact's own self-reported warning decides, so a run
+    // that started quiet but got burst-hit mid-run still can't replace
+    // a fully clean one. Absent or unparsable reads as "replaceable".
+    def existingIsClean(path: String): Boolean = {
       val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) None
-      else """"load1_start":([0-9.]+)""".r
-        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      java.nio.file.Files.exists(p) &&
+        !new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).contains("\"warning\"")
     }
     def protectedWrite(path: String, s: String): Unit = {
       // a BENCH_ONLY-restricted iteration run must never replace the
       // full-inventory round artifact, contended or not
       if (only.isDefined) { writeJson(path.stripSuffix(".json") + ".partial.json", s); return }
-      val keepExisting = contended && existingLoad1Start(path).exists(_ < load1Start)
-      if (keepExisting) {
-        System.err.println(s"[bench] contended run (load1_start=$load1Start); " +
-          s"keeping cleaner $path, writing ${path.stripSuffix(".json")}.contended.json")
+      if (contended && existingIsClean(path)) {
+        System.err.println(s"[bench] contended run; keeping clean $path, " +
+          s"writing ${path.stripSuffix(".json")}.contended.json")
         writeJson(path.stripSuffix(".json") + ".contended.json", s)
-      } else writeJson(path, s)
+      } else writeJson(path, s) // clean run, or both contended: fresher wins
     }
     protectedWrite("bench_detail.json", detail)
     protectedWrite("bench_summary.json", compact)

@@ -16,11 +16,11 @@ import org.apache.spark.sql.SparkSession
   *     determinism.
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
-    SparkSession
-      .builder()
-      .master(master)
-      .appName("graft")
+  /** The engine's defaults applied to an arbitrary builder — shared by
+    * [[builder]] and entry points that must NOT set a master
+    * (spark-submit owns it there, e.g. [[graft.pipeline.ConfigMain]]). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.appName("graft")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -28,6 +28,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+    configure(SparkSession.builder().master(master))
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -156,7 +156,10 @@ object Multimodal {
         val size = u32(b, i + 4)
         if (size > Int.MaxValue - 16) return None // also guards the Int cast below
         if (tag(b, i, "fmt ")) {
-          if (i + 24 > b.length) return None
+          // byteRate/blockAlign sit at fmt offsets 8/12 — a declared
+          // size under 16 means those fields don't exist and fixed-
+          // offset reads would land in the NEXT chunk's bytes
+          if (size < 16 || i + 24 > b.length) return None
           byteRate = u32(b, i + 16)
           blockAlign = u16(b, i + 20)
         } else if (tag(b, i, "data")) {

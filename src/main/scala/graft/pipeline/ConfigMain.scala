@@ -43,7 +43,10 @@ object ConfigMain {
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(args(0)))
     try props.load(in)
     finally in.close()
-    val builder = SparkSession.builder()
+    // the engine's session defaults (UTC timezone, AQE + skew-join,
+    // parquet pushdown) — the production entry point must run under
+    // exactly the configuration everything was tested with
+    val builder = graft.core.GraftSession.configure(SparkSession.builder())
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", props.getProperty("shufflePartitions", "32"))
       .withExtensions(new graft.plans.GraftExtensions)

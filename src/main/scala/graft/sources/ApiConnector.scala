@@ -241,9 +241,20 @@ final class ApiScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     // the simulator's row count is known; other transports page up to
-    // an explicit maxPages cap (the reference stops at 50 pages)
-    val nPages = opts.get("maxpages").map(_.toInt)
-      .getOrElse((totalRows + pageSize - 1) / pageSize)
+    // an explicit maxPages cap. A custom transport WITHOUT maxPages
+    // must not inherit the simulator's totalRows default — that knob
+    // has no meaning for it and would silently truncate live data at
+    // ceil(5000/pageSize) pages; it gets the reference's own page cap
+    // (50, `etl/main.py:57`) and a loud warning instead.
+    val nPages = opts.get("maxpages").map(_.toInt).getOrElse {
+      if (isSimulator) (totalRows + pageSize - 1) / pageSize
+      else {
+        System.err.println(
+          s"[graft-api] transport=$transportClass has no maxPages option; " +
+            s"defaulting to the reference's 50-page cap — set maxPages explicitly")
+        50
+      }
+    }
     // A pushed limit prunes whole pages ONLY when no filter is pushed
     // AND pages are known full (simulator) — with a filter or an
     // unknown-fullness transport, a page may contribute fewer rows, so
@@ -277,7 +288,13 @@ final class ApiReaderFactory(ordinals: Array[Int]) extends PartitionReaderFactor
     val part = p.asInstanceOf[ApiPagePartition]
     val updIdx = Schemas.rawCrime.fieldIndex(":updated_at")
     new PartitionReader[InternalRow] {
-      private val transport = Class.forName(part.transportClass)
+      // context classloader first: on a real cluster graft may sit on
+      // the executor system classpath while the transport class ships
+      // in the application jar, visible only to the context loader
+      private val transport = Class.forName(
+        part.transportClass, true,
+        Option(Thread.currentThread().getContextClassLoader)
+          .getOrElse(getClass.getClassLoader))
         .getDeclaredConstructor().newInstance().asInstanceOf[ApiTransport]
       private val rows = transport.fetchPage(
         ApiPageRequest(part.page, part.pageSize, part.range, part.opts))

@@ -49,6 +49,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavHeader.parse(wav) == Some((8000L, 1000L)))
     assert(Multimodal.WavHeader.parse(wav.take(30)).isEmpty) // truncated header
     assert(Multimodal.WavHeader.parse("RIFFnope".getBytes("UTF-8")).isEmpty)
+    // a fmt chunk declaring size < 16 has no byteRate/blockAlign fields;
+    // fixed-offset reads would land in the next chunk — must be None
+    val shortFmt = wav.clone()
+    shortFmt(16) = 8 // fmt chunk size LE byte 0: 16 -> 8
+    assert(Multimodal.WavHeader.parse(shortFmt).isEmpty)
     // and the decode path reports it as real audio metadata
     val row = Multimodal.decodeOne(7L, wav)
     assert(row.getAs[String](2) == "wav")

@@ -114,6 +114,13 @@ class ApiConnectorSpec extends SparkSpec {
       .collect().forall(_.startsWith("2031-07-09")))
     // a pushed limit must NOT prune pages for an unknown-fullness transport
     assert(apiScan(df.limit(2)).planInputPartitions().length == 3)
+    // without maxPages a custom transport gets the reference's 50-page
+    // cap, NOT a plan derived from the simulator's totalRows default
+    // (that would silently truncate live data at ceil(5000/pageSize))
+    val noCap = spark.read.format("graft-api")
+      .option("transport", classOf[FixedPageTransport].getName)
+      .option("pageSize", 100).load()
+    assert(apiScan(noCap).planInputPartitions().length == 50)
     // the reader re-checks pushed predicates even if the transport
     // ignores the range (FixedPageTransport does)
     assert(df.filter(col(":updated_at") >= "2040-01-01").count() == 0)
