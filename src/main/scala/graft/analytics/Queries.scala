@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, BloomPrune, DateDim, Dedup, IncrementalAgg, Packing, Quantize, RangeJoin, Similarity, Skew, Upsert}
+import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, IncrementalAgg, Packing, Quantize, RangeJoin, Similarity, Skew, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -854,6 +854,31 @@ object Queries {
            |CAST(coalesce(top_tok_n, 0) AS BIGINT) AS top_tok_n,
            |CASE WHEN n_tokens > 0 THEN coalesce(top_tok_n, 0) * 1000000 // n_tokens ELSE 0 END AS top_frac_e6
            |FROM b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
+      "t12_decontaminate",
+      // benchmark decontamination ([[Decontaminate.ngramContamination]]):
+      // held-out eval set = doc_id % 19 == 0; training docs sharing >= 10%
+      // of their distinct word 5-grams with the eval set are flagged.
+      // Eval grams broadcast; train side streams once (see operator doc).
+      (s, d) =>
+        Decontaminate.ngramContamination(
+          Tables.documents(s, d), "doc_id", "text", n = 5,
+          isEval = col("doc_id") % 19 === 0),
+      Some {
+        val sh = Text.shinglesSql(toksSql("lower(text)"), 5)
+        s"""WITH g AS (SELECT doc_id, unnest($sh) AS gram FROM documents),
+           |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 0),
+           |b AS (SELECT doc_id, CAST(len($sh) AS BIGINT) AS n_grams
+           |  FROM documents WHERE doc_id % 19 <> 0),
+           |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM g
+           |  WHERE doc_id % 19 <> 0 AND gram IN (SELECT gram FROM e) GROUP BY 1)
+           |SELECT b.doc_id, n_grams, coalesce(n_hit, 0) AS n_hit,
+           |CASE WHEN n_grams > 0 THEN coalesce(n_hit, 0) * 1000000 // n_grams ELSE 0 END AS contam_e6,
+           |CASE WHEN n_grams > 0 AND coalesce(n_hit, 0) * 10 >= n_grams THEN 1 ELSE 0 END AS contaminated
+           |FROM b LEFT JOIN h ON b.doc_id = h.doc_id""".stripMargin
       }
     ),
 

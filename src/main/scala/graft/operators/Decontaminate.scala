@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-gram shingles with a held-out evaluation set.
+  *
+  * The standard pre-training hygiene step (the reference pipeline has no
+  * eval-set notion — this extends the SURVEY §2.8 text surface the same
+  * way d01/t07 do): any training document whose n-grams overlap an eval
+  * benchmark above a threshold must be dropped, or downstream eval
+  * numbers are contaminated.
+  *
+  * Shape, and why it holds at 100 TB:
+  *  - the eval side is DISTINCT n-grams of the held-out set. Eval
+  *    benchmarks are small by construction (10⁴–10⁶ grams, MBs), so it
+  *    is broadcast — the train side is never shuffled by gram;
+  *  - the train side streams once through explode → broadcast LEFT SEMI
+  *    (a map-side filter that drops ~all grams for clean docs) →
+  *    groupBy(id) with map-side combine. The only shuffle carries
+  *    (id, hit-count) pairs for documents that hit at all;
+  *  - the final left join attaches hit counts back to the per-doc gram
+  *    totals; the hit side is tiny (contaminated docs only) so AQE
+  *    broadcasts it.
+  *  - ratios are exact integer micro-units (the t04 rule): no float
+  *    crosses the oracle gate.
+  *
+  * Semantics: n-grams are DISTINCT per document ([[Text.shingles]]), so
+  * `n_hit` counts distinct overlapping grams and `contam_e6` is the
+  * distinct-overlap fraction ×10⁶. `contaminated` = overlap ≥ 10% of the
+  * document's grams (integer form: `10*n_hit >= n_grams`). Documents
+  * shorter than n tokens have zero grams and report clean.
+  */
+object Decontaminate {
+
+  /** @param isEval predicate over `docs` columns selecting the held-out
+    *               eval documents; they are excluded from the output. */
+  def ngramContamination(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      isEval: Column): DataFrame = {
+    val shingles = Text.shingles(Text.tokens(lower(col(textCol))), n)
+    val grams = docs.select(col(idCol), isEval.as("is_eval"), explode(shingles).as("gram"))
+    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    val hits = grams
+      .filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+    docs
+      .filter(!isEval)
+      .select(col(idCol), size(shingles).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contam_e6",
+        expr("CASE WHEN n_grams > 0 THEN (n_hit * 1000000L) div n_grams ELSE 0L END"))
+      .withColumn("contaminated",
+        expr("CASE WHEN n_grams > 0 AND n_hit * 10 >= n_grams THEN 1 ELSE 0 END"))
+  }
+}
