@@ -715,6 +715,15 @@ object Queries {
         .withColumn("rk", col("rk").cast("long")),
       Some(ivfTopKSql(8, 2, 20, 10))),
 
+    QueryDef("s06_semantic_decontaminate", (s, d) =>
+      // embedding-space twin of t12 ([[Decontaminate.semanticContamination]]):
+      // max cosine of each train vector vs the broadcast eval set
+      // (vec_id % 19), flagged at the d03 near-dup threshold.
+      Decontaminate.semanticContamination(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        isEval = col("vec_id") % 19 === 0, threshold = 0.4),
+      Some(semanticContaminationSql(19, 0.4))),
+
     // ============================ text analysis ===========================
     QueryDef(
       "t01_lang_id",
@@ -1542,6 +1551,25 @@ object Queries {
        |round(CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END, 5) AS cosine
        |FROM cand
        |WHERE (CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END) >= $threshold""".stripMargin
+  }
+
+  /** DuckDB twin of [[Decontaminate.semanticContamination]]: same
+    * broadcast-eval scoring, argmax replicated as the (cos desc,
+    * eval_id asc) window the Spark `max_by` struct order encodes,
+    * threshold applied to the unrounded cosine (the d03 rule). */
+  private def semanticContaminationSql(evalMod: Int, threshold: Double): String = {
+    val dot = Vectors.dotSql("b.vec", "e.ev")
+    s"""WITH base AS (SELECT vec_id AS id, embedding AS vec,
+       |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |e AS (SELECT id AS eval_id, vec AS ev, nrm AS en FROM base WHERE id % $evalMod = 0),
+       |scored AS (SELECT b.id, e.eval_id,
+       |  CASE WHEN b.nrm * e.en = 0 THEN 0.0 ELSE $dot / (b.nrm * e.en) END AS cos
+       |  FROM base b CROSS JOIN e WHERE b.id % $evalMod <> 0),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cos DESC, eval_id ASC) AS r
+       |  FROM scored)
+       |SELECT id AS vec_id, eval_id AS near_eval_id, round(cos, 5) AS max_cos,
+       |CASE WHEN cos >= $threshold THEN 1 ELSE 0 END AS contaminated
+       |FROM ranked WHERE r = 1""".stripMargin
   }
 
   /** DuckDB twin of [[Similarity.bruteForceTopK]]. */

@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.Text
+import graft.core.Par
+import graft.functions.{Text, VectorExpressions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -60,5 +61,51 @@ object Decontaminate {
         expr("CASE WHEN n_grams > 0 THEN (n_hit * 1000000L) div n_grams ELSE 0L END"))
       .withColumn("contaminated",
         expr("CASE WHEN n_grams > 0 AND n_hit * 10 >= n_grams THEN 1 ELSE 0 END"))
+  }
+
+  /** Semantic (embedding-space) decontamination: for every training
+    * vector, the max cosine against the held-out eval vectors and the
+    * nearest eval id; contaminated when max cosine ≥ `threshold`.
+    * Catches the paraphrased contamination n-gram overlap misses.
+    *
+    * Shape, and why it holds at 100 TB: the eval side is broadcast
+    * (eval sets are small), the train side is one linear scan scored
+    * against it; the per-id argmax is the IVF assignment pattern
+    * ([[Similarity.ivfTopK]]) — `max_by` with map-side partial
+    * aggregation, so the N×E scored rows collapse to N before any
+    * shuffle. Grouping carries (vec only through norm) nothing wide:
+    * the group key is the id plus the already-computed scalars.
+    * Tie-break on (cosine desc, eval_id asc), the window order the
+    * oracle replicates; cosine reported rounded to 5 (the s01 rule).
+    */
+  def semanticContamination(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      isEval: Column,
+      threshold: Double): DataFrame = {
+    val base = Par.widen(emb).select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      VectorExpressions.normF(col(vecCol)).as("nrm"),
+      isEval.as("is_eval"))
+    val evals = base.filter(col("is_eval"))
+      .select(col("id").as("eval_id"), col("vec").as("ev"), col("nrm").as("en"))
+    base
+      .filter(!col("is_eval"))
+      .crossJoin(broadcast(evals))
+      .withColumn(
+        "cos",
+        when(col("nrm") * col("en") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dotF(col("vec"), col("ev")) / (col("nrm") * col("en"))))
+      .groupBy(col("id"))
+      .agg(
+        max(col("cos")).as("max_cos_raw"),
+        max_by(col("eval_id"), struct(col("cos"), (-col("eval_id")).as("nid"))).as("near_eval_id"))
+      .select(
+        col("id").as(idCol),
+        col("near_eval_id"),
+        round(col("max_cos_raw"), 5).as("max_cos"),
+        when(col("max_cos_raw") >= threshold, lit(1)).otherwise(lit(0)).as("contaminated"))
   }
 }

@@ -53,4 +53,45 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
   }
+
+  // --- semantic (embedding-space) contamination ---------------------------
+
+  // eval vec 0 = e1 axis; vec 1 ≈ eval 0 (cos ~0.995), vec 2 ⟂ eval set,
+  // vec 3 = exact copy of eval 0. eval 4 also in the eval set so the
+  // argmax has to pick the NEAREST eval id, not just any.
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(10f, 1f, 0f, 0f)),
+    (2L, Array(0f, 0f, 3f, 4f)),
+    (3L, Array(2f, 0f, 0f, 0f)),
+    (4L, Array(0f, 1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  private def runSem =
+    Decontaminate
+      .semanticContamination(vecs, "vec_id", "embedding",
+        isEval = col("vec_id") === 0 || col("vec_id") === 4, threshold = 0.9)
+      .select("vec_id", "near_eval_id", "max_cos", "contaminated")
+      .as[(Long, Long, Double, Int)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+
+  test("near-copy of an eval vector flags with the right nearest eval id") {
+    val (_, near, cos, flag) = runSem(1L)
+    assert(near == 0L && cos > 0.99 && cos < 1.0 && flag == 1)
+  }
+
+  test("orthogonal vector reports its true (low) max cosine and no flag") {
+    val (_, _, cos, flag) = runSem(2L)
+    assert(cos == 0.0 && flag == 0)
+  }
+
+  test("exact scaled copy of an eval vector is fully contaminated") {
+    assert(runSem(3L) == ((3L, 0L, 1.0, 1)))
+  }
+
+  test("eval vectors are excluded from the semantic output") {
+    assert(!runSem.contains(0L) && !runSem.contains(4L))
+  }
 }
