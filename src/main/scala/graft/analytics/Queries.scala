@@ -664,6 +664,16 @@ object Queries {
       // min-label connected components over the d01 near-dup graph
       Dedup.dedupClusters(Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text", 0.5)),
       Some(dedupClustersSql(0.5))),
+    QueryDef("d07_incremental_dedup", (s, d) => {
+      // the production ingest shape: a new batch (doc_id % 7) deduped
+      // against the existing corpus without re-running the all-pairs
+      // self-join — batch bands broadcast against the corpus bands
+      val docs = Tables.documents(s, d)
+      Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", 0.5)
+    }, Some(minhashIncrementalSql(7, 0.5))),
 
     // ============== embedding aggregation (training-data ops) =============
     QueryDef(
@@ -1416,7 +1426,9 @@ object Queries {
   /** DuckDB twin of [[Dedup.minhashLsh]]: same md5-based shingle hashes,
     * same 64 universal-hash minima, same 16-band candidate join, same
     * empty-shingle exclusion, same exact-jaccard verification. */
-  private def minhashLshSql(threshold: Double): String = {
+  /** The shared d01/d07 CTE chain: tokens → shingles → minhash
+    * signatures → LSH band keys, over all documents. */
+  private def minhashBandedCte: String = {
     val sigTerms = (0 until Dedup.numHashes).map { j =>
       s"coalesce(list_min(list_transform(hs, h -> (h * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % $P)), $P)"
     }.mkString(", ")
@@ -1424,7 +1436,7 @@ object Queries {
       val parts = (0 until Dedup.rowsPerBand).map(r => s"sig[${b * Dedup.rowsPerBand + r + 1}]").mkString(", ")
       s"concat_ws(',', $b, $parts)"
     }.mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
        |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
        |  list_distinct(list_transform(generate_series(1, len(tk) - 2),
        |    i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) ELSE [] END AS sh FROM toks),
@@ -1432,15 +1444,32 @@ object Queries {
        |  list_transform(sh, s -> ${Hashing.md5LongSql("s", 3)} % $P) AS hs FROM shg
        |  WHERE len(sh) > 0),
        |sig AS (SELECT doc_id, sh, [$sigTerms] AS sig FROM base),
-       |banded AS (SELECT doc_id, sh, unnest([$bandKeys]) AS bk FROM sig),
+       |banded AS (SELECT doc_id, sh, unnest([$bandKeys]) AS bk FROM sig)""".stripMargin
+  }
+
+  private val jaccardExpr: String =
+    """CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
+      |  (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x))))""".stripMargin
+
+  private def minhashLshSql(threshold: Double): String =
+    s"""WITH $minhashBandedCte,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
        |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, round(CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
-       |  (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x)))), 6) AS jaccard
+       |SELECT id_a, id_b, round($jaccardExpr, 6) AS jaccard
        |FROM cand
-       |WHERE CAST(len(list_filter(sha, x -> list_contains(shb, x))) AS DOUBLE) /
-       |  (len(sha) + len(shb) - len(list_filter(sha, x -> list_contains(shb, x)))) >= $threshold""".stripMargin
-  }
+       |WHERE $jaccardExpr >= $threshold""".stripMargin
+
+  /** DuckDB twin of [[Dedup.minhashLshIncremental]]: identical band
+    * chain, candidate join restricted to batch×corpus (batch = doc_id %
+    * batchMod == 0) instead of the self-join's id_a < id_b. */
+  private def minhashIncrementalSql(batchMod: Int, threshold: Double): String =
+    s"""WITH $minhashBandedCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id, a.sh AS sha, b.sh AS shb
+       |  FROM banded a JOIN banded b ON a.bk = b.bk
+       |  AND a.doc_id % $batchMod = 0 AND b.doc_id % $batchMod <> 0)
+       |SELECT batch_id, corpus_id, round($jaccardExpr, 6) AS jaccard
+       |FROM cand
+       |WHERE $jaccardExpr >= $threshold""".stripMargin
 
   /** DuckDB twin of [[Dedup.dedupClusters]] over the d01 pair graph:
     * transitive closure by recursive CTE, canonical id = min reachable

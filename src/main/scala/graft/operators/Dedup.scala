@@ -101,31 +101,11 @@ object Dedup {
     * short docs at corpus scale) yet can never pass exact verification.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    // tokenize BEFORE the widen barrier, shingle after: the Exchange
-    // stops CollapseProject from inlining the tokenizer into every
-    // element_at of the shingle lambda (interpreted HOFs re-evaluate
-    // inlined children per element — O(tokens²) per doc). The
-    // empty-shingle exclusion is expressed on the TOKEN count
-    // (size(sh) > 0 ⟺ size(tk) >= 3) so predicate pushdown moves a
-    // one-pass check to the scan, not the whole shingle expression.
-    val tk = Par.widen(docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk")))
-      .filter(size(col("tk")) >= 3)
-    val sh = tk.select(col("id"), Text.shingles(col("tk"), 3).as("sh"))
+    val sh = shingleTable(docs, idCol, textCol)
 
     // band path: ids + band keys only ride the self-join shuffle;
     // signatures come from one explode + min-agg pass (map-side combine)
-    val sig = minhashSignatures(sh)
-    val banded = sig.select(
-      col("id"),
-      explode(
-        array((0 until numBands).map { b =>
-          struct(
-            lit(b).as("band"),
-            concat_ws(",", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key")
-          )
-        }: _*)
-      ).as("bk")
-    )
+    val banded = bandTable(minhashSignatures(sh))
     val l = banded.select(col("bk").as("bk_a"), col("id").as("id_a"))
     val r = banded.select(col("bk").as("bk_b"), col("id").as("id_b"))
     val cand = l
@@ -134,16 +114,91 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // verify path: shingle sets join back once per side, post-dedup
+    verifyJaccard(cand, sh, sh, "id_a", "id_b", threshold)
+  }
+
+  /** (id, sh) distinct-3-gram-shingle table.
+    *
+    * Tokenize BEFORE the widen barrier, shingle after: the Exchange
+    * stops CollapseProject from inlining the tokenizer into every
+    * element_at of the shingle lambda (interpreted HOFs re-evaluate
+    * inlined children per element — O(tokens²) per doc). The
+    * empty-shingle exclusion is expressed on the TOKEN count
+    * (size(sh) > 0 ⟺ size(tk) >= 3) so predicate pushdown moves a
+    * one-pass check to the scan, not the whole shingle expression. */
+  private def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = Par.widen(docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) >= 3)
+    tk.select(col("id"), Text.shingles(col("tk"), 3).as("sh"))
+  }
+
+  /** (id, bk) LSH band-key table from a signature table. */
+  private def bandTable(sig: DataFrame): DataFrame = sig.select(
+    col("id"),
+    explode(
+      array((0 until numBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          concat_ws(",", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key")
+        )
+      }: _*)
+    ).as("bk")
+  )
+
+  /** Exact-Jaccard verification of candidate id pairs: shingle sets join
+    * back once per side, post-dedup. */
+  private def verifyJaccard(
+      cand: DataFrame,
+      shA: DataFrame,
+      shB: DataFrame,
+      aCol: String,
+      bCol: String,
+      threshold: Double): DataFrame =
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shA.select(col("id").as(aCol), col("sh").as("sh_a")), aCol)
+      .join(shB.select(col("id").as(bCol), col("sh").as("sh_b")), bCol)
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))
       )
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col(aCol), col(bCol), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Incremental near-dup dedup — the production shape for continuously
+    * ingested corpora: match a NEW batch against the EXISTING corpus
+    * instead of re-running the all-pairs self-join ([[minhashLsh]])
+    * over corpus+batch. Output: (batch_id, corpus_id, jaccard >=
+    * threshold) — the batch docs to drop (or cluster) before appending.
+    *
+    * Shape, and why it holds at 100 TB: both sides ship only (id, band
+    * key) pairs into the candidate join; the batch side is small by
+    * construction so its banded table broadcasts (AQE), making the
+    * candidate step a map-side filter over the corpus bands — the
+    * corpus is never shuffled against itself (the self-join's n² band
+    * buckets drop to batch×corpus). In production the corpus
+    * signature/band table is a stored artifact appended once per
+    * accepted batch ([[minhashSignatures]] emits it), so each increment
+    * pays one linear scan of the batch plus a probe of the stored
+    * bands; sides are assumed id-disjoint (same-id rows would
+    * self-match). Within-batch duplicates are [[minhashLsh]] on the
+    * (small) batch alone.
+    */
+  def minhashLshIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val shB = shingleTable(batch, idCol, textCol)
+    val shC = shingleTable(corpus, idCol, textCol)
+    val bB = bandTable(minhashSignatures(shB)).select(col("bk").as("bk_a"), col("id").as("batch_id"))
+    val bC = bandTable(minhashSignatures(shC)).select(col("bk").as("bk_b"), col("id").as("corpus_id"))
+    val cand = bB
+      .join(bC, col("bk_a") === col("bk_b"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    verifyJaccard(cand, shB, shC, "batch_id", "corpus_id", threshold)
   }
 
   // --- SimHash ---------------------------------------------------------------

@@ -29,6 +29,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("incremental dedup matches batch docs against the corpus only") {
+    // batch: near-dup of corpus doc 0 (id 100) + a clean doc (id 101);
+    // corpus contains its own exact pair (0, 3) which must NOT appear.
+    val corpus = docs
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0 and 3
+      (101L, "nothing like anything else in the corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashLshIncremental(batch, corpus, "doc_id", "text", 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 0L), (100L, 3L), (100L, 1L)))
+  }
+
+  test("incremental dedup equals the self-join restricted to cross pairs") {
+    val batch = docs.filter($"doc_id" % 2 === 0)
+    val corpus = docs.filter($"doc_id" % 2 =!= 0)
+    val inc = Dedup.minhashLshIncremental(batch, corpus, "doc_id", "text", 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLsh(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cross = full.collect {
+      case (a, b) if a % 2 == 0 && b % 2 != 0 => (a, b)
+      case (a, b) if b % 2 == 0 && a % 2 != 0 => (b, a)
+    }
+    assert(inc == cross)
+  }
+
   test("dedupClusters resolves pairs into min-label components") {
     // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
