@@ -44,17 +44,24 @@ object Decontaminate {
       textCol: String,
       n: Int,
       isEval: Column): DataFrame = {
-    val shingles = Text.shingles(Text.tokens(lower(col(textCol))), n)
-    val grams = docs.select(col(idCol), isEval.as("is_eval"), explode(shingles).as("gram"))
+    // tokenize before the widen barrier, shingle after (the
+    // Dedup.shingleTable pattern): a single-split parquet scan would
+    // otherwise pin the whole per-row shingle compute to one task.
+    // Docs shorter than n keep their empty shingle array — they must
+    // appear in the output as (n_grams = 0, clean).
+    val sh = Par.widen(
+        docs.select(col(idCol), isEval.as("is_eval"), Text.tokens(lower(col(textCol))).as("tk")))
+      .select(col(idCol), col("is_eval"), Text.shingles(col("tk"), n).as("shg"))
+    val grams = sh.select(col(idCol), col("is_eval"), explode(col("shg")).as("gram"))
     val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
     val hits = grams
       .filter(!col("is_eval"))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit"))
-    docs
-      .filter(!isEval)
-      .select(col(idCol), size(shingles).cast("long").as("n_grams"))
+    sh
+      .filter(!col("is_eval"))
+      .select(col(idCol), size(col("shg")).cast("long").as("n_grams"))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("contam_e6",

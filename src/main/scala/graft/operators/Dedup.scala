@@ -194,7 +194,10 @@ object Dedup {
     val shC = shingleTable(corpus, idCol, textCol)
     val bB = bandTable(minhashSignatures(shB)).select(col("bk").as("bk_a"), col("id").as("batch_id"))
     val bC = bandTable(minhashSignatures(shC)).select(col("bk").as("bk_b"), col("id").as("corpus_id"))
-    val cand = bB
+    // pin the documented shape: the small batch bands broadcast, the
+    // corpus bands stream map-side — without the hint the planner's
+    // static stats can pick the corpus as build side (or shuffle both)
+    val cand = broadcast(bB)
       .join(bC, col("bk_a") === col("bk_b"))
       .select("batch_id", "corpus_id")
       .dropDuplicates("batch_id", "corpus_id")

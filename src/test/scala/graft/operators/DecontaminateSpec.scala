@@ -17,7 +17,7 @@ class DecontaminateSpec extends SparkSpec {
     (4L, "alpha beta gamma delta epsilon")
   ).toDF("doc_id", "text")
 
-  private def run =
+  private lazy val run =
     Decontaminate
       .ngramContamination(docs, "doc_id", "text", n = 3, isEval = col("doc_id") === 0)
       .select("doc_id", "n_grams", "n_hit", "contam_e6", "contaminated")
@@ -56,18 +56,19 @@ class DecontaminateSpec extends SparkSpec {
 
   // --- semantic (embedding-space) contamination ---------------------------
 
-  // eval vec 0 = e1 axis; vec 1 ≈ eval 0 (cos ~0.995), vec 2 ⟂ eval set,
-  // vec 3 = exact copy of eval 0. eval 4 also in the eval set so the
-  // argmax has to pick the NEAREST eval id, not just any.
+  // eval vecs 0 (e1 axis) and 4 (e2 axis); vec 1 ≈ eval 0 (cos ~0.995),
+  // vec 2 ⟂ eval set, vec 3 = exact copy of eval 0, vec 5 ≈ eval 4 —
+  // the argmax must pick the NEAREST eval id (4), not the minimum (0).
   private def vecs = Seq(
     (0L, Array(1f, 0f, 0f, 0f)),
     (1L, Array(10f, 1f, 0f, 0f)),
     (2L, Array(0f, 0f, 3f, 4f)),
     (3L, Array(2f, 0f, 0f, 0f)),
-    (4L, Array(0f, 1f, 0f, 0f))
+    (4L, Array(0f, 1f, 0f, 0f)),
+    (5L, Array(0f, 10f, 0f, 1f))
   ).toDF("vec_id", "embedding")
 
-  private def runSem =
+  private lazy val runSem =
     Decontaminate
       .semanticContamination(vecs, "vec_id", "embedding",
         isEval = col("vec_id") === 0 || col("vec_id") === 4, threshold = 0.9)
@@ -80,6 +81,11 @@ class DecontaminateSpec extends SparkSpec {
   test("near-copy of an eval vector flags with the right nearest eval id") {
     val (_, near, cos, flag) = runSem(1L)
     assert(near == 0L && cos > 0.99 && cos < 1.0 && flag == 1)
+  }
+
+  test("argmax picks the nearest eval id, not the minimum eval id") {
+    val (_, near, cos, flag) = runSem(5L)
+    assert(near == 4L && cos > 0.99 && cos < 1.0 && flag == 1)
   }
 
   test("orthogonal vector reports its true (low) max cosine and no flag") {
