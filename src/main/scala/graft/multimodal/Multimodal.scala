@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The decode step is REAL for images and WAV audio: [[ImageHeader]]
-  * detects PNG/JPEG/GIF by magic bytes and parses width/height from
-  * the format's header (IHDR / SOFn / logical screen descriptor),
-  * plus the true frame count for animated GIFs; [[WavHeader]] walks
-  * the RIFF chunks for exact sample-frame count and duration — all
-  * stdlib byte arithmetic, no external codecs. Payloads that are none
-  * of these (the synthetic fixtures' UTF-8 text, compressed-audio or
-  * video containers this build doesn't parse) fall back to
-  * [[FakeDecoder]]'s deterministic pseudo-metadata, keeping the
+  * The decode step is REAL for images, WAV audio and MP4 video:
+  * [[ImageHeader]] detects PNG/JPEG/GIF/WebP by magic bytes and parses
+  * width/height from the format's header (IHDR / SOFn / logical screen
+  * descriptor / VP8 bitstream chunks), plus the true frame count for
+  * animated GIFs and WebPs; [[WavHeader]] walks the RIFF chunks for
+  * exact sample-frame count and duration; [[Mp4Header]] walks the ISO
+  * BMFF boxes for the video track's dimensions, movie duration and
+  * `stts` frame count — all stdlib byte arithmetic, no external
+  * codecs. Payloads that are none of these (the synthetic fixtures'
+  * UTF-8 text, compressed audio, non-MP4 video containers) fall back
+  * to [[FakeDecoder]]'s deterministic pseudo-metadata, keeping the
   * fixture oracles exact. The plumbing — the binary column schema, the
   * batched `mapPartitions` shape (the Scala equivalent of
   * `mapInPandas`: an iterator-of-batches UDF that never materializes a
@@ -42,18 +44,25 @@ object Multimodal {
   ))
 
   /** Real image header parser: format + dimensions for PNG / JPEG /
-    * GIF from the raw bytes, stdlib only. Used by [[decodeMetadata]]
-    * for any payload whose magic bytes identify one of the three
-    * formats; returns None otherwise (never throws — a truncated or
-    * corrupt header reads as "not an image" and falls back). */
+    * GIF / WebP from the raw bytes, stdlib only. Used by
+    * [[decodeMetadata]] for any payload whose magic bytes identify one
+    * of the four formats; returns None otherwise (never throws — a
+    * truncated or corrupt header reads as "not an image" and falls
+    * back). */
   object ImageHeader {
     private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
     private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
     private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le24(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong) | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
     private def be32(b: Array[Byte], i: Int): Long =
       (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def fourCC(b: Array[Byte], i: Int, s: String): Boolean =
+      b(i) == s(0) && b(i + 1) == s(1) && b(i + 2) == s(2) && b(i + 3) == s(3)
 
-    /** (format, width, height), or None if not a parsable PNG/JPEG/GIF. */
+    /** (format, width, height), or None if not a parsable
+      * PNG/JPEG/GIF/WebP. */
     def parse(b: Array[Byte]): Option[(String, Int, Int)] = {
       def png: Option[(String, Int, Int)] =
         // 8-byte signature, then the IHDR chunk: len(4) "IHDR" w(4 BE) h(4 BE)
@@ -97,7 +106,43 @@ object Multimodal {
           }
           None
         } else None
-      png.orElse(gif).orElse(jpeg)
+      def webp: Option[(String, Int, Int)] =
+        // RIFF container: "RIFF" size "WEBP", then one of the three
+        // bitstream chunks. Dimensions per the public container spec:
+        //   VP8  (lossy)    — 3-byte frame tag, start code 9D 01 2A,
+        //                     then 14-bit LE width / height
+        //   VP8L (lossless) — 0x2F, then w-1 (14 bits) | h-1 << 14, LE
+        //   VP8X (extended) — flags(1) reserved(3), then 24-bit LE
+        //                     canvas w-1 / h-1
+        if (b.length >= 25 && fourCC(b, 0, "RIFF") && fourCC(b, 8, "WEBP")) {
+          if (b.length >= 30 && fourCC(b, 12, "VP8 ") &&
+            u8(b, 23) == 0x9d && u8(b, 24) == 0x01 && u8(b, 25) == 0x2a) {
+            val (w, h) = (le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+            if (w > 0 && h > 0) Some(("webp", w, h)) else None
+          } else if (fourCC(b, 12, "VP8L") && u8(b, 20) == 0x2f) {
+            val bits = le32(b, 21)
+            Some(("webp", (bits & 0x3fff).toInt + 1, ((bits >> 14) & 0x3fff).toInt + 1))
+          } else if (b.length >= 30 && fourCC(b, 12, "VP8X")) {
+            Some(("webp", le24(b, 24) + 1, le24(b, 27) + 1))
+          } else None
+        } else None
+      png.orElse(gif).orElse(jpeg).orElse(webp)
+    }
+
+    /** Frame count of an animated (VP8X) WebP: one ANMF chunk per
+      * frame; a still (or a walk that runs off the end) reports None
+      * and the caller falls back to 1. */
+    def webpFrameCount(b: Array[Byte]): Option[Int] = {
+      if (b.length < 30 || !fourCC(b, 0, "RIFF") || !fourCC(b, 8, "WEBP")) return None
+      var i = 12
+      var frames = 0
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (size < 0 || size > Int.MaxValue - 16) return None
+        if (fourCC(b, i, "ANMF")) frames += 1
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (frames > 0) Some(frames) else None
     }
 
     /** Frame count of a GIF: walks the block stream counting image
@@ -173,6 +218,83 @@ object Multimodal {
     }
   }
 
+  /** Real video container parser: ISO BMFF (MP4/MOV) box walk, stdlib
+    * only. Same contract as the other header parsers: None (never a
+    * throw) for anything that isn't a parsable MP4. Reads the movie
+    * header for exact duration, the first video track's `tkhd` for
+    * dimensions (16.16 fixed point), and that track's `stts` sample
+    * table for the true frame count. */
+  object Mp4Header {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def be64(b: Array[Byte], i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+    private def tp(b: Array[Byte], i: Int): String = new String(b, i + 4, 4, "ISO-8859-1")
+
+    /** (boxType, payloadStart, payloadEnd) for each box in [from, to).
+      * Stops (returns what it has) at the first malformed size. */
+    private def boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var i = from
+      var ok = true
+      while (ok && i + 8 <= to) {
+        val size32 = be32(b, i)
+        val (size, hdr) =
+          if (size32 == 1 && i + 16 <= to) (be64(b, i + 8), 16L)
+          else if (size32 == 0) ((to - i).toLong, 8L) // "to end of file"
+          else (size32, 8L)
+        if (size < hdr || i + size > to) ok = false
+        else {
+          out += ((tp(b, i), i + hdr.toInt, i + size.toInt))
+          i += size.toInt
+        }
+      }
+      out.result()
+    }
+
+    private def find(b: Array[Byte], from: Int, to: Int, t: String): Option[(Int, Int)] =
+      boxes(b, from, to).collectFirst { case (`t`, s, e) => (s, e) }
+
+    /** (width, height, durationMs, nFrames), or None. */
+    def parse(b: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+      if (b.length < 16 || !"ftyp".equals(tp(b, 0))) return None
+      val (moovS, moovE) = find(b, 0, b.length, "moov").getOrElse(return None)
+      // movie header: v0 = u32 timescale@12 / duration@16; v1 = u64s
+      val durMs = find(b, moovS, moovE, "mvhd").flatMap { case (s, e) =>
+        val v = if (e > s) u8(b, s) else return None
+        val (scale, dur) =
+          if (v == 1 && s + 32 <= e) (be32(b, s + 20), be64(b, s + 24))
+          else if (v == 0 && s + 20 <= e) (be32(b, s + 12), be32(b, s + 16))
+          else return None
+        if (scale <= 0) None else Some(dur * 1000L / scale)
+      }.getOrElse(return None)
+      // first trak whose tkhd carries nonzero 16.16 dimensions = video
+      boxes(b, moovS, moovE).collectFirst {
+        case ("trak", ts, te) if tkhdDims(b, ts, te).exists(d => d._1 > 0 && d._2 > 0) =>
+          val (w, h) = tkhdDims(b, ts, te).get
+          val frames = sttsFrames(b, ts, te).getOrElse(1)
+          (w, h, durMs, frames)
+      }
+    }
+
+    private def tkhdDims(b: Array[Byte], ts: Int, te: Int): Option[(Int, Int)] =
+      find(b, ts, te, "tkhd").flatMap { case (s, e) =>
+        val v = if (e > s) u8(b, s) else return None
+        val off = if (v == 1) 88 else 76 // v1: ctime/mtime/duration are u64
+        if (s + off + 8 > e) None
+        else Some(((be32(b, s + off) >> 16).toInt, (be32(b, s + off + 4) >> 16).toInt))
+      }
+
+    private def sttsFrames(b: Array[Byte], ts: Int, te: Int): Option[Int] =
+      for {
+        (ms, me) <- find(b, ts, te, "mdia")
+        (ns, ne) <- find(b, ms, me, "minf")
+        (ss, se) <- find(b, ns, ne, "stbl")
+        (xs, xe) <- find(b, ss, se, "stts")
+        n = be32(b, xs + 4).toInt if xs + 8 + 8L * n <= xe
+      } yield (0 until n).map(k => be32(b, xs + 8 + 8 * k)).sum.toInt
+  }
+
   /** STUB decoder: deterministic fake metadata from raw bytes, the
     * fallback for payloads [[ImageHeader]] doesn't recognize (a real
     * deployment swaps this body for its audio/video codec call; the
@@ -188,23 +310,30 @@ object Multimodal {
     }
   }
 
-  /** Production decode: real image/audio headers first, deterministic
-    * fallback otherwise. PNG/JPEG are stills (n_frames 1); GIF frame
-    * count comes from the block walk (animated GIFs report their real
-    * frame count); WAV rows carry null width/height and exact
-    * sample-frame count + duration. */
+  /** Production decode: real image/audio/video headers first,
+    * deterministic fallback otherwise. PNG/JPEG are stills (n_frames
+    * 1); GIF / animated-WebP frame counts come from their block/chunk
+    * walks; WAV rows carry null width/height and exact sample-frame
+    * count + duration; MP4 rows carry the video track's dimensions,
+    * the movie-header duration and the `stts` frame count. */
   def decodeOne(id: Long, bytes: Array[Byte]): Row =
     ImageHeader.parse(bytes) match {
       case Some((fmt, w, h)) =>
-        val frames = if (fmt == "gif") ImageHeader.gifFrameCount(bytes).getOrElse(1) else 1
+        val frames = fmt match {
+          case "gif"  => ImageHeader.gifFrameCount(bytes).getOrElse(1)
+          case "webp" => ImageHeader.webpFrameCount(bytes).getOrElse(1)
+          case _      => 1
+        }
         Row(id, bytes.length.toLong, fmt, w, h, frames, 0L)
       case None =>
-        WavHeader.parse(bytes) match {
-          case Some((frames, durMs)) =>
-            Row(id, bytes.length.toLong, "wav", null, null,
-              math.min(frames, Int.MaxValue.toLong).toInt, durMs)
-          case None => FakeDecoder.decode(id, bytes)
-        }
+        WavHeader.parse(bytes).map { case (frames, durMs) =>
+          Row(id, bytes.length.toLong, "wav", null, null,
+            math.min(frames, Int.MaxValue.toLong).toInt, durMs)
+        }.orElse {
+          Mp4Header.parse(bytes).map { case (w, h, durMs, frames) =>
+            Row(id, bytes.length.toLong, "mp4", w, h, frames, durMs)
+          }
+        }.getOrElse(FakeDecoder.decode(id, bytes))
     }
 
   /** Real binary ingest: read a directory of media files as

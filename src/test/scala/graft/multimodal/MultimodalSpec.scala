@@ -82,6 +82,80 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ImageHeader.gifFrameCount(encode("gif", 5, 5)) == Some(1))
   }
 
+  // --- WebP / MP4: the JDK ships no writers, so the fixtures are
+  // hand-built to the public container specs --------------------------------
+
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le24b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+  private def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def be32b(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def riffChunk(cc: String, payload: Array[Byte]): Array[Byte] =
+    cc.getBytes("ISO-8859-1") ++ le32b(payload.length) ++ payload ++
+      (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+
+  private def webpFile(chunks: Array[Byte]*): Array[Byte] = {
+    val body = "WEBP".getBytes("ISO-8859-1") ++ chunks.flatten
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
+  test("ImageHeader parses all three WebP bitstream variants") {
+    // VP8 lossy: 3-byte frame tag, start code 9D 01 2A, 14-bit LE dims
+    val vp8 = webpFile(riffChunk("VP8 ",
+      Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++ le16b(320) ++ le16b(240)))
+    assert(Multimodal.ImageHeader.parse(vp8) == Some(("webp", 320, 240)))
+    // VP8L lossless: 0x2F, then (w-1) | (h-1) << 14, LE
+    val bits = (37 - 1) | ((23 - 1) << 14)
+    val vp8l = webpFile(riffChunk("VP8L", Array[Byte](0x2f) ++ le32b(bits)))
+    assert(Multimodal.ImageHeader.parse(vp8l) == Some(("webp", 37, 23)))
+    // VP8X extended: flags(1) reserved(3), 24-bit LE canvas w-1 / h-1
+    val vp8x = webpFile(riffChunk("VP8X",
+      Array[Byte](0x02, 0, 0, 0) ++ le24b(640 - 1) ++ le24b(480 - 1)))
+    assert(Multimodal.ImageHeader.parse(vp8x) == Some(("webp", 640, 480)))
+    // truncated / non-WebP RIFF stays unrecognized
+    assert(Multimodal.ImageHeader.parse(vp8.take(20)).isEmpty)
+    assert(Multimodal.ImageHeader.parse("RIFF1234WAVE".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("animated WebP reports its ANMF frame count through decodeOne") {
+    val vp8x = riffChunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++ le24b(15) ++ le24b(15))
+    val anim = webpFile(vp8x, riffChunk("ANMF", new Array[Byte](16)),
+      riffChunk("ANMF", new Array[Byte](16)), riffChunk("ANMF", new Array[Byte](17)))
+    assert(Multimodal.ImageHeader.webpFrameCount(anim) == Some(3))
+    val row = Multimodal.decodeOne(11L, anim)
+    assert(row.getAs[String](2) == "webp" && row.getAs[Int](5) == 3)
+    // a still (no ANMF chunks) falls back to 1 frame
+    assert(Multimodal.decodeOne(12L, webpFile(vp8x)).getAs[Int](5) == 1)
+  }
+
+  private def mp4Box(tp: String, payload: Array[Byte]): Array[Byte] =
+    be32b(payload.length + 8) ++ tp.getBytes("ISO-8859-1") ++ payload
+
+  test("Mp4Header walks ftyp/moov boxes for dims, duration and frame count") {
+    // mvhd v0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4) + 80 pad
+    val mvhd = mp4Box("mvhd",
+      new Array[Byte](12) ++ be32b(1000) ++ be32b(2500) ++ new Array[Byte](80))
+    // tkhd v0: 76 bytes to the 16.16 width/height
+    val tkhd = mp4Box("tkhd",
+      new Array[Byte](76) ++ be32b(320 << 16) ++ be32b(240 << 16))
+    // stts: ver/flags(4) entryCount(4) then (count, delta) pairs: 10+5 frames
+    val stts = mp4Box("stts",
+      new Array[Byte](4) ++ be32b(2) ++ be32b(10) ++ be32b(100) ++ be32b(5) ++ be32b(200))
+    val trak = mp4Box("trak", tkhd ++ mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stts))))
+    // an audio-ish trak with zero dims must be skipped, not picked
+    val audioTrak = mp4Box("trak", mp4Box("tkhd", new Array[Byte](84)))
+    val mp4 = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32b(0)) ++
+      mp4Box("moov", mvhd ++ audioTrak ++ trak)
+    assert(Multimodal.Mp4Header.parse(mp4) == Some((320, 240, 2500L, 15)))
+    val row = Multimodal.decodeOne(13L, mp4)
+    assert(row.getAs[String](2) == "mp4")
+    assert(row.getAs[Int](3) == 320 && row.getAs[Int](4) == 240)
+    assert(row.getAs[Int](5) == 15 && row.getAs[Long](6) == 2500L)
+    // truncation and non-MP4 payloads read as "not a video", never throw
+    assert(Multimodal.Mp4Header.parse(mp4.take(40)).isEmpty)
+    assert(Multimodal.Mp4Header.parse("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
   test("decodeMetadata takes the real path for images and falls back for text") {
     val png = encode("png", 320, 200)
     val media = Seq((1L, png), (2L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
