@@ -177,23 +177,45 @@ object Dedup {
     * candidate step a map-side filter over the corpus bands — the
     * corpus is never shuffled against itself (the self-join's n² band
     * buckets drop to batch×corpus). In production the corpus
-    * signature/band table is a stored artifact appended once per
-    * accepted batch ([[minhashSignatures]] emits it), so each increment
-    * pays one linear scan of the batch plus a probe of the stored
-    * bands; sides are assumed id-disjoint (same-id rows would
-    * self-match). Within-batch duplicates are [[minhashLsh]] on the
-    * (small) batch alone.
+    * shingle+signature table is a stored artifact appended once per
+    * accepted batch — [[prepareDedupCorpus]] emits it and
+    * [[minhashLshIncrementalAgainst]] probes it without re-reading
+    * corpus text; this overload prepares the corpus inline. Sides are
+    * assumed id-disjoint (same-id rows would self-match). Within-batch
+    * duplicates are [[minhashLsh]] on the (small) batch alone.
     */
   def minhashLshIncremental(
       batch: DataFrame,
       corpus: DataFrame,
       idCol: String,
       textCol: String,
+      threshold: Double): DataFrame =
+    minhashLshIncrementalAgainst(batch, idCol, textCol,
+      prepareDedupCorpus(corpus, idCol, textCol), threshold)
+
+  /** The persistable corpus-side dedup artifact: (id, sh, sig) — one
+    * row per doc with its distinct 3-gram shingles and minhash
+    * signature. Write it once, append each accepted batch's own
+    * prepared rows, and every future increment probes it without
+    * re-reading corpus text ([[minhashLshIncrementalAgainst]]). */
+  def prepareDedupCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol)
+    sh.join(minhashSignatures(sh), "id")
+  }
+
+  /** [[minhashLshIncremental]] against an already-prepared corpus
+    * table ([[prepareDedupCorpus]], typically read back from storage):
+    * the increment pays one linear scan of the batch text plus a probe
+    * of the stored bands — no corpus-text pass at all. */
+  def minhashLshIncrementalAgainst(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusPrep: DataFrame,
       threshold: Double): DataFrame = {
     val shB = shingleTable(batch, idCol, textCol)
-    val shC = shingleTable(corpus, idCol, textCol)
     val bB = bandTable(minhashSignatures(shB)).select(col("bk").as("bk_a"), col("id").as("batch_id"))
-    val bC = bandTable(minhashSignatures(shC)).select(col("bk").as("bk_b"), col("id").as("corpus_id"))
+    val bC = bandTable(corpusPrep.select("id", "sig")).select(col("bk").as("bk_b"), col("id").as("corpus_id"))
     // pin the documented shape: the small batch bands broadcast, the
     // corpus bands stream map-side — without the hint the planner's
     // static stats can pick the corpus as build side (or shuffle both)
@@ -201,7 +223,7 @@ object Dedup {
       .join(bC, col("bk_a") === col("bk_b"))
       .select("batch_id", "corpus_id")
       .dropDuplicates("batch_id", "corpus_id")
-    verifyJaccard(cand, shB, shC, "batch_id", "corpus_id", threshold)
+    verifyJaccard(cand, shB, corpusPrep.select("id", "sh"), "batch_id", "corpus_id", threshold)
   }
 
   // --- SimHash ---------------------------------------------------------------

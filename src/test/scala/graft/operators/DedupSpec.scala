@@ -42,6 +42,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((100L, 0L), (100L, 3L), (100L, 1L)))
   }
 
+  test("incremental dedup against a stored prepared corpus is identical") {
+    val batch = docs.filter($"doc_id" % 2 === 0)
+    val corpus = docs.filter($"doc_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_corpus").toString
+    Dedup.prepareDedupCorpus(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val viaStore = Dedup
+      .minhashLshIncrementalAgainst(batch, "doc_id", "text", spark.read.parquet(dir), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashLshIncremental(batch, corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStore == direct && viaStore.nonEmpty)
+  }
+
   test("incremental dedup equals the self-join restricted to cross pairs") {
     val batch = docs.filter($"doc_id" % 2 === 0)
     val corpus = docs.filter($"doc_id" % 2 =!= 0)
