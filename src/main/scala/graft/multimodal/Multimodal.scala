@@ -43,6 +43,23 @@ object Multimodal {
     StructField("duration_ms", LongType)
   ))
 
+  /** Shared byte readers for the header parsers — ONE copy of the
+    * endian arithmetic so an overflow/bounds fix cannot drift between
+    * formats. */
+  private object Bytes {
+    def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    def le24(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+    def le32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong) | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    def be64(b: Array[Byte], i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+    def fourCC(b: Array[Byte], i: Int, s: String): Boolean =
+      b(i) == s(0) && b(i + 1) == s(1) && b(i + 2) == s(2) && b(i + 3) == s(3)
+  }
+
   /** Real image header parser: format + dimensions for PNG / JPEG /
     * GIF / WebP from the raw bytes, stdlib only. Used by
     * [[decodeMetadata]] for any payload whose magic bytes identify one
@@ -50,16 +67,7 @@ object Multimodal {
     * truncated or corrupt header reads as "not an image" and falls
     * back). */
   object ImageHeader {
-    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
-    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-    private def le24(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
-    private def le32(b: Array[Byte], i: Int): Long =
-      (u8(b, i).toLong) | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
-    private def be32(b: Array[Byte], i: Int): Long =
-      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
-    private def fourCC(b: Array[Byte], i: Int, s: String): Boolean =
-      b(i) == s(0) && b(i + 1) == s(1) && b(i + 2) == s(2) && b(i + 3) == s(3)
+    import Bytes._
 
     /** (format, width, height), or None if not a parsable
       * PNG/JPEG/GIF/WebP. */
@@ -137,10 +145,12 @@ object Multimodal {
       var i = 12
       var frames = 0
       while (i + 8 <= b.length) {
-        val size = le32(b, i + 4)
-        if (size < 0 || size > Int.MaxValue - 16) return None
         if (fourCC(b, i, "ANMF")) frames += 1
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // advance in Long: a corrupt declared size near Int.MaxValue
+        // must read as "truncated tail", not wrap the cursor negative
+        val size = le32(b, i + 4)
+        val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+        if (next > b.length) i = b.length else i = next.toInt
       }
       if (frames > 0) Some(frames) else None
     }
@@ -184,38 +194,37 @@ object Multimodal {
     * exact duration, stdlib only. Same contract as [[ImageHeader]]:
     * None (never a throw) for anything that isn't a parsable WAV. */
   object WavHeader {
-    private def u16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    private def u32(b: Array[Byte], i: Int): Long =
-      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    private def tag(b: Array[Byte], i: Int, s: String): Boolean =
-      b(i) == s(0) && b(i + 1) == s(1) && b(i + 2) == s(2) && b(i + 3) == s(3)
+    import Bytes._
 
     /** (sampleFrames, durationMs), from the fmt and data chunks. */
     def parse(b: Array[Byte]): Option[(Long, Long)] = {
-      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+      if (b.length < 44 || !fourCC(b, 0, "RIFF") || !fourCC(b, 8, "WAVE")) return None
       var i = 12
       var byteRate = 0L
       var blockAlign = 0
       var dataSize = -1L
       while (i + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
-        val size = u32(b, i + 4)
-        if (size > Int.MaxValue - 16) return None // also guards the Int cast below
-        if (tag(b, i, "fmt ")) {
+        val size = le32(b, i + 4)
+        if (fourCC(b, i, "fmt ")) {
           // byteRate/blockAlign sit at fmt offsets 8/12 — a declared
           // size under 16 means those fields don't exist and fixed-
           // offset reads would land in the NEXT chunk's bytes
           if (size < 16 || i + 24 > b.length) return None
-          byteRate = u32(b, i + 16)
-          blockAlign = u16(b, i + 20)
-        } else if (tag(b, i, "data")) {
+          byteRate = le32(b, i + 16)
+          blockAlign = le16(b, i + 20)
+        } else if (fourCC(b, i, "data")) {
           // size may overrun a truncated buffer; clamp to what's present
           dataSize = math.min(size, (b.length - i - 8).toLong)
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // advance in Long: a corrupt declared size near Int.MaxValue
+        // must read as "truncated tail", not wrap the cursor negative
+        val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+        if (next > b.length) i = b.length else i = next.toInt
       }
       if (byteRate <= 0 || blockAlign <= 0 || dataSize < 0) None
       else Some((dataSize / blockAlign, dataSize * 1000L / byteRate))
     }
+
   }
 
   /** Real video container parser: ISO BMFF (MP4/MOV) box walk, stdlib
@@ -225,10 +234,7 @@ object Multimodal {
     * dimensions (16.16 fixed point), and that track's `stts` sample
     * table for the true frame count. */
   object Mp4Header {
-    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-    private def be32(b: Array[Byte], i: Int): Long =
-      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
-    private def be64(b: Array[Byte], i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+    import Bytes._
     private def tp(b: Array[Byte], i: Int): String = new String(b, i + 4, 4, "ISO-8859-1")
 
     /** (boxType, payloadStart, payloadEnd) for each box in [from, to).
@@ -269,12 +275,14 @@ object Multimodal {
         if (scale <= 0) None else Some(dur * 1000L / scale)
       }.getOrElse(return None)
       // first trak whose tkhd carries nonzero 16.16 dimensions = video
-      boxes(b, moovS, moovE).collectFirst {
-        case ("trak", ts, te) if tkhdDims(b, ts, te).exists(d => d._1 > 0 && d._2 > 0) =>
-          val (w, h) = tkhdDims(b, ts, te).get
-          val frames = sttsFrames(b, ts, te).getOrElse(1)
-          (w, h, durMs, frames)
-      }
+      // (one tkhd walk per trak; stts only for the winner)
+      boxes(b, moovS, moovE).iterator.flatMap {
+        case ("trak", ts, te) =>
+          tkhdDims(b, ts, te).collect { case (w, h) if w > 0 && h > 0 =>
+            (w, h, durMs, sttsFrames(b, ts, te).getOrElse(1))
+          }
+        case _ => None
+      }.nextOption()
     }
 
     private def tkhdDims(b: Array[Byte], ts: Int, te: Int): Option[(Int, Int)] =
@@ -285,14 +293,23 @@ object Multimodal {
         else Some(((be32(b, s + off) >> 16).toInt, (be32(b, s + off + 4) >> 16).toInt))
       }
 
+    /** Sum of the trak's stts sample counts, in Long. None (caller
+      * falls back to 1 frame) when the box is missing, truncated,
+      * empty — fragmented MP4s legitimately declare entryCount 0 in
+      * the moov, their samples live in moof fragments — or when a
+      * corrupt count would not fit an Int. */
     private def sttsFrames(b: Array[Byte], ts: Int, te: Int): Option[Int] =
       for {
         (ms, me) <- find(b, ts, te, "mdia")
         (ns, ne) <- find(b, ms, me, "minf")
         (ss, se) <- find(b, ns, ne, "stbl")
         (xs, xe) <- find(b, ss, se, "stts")
-        n = be32(b, xs + 4).toInt if xs + 8 + 8L * n <= xe
-      } yield (0 until n).map(k => be32(b, xs + 8 + 8 * k)).sum.toInt
+        if xs + 8 <= xe // version/flags + entryCount present
+        n = be32(b, xs + 4).toInt
+        if n > 0 && xs + 8 + 8L * n <= xe
+        frames = (0 until n).map(k => be32(b, xs + 8 + 8 * k)).sum
+        if frames > 0 && frames <= Int.MaxValue
+      } yield frames.toInt
   }
 
   /** STUB decoder: deterministic fake metadata from raw bytes, the

@@ -156,6 +156,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp4Header.parse("plain text".getBytes("UTF-8")).isEmpty)
   }
 
+  test("corrupt sizes and fragmented MP4s never throw and never emit 0 frames") {
+    // animated WebP whose ANMF chunk declares a near-Int.MaxValue size:
+    // the cursor must read it as a truncated tail, not wrap negative
+    val vp8x = riffChunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++ le24b(15) ++ le24b(15))
+    val evil = webpFile(vp8x, riffChunk("ANMF", new Array[Byte](16)))
+    System.arraycopy(le32b(0x7fffffe0), 0, evil, 34, 4) // ANMF size field
+    assert(Multimodal.ImageHeader.webpFrameCount(evil) == Some(1))
+    // fragmented-style MP4: stts with entryCount 0 (samples live in
+    // moof fragments) ending exactly at the buffer end — must fall
+    // back to 1 frame, never 0 (sequence(0, -1) throws downstream)
+    val mvhd = mp4Box("mvhd",
+      new Array[Byte](12) ++ be32b(1000) ++ be32b(2500) ++ new Array[Byte](80))
+    val tkhd = mp4Box("tkhd",
+      new Array[Byte](76) ++ be32b(320 << 16) ++ be32b(240 << 16))
+    val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32b(0))
+    def withStts(stts: Array[Byte]) = ftyp ++ mp4Box("moov",
+      mvhd ++ mp4Box("trak", tkhd ++ mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stts)))))
+    val empty = withStts(mp4Box("stts", new Array[Byte](4) ++ be32b(0)))
+    assert(Multimodal.Mp4Header.parse(empty) == Some((320, 240, 2500L, 1)))
+    // header-only stts (declared size 8, zero payload) at the very
+    // end of the buffer — the entry count must not be read past it
+    val headerOnly = withStts(be32b(8) ++ "stts".getBytes("ISO-8859-1"))
+    assert(Multimodal.Mp4Header.parse(headerOnly) == Some((320, 240, 2500L, 1)))
+  }
+
   test("decodeMetadata takes the real path for images and falls back for text") {
     val png = encode("png", 320, 200)
     val media = Seq((1L, png), (2L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload")
