@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   * Contention hardening — the r07–r09 official artifacts were all
   * recorded on a loaded machine and each "regression" they showed was
   * noise (judge-verified: every inflated query was on an untouched
-  * code path and reverted on a quiet re-run). Three layers now keep a
+  * code path and reverted on a quiet re-run). Four layers now keep a
   * hot machine from forging evidence:
   *   1. wait-for-quiet: before any work, poll load1 until it falls to
   *      [[QuietLoad1]] or the budget (SPARK_GRAFT_BENCH_QUIET_SEC,
@@ -46,11 +46,21 @@ import org.apache.spark.sql.SparkSession
   *      of the three fastest CLEAN runs is reported (a real regression
   *      slows clean minima too, so retries never erase one), and
   *      queries that never got 3 clean runs are named in the warning;
-  *   3. sidecar protection: a run that still started contended refuses
+  *   3. historical prior (r11): a query median that jumps past
+  *      [[PriorJumpFactor]]× its median in the last CLEAN
+  *      `bench_detail.json` triggers the same retry budget, and if the
+  *      jump persists it is named in the warning — this catches the
+  *      one blind spot layers 1–2 share, a sustained sub-threshold
+  *      burst that inflates every run evenly (r10's d01: 6.8 s
+  *      official with no spread and quiet counters, 1.57 s on a
+  *      targeted quiet re-run, code path unchanged). A flagged run is
+  *      treated as contended; a REAL regression is accepted as the new
+  *      baseline explicitly via SPARK_GRAFT_BENCH_NO_PRIOR=1;
+  *   4. sidecar protection: a run that still started contended refuses
   *      to overwrite a cleaner `bench_detail.json`/`bench_summary
-  *      .json` — it writes `*.contended.json` instead, so the best
-  *      available evidence survives (stdout is printed either way; the
-  *      round artifact always reflects THIS run, flagged).
+  *      .json` — it writes `*.contended.json` under target/ instead, so
+  *      the best available evidence survives (stdout is printed either
+  *      way; the round artifact always reflects THIS run, flagged).
   */
 object Bench {
   /** load1 at or below this counts as a quiet machine. */
@@ -63,6 +73,51 @@ object Bench {
     * 32-core box is ~6 stolen cores — enough to matter, low enough
     * that sbt's own log pumping (~2%) never trips it. */
   val MaxExternalCpu = 0.2
+
+  /** A query median above `prior * PriorJumpFactor + PriorJumpFloorSec`
+    * (vs the last CLEAN sidecar) is a suspected contaminated row even
+    * when spread and external CPU stayed quiet — the r10 d01 case: a
+    * sustained burst below the 20% threshold inflated all runs 4×
+    * with zero spread, and only a targeted re-run caught it. The
+    * absolute floor keeps sub-second queries from flagging on jitter. */
+  val PriorJumpFactor = 2.0
+  val PriorJumpFloorSec = 0.3
+
+  /** True when `median` is an out-of-family jump vs the prior clean
+    * median for the same query — the fourth interference signal. */
+  private[graft] def slowVsPrior(median: Double, prior: Double): Boolean =
+    median > prior * PriorJumpFactor + PriorJumpFloorSec
+
+  /** Extracts the per-query median map from a bench_detail.json line.
+    * The format is this file's own output (flat `"queries":{...}` of
+    * name → seconds), so a two-regex parse is exact; anything
+    * unparsable reads as "no prior". */
+  private[graft] def parseQueryMedians(json: String): Map[String, Double] = {
+    val body = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
+    body.fold(Map.empty[String, Double]) { b =>
+      """"([^"]+)":([0-9]+(?:\.[0-9]+)?)""".r.findAllMatchIn(b)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Per-query medians from the previous CLEAN full-inventory sidecar;
+    * empty when absent, self-flagged, or disabled. A run that shipped
+    * with a warning is not a prior — comparing against contaminated
+    * history would normalize contamination. SPARK_GRAFT_BENCH_NO_PRIOR=1
+    * disables the check, the escape hatch for ACCEPTING a genuine
+    * regression (or intentional slowdown) as the new baseline. */
+  private def loadPriorMedians(path: String): Map[String, Double] =
+    if (sys.env.get("SPARK_GRAFT_BENCH_NO_PRIOR").exists(_.trim == "1")) Map.empty
+    else
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val s = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (s.contains("\"warning\"")) Map.empty else parseQueryMedians(s)
+        }
+      } catch { case _: Throwable => Map.empty }
 
   private def load1(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
@@ -192,6 +247,10 @@ object Bench {
     var retriesTotal = 0
     val nCores = machineCores()
     var contendedQueries = List.empty[String]
+    // (4) historical prior: the last clean sidecar's per-query medians.
+    // Loaded up front, before this run can overwrite the file.
+    val priorMedians = loadPriorMedians("bench_detail.json")
+    var slowVsPriorQueries = List.empty[String]
     val results = selected.map { q =>
       def run(): Unit = q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       def timed(): (Double, Double) = timedWithExternal(
@@ -214,21 +273,35 @@ object Bench {
       //    is CLEAN when outside processes took < [[MaxExternalCpu]]
       //    of the machine; retry (after a settle pause, so the burst
       //    can pass) until 3 clean runs exist or the budget is out.
+      //  - prior jump (r11): median > 2× the last CLEAN sidecar's median
+      //    for the same query. This is the detector for the blind spot
+      //    the other two share: a sustained external burst below the
+      //    20% CPU threshold inflates every run evenly (r10's d01:
+      //    6.8 s official, 1.57 s targeted quiet re-run, code path
+      //    unchanged). Retries with a settle pause give the burst a
+      //    chance to pass; if the jump persists it is NAMED in the
+      //    warning — either contention the counters can't see, or a
+      //    real regression the developer must adjudicate (and accept
+      //    via SPARK_GRAFT_BENCH_NO_PRIOR=1 once confirmed real).
       var runs = List(first2(0), first2(1), last)
       def clean = runs.filter(_._2 < MaxExternalCpu)
       def basis = { val c = clean; if (c.size >= 3) c else runs }
       def best3 = basis.map(_._1).sorted.take(3)
+      val prior = priorMedians.get(q.name)
+      def priorSlow = prior.exists(p => slowVsPrior(best3(1), p))
       var retries = 0
       while (retries < MaxRetries && {
         val b = best3
-        clean.size < 3 || b(1) > b(0) * 1.5 + 0.2
+        clean.size < 3 || b(1) > b(0) * 1.5 + 0.2 || priorSlow
       }) {
-        if (clean.size < 3) Thread.sleep(10000) // let the external burst pass
+        if (clean.size < 3 || priorSlow) Thread.sleep(10000) // let the external burst pass
         runs = runs :+ timed()
         retries += 1
       }
       retriesTotal += retries
       if (clean.size < 3) contendedQueries ::= q.name
+      if (priorSlow)
+        slowVsPriorQueries ::= f"${q.name} ${best3(1)}%.2fs vs prior ${prior.get}%.2fs"
       // recorded: median of the three fastest clean runs; min/max over
       // ALL runs so discarded contended samples stay visible
       (q.name, best3(1), runs.map(_._1).min, runs.map(_._1).max, shuffleMb)
@@ -244,12 +317,25 @@ object Bench {
     // A bench that measured contention instead of the engine flags
     // itself in the artifact, so a hot number is never mistaken for a
     // regression (r04/r05/r07-r09 all were): either it STARTED loaded,
-    // or some query never got 3 externally-clean runs despite retries.
-    val contended = load1Start > 2 * QuietLoad1 || contendedQueries.nonEmpty
-    val warning =
+    // some query never got 3 externally-clean runs despite retries, or
+    // a query's median jumped >2× its prior clean median and stayed
+    // there (r10's d01 — the one row every other detector missed). A
+    // persistent prior jump marks the run contended so sidecar
+    // protection keeps the clean prior; a real regression is accepted
+    // deliberately via SPARK_GRAFT_BENCH_NO_PRIOR=1, never by default.
+    val contended = load1Start > 2 * QuietLoad1 || contendedQueries.nonEmpty ||
+      slowVsPriorQueries.nonEmpty
+    val warnParts = List(
       if (contendedQueries.nonEmpty)
-        s""","warning":"contended queries (no 3 clean runs): ${contendedQueries.reverse.mkString(",")}""""
-      else if (contended) f""","warning":"contended: load1=$load1Start%.1f at start"""" else ""
+        Some(s"contended queries (no 3 clean runs): ${contendedQueries.reverse.mkString(",")}")
+      else None,
+      if (slowVsPriorQueries.nonEmpty)
+        Some(s"slow vs prior clean median: ${slowVsPriorQueries.reverse.mkString(", ")}")
+      else None,
+      if (load1Start > 2 * QuietLoad1) Some(f"contended: load1=$load1Start%.1f at start")
+      else None).flatten
+    val warning =
+      if (warnParts.nonEmpty) s""","warning":"${warnParts.mkString("; ")}"""" else ""
     def line(dec: Int) =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal$warning,"queries":${fmt(_._2, dec)},"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout and parses the
@@ -279,14 +365,22 @@ object Bench {
         !new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8).contains("\"warning\"")
     }
+    // demoted sidecars (partial/contended) go under target/ so iteration
+    // and contended runs never litter the repo root with files that
+    // could be mistaken for (or committed as) round evidence
+    def demotedPath(path: String, suffix: String): String = {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      dir.resolve(path.stripSuffix(".json") + s".$suffix.json").toString
+    }
     def protectedWrite(path: String, s: String): Unit = {
       // a BENCH_ONLY-restricted iteration run must never replace the
       // full-inventory round artifact, contended or not
-      if (only.isDefined) { writeJson(path.stripSuffix(".json") + ".partial.json", s); return }
+      if (only.isDefined) { writeJson(demotedPath(path, "partial"), s); return }
       if (contended && existingIsClean(path)) {
         System.err.println(s"[bench] contended run; keeping clean $path, " +
-          s"writing ${path.stripSuffix(".json")}.contended.json")
-        writeJson(path.stripSuffix(".json") + ".contended.json", s)
+          s"writing ${demotedPath(path, "contended")}")
+        writeJson(demotedPath(path, "contended"), s)
       } else writeJson(path, s) // clean run, or both contended: fresher wins
     }
     protectedWrite("bench_detail.json", detail)
