@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** @param isEval predicate over `docs` columns selecting the held-out
-    *               eval documents; they are excluded from the output. */
+    *               eval documents; they are excluded from the output. A
+    *               NULL evaluation counts as train-side (eval membership
+    *               must be affirmative) — without the coalesce such rows
+    *               would vanish from BOTH branches, silently omitting
+    *               training docs from the contamination report. */
   def ngramContamination(
       docs: DataFrame,
       idCol: String,
@@ -50,7 +54,8 @@ object Decontaminate {
     // Docs shorter than n keep their empty shingle array — they must
     // appear in the output as (n_grams = 0, clean).
     val sh = Par.widen(
-        docs.select(col(idCol), isEval.as("is_eval"), Text.tokens(lower(col(textCol))).as("tk")))
+        docs.select(col(idCol), coalesce(isEval, lit(false)).as("is_eval"),
+          Text.tokens(lower(col(textCol))).as("tk")))
       .select(col(idCol), col("is_eval"), Text.shingles(col("tk"), n).as("shg"))
     val grams = sh.select(col(idCol), col("is_eval"), explode(col("shg")).as("gram"))
     val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
@@ -84,6 +89,10 @@ object Decontaminate {
     * the group key is the id plus the already-computed scalars.
     * Tie-break on (cosine desc, eval_id asc), the window order the
     * oracle replicates; cosine reported rounded to 5 (the s01 rule).
+    * The tie-break key negates COSINE (always a double here), never the
+    * id, so `idCol` may be any orderable type — string eval ids work. A
+    * NULL `isEval` counts as train-side, same contract as
+    * [[ngramContamination]].
     */
   def semanticContamination(
       emb: DataFrame,
@@ -95,7 +104,7 @@ object Decontaminate {
       col(idCol).as("id"),
       col(vecCol).as("vec"),
       VectorExpressions.normF(col(vecCol)).as("nrm"),
-      isEval.as("is_eval"))
+      coalesce(isEval, lit(false)).as("is_eval"))
     val evals = base.filter(col("is_eval"))
       .select(col("id").as("eval_id"), col("vec").as("ev"), col("nrm").as("en"))
     base
@@ -108,7 +117,10 @@ object Decontaminate {
       .groupBy(col("id"))
       .agg(
         max(col("cos")).as("max_cos_raw"),
-        max_by(col("eval_id"), struct(col("cos"), (-col("eval_id")).as("nid"))).as("near_eval_id"))
+        // argmax on cosine with ascending-id tie-break: min over
+        // (-cos, eval_id) — negation stays on the double, so this is
+        // ANSI-safe for string/any orderable id types
+        min_by(col("eval_id"), struct((-col("cos")).as("ncos"), col("eval_id"))).as("near_eval_id"))
       .select(
         col("id").as(idCol),
         col("near_eval_id"),

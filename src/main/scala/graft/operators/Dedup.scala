@@ -203,23 +203,46 @@ object Dedup {
     sh.join(minhashSignatures(sh), "id")
   }
 
+  /** Batch docs above which [[minhashLshIncrementalAgainst]] drops its
+    * broadcast pin. 100k docs × 16 band keys ≈ 1.6M small rows — tens
+    * of MB, comfortably broadcastable; past that the "batch is small"
+    * contract is broken and forcing the broadcast would OOM the driver
+    * rather than degrade, so the join falls back to a plain shuffle. */
+  val IncrementalBroadcastMaxBatchRows = 100000L
+
   /** [[minhashLshIncremental]] against an already-prepared corpus
     * table ([[prepareDedupCorpus]], typically read back from storage):
     * the increment pays one linear scan of the batch text plus a probe
-    * of the stored bands — no corpus-text pass at all. */
+    * of the stored bands — no corpus-text pass at all.
+    *
+    * The broadcast contract is ENFORCED, not assumed: a batch larger
+    * than `maxBroadcastBatchRows` (checked with a bounded
+    * `limit(n+1).count()`, never a full count) loses the hint and the
+    * candidate join degrades to a shuffle — slower, but it completes
+    * instead of OOMing the driver on an oversized batch. */
   def minhashLshIncrementalAgainst(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       corpusPrep: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame = {
     val shB = shingleTable(batch, idCol, textCol)
     val bB = bandTable(minhashSignatures(shB)).select(col("bk").as("bk_a"), col("id").as("batch_id"))
     val bC = bandTable(corpusPrep.select("id", "sig")).select(col("bk").as("bk_b"), col("id").as("corpus_id"))
     // pin the documented shape: the small batch bands broadcast, the
     // corpus bands stream map-side — without the hint the planner's
-    // static stats can pick the corpus as build side (or shuffle both)
-    val cand = broadcast(bB)
+    // static stats can pick the corpus as build side (or shuffle both).
+    // The overflow probe scans at most maxBroadcastBatchRows+1 batch ids
+    // (CollectLimit short-circuits), so the guard costs O(bound), not a
+    // pass over an arbitrarily large batch.
+    val limitN = math.min(maxBroadcastBatchRows + 1, Int.MaxValue.toLong).toInt
+    val oversized = batch.select(col(idCol)).limit(limitN).count() > maxBroadcastBatchRows
+    if (oversized)
+      System.err.println(s"[graft] minhashLshIncrementalAgainst: batch exceeds " +
+        s"$maxBroadcastBatchRows rows — broadcast pin dropped, candidate join will shuffle")
+    val bBSide = if (oversized) bB else broadcast(bB)
+    val cand = bBSide
       .join(bC, col("bk_a") === col("bk_b"))
       .select("batch_id", "corpus_id")
       .dropDuplicates("batch_id", "corpus_id")

@@ -54,6 +54,16 @@ class DecontaminateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
   }
 
+  test("a NULL eval predicate counts as train-side, never vanishes") {
+    // when() without otherwise: doc 0 → true, every other doc → NULL.
+    // NULL must read as "not eval" — the doc stays in the report.
+    val out = Decontaminate
+      .ngramContamination(docs, "doc_id", "text", n = 3,
+        isEval = when(col("doc_id") === 0, lit(true)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 4L))
+  }
+
   // --- semantic (embedding-space) contamination ---------------------------
 
   // eval vecs 0 (e1 axis) and 4 (e2 axis); vec 1 ≈ eval 0 (cos ~0.995),
@@ -99,5 +109,28 @@ class DecontaminateSpec extends SparkSpec {
 
   test("eval vectors are excluded from the semantic output") {
     assert(!runSem.contains(0L) && !runSem.contains(4L))
+  }
+
+  test("semantic contamination accepts string ids; exact cosine ties break ascending") {
+    // v6 sits at 45° between the two eval axes: its cosine to v0 and v4
+    // is the SAME double, so near_eval_id exercises the tie-break — and
+    // string ids exercise the ANSI-safety of the tie-break key (the
+    // negation stays on the cosine, never the id).
+    val sv = vecs.toDF("nid", "embedding")
+      .union(Seq((6L, Array(1f, 1f, 0f, 0f))).toDF("nid", "embedding"))
+      .select(concat(lit("v"), col("nid")).as("sid"), col("embedding"))
+    val out = Decontaminate
+      .semanticContamination(sv, "sid", "embedding",
+        isEval = col("sid").isin("v0", "v4"), threshold = 0.9)
+      .select("sid", "near_eval_id", "contaminated")
+      .as[(String, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out("v1") == (("v1", "v0", 1)))
+    assert(out("v5") == (("v5", "v4", 1)))
+    assert(out("v6") == (("v6", "v0", 0))) // tie → ascending eval id
+    // NULL isEval counts as train-side here too
+    val withNull = Decontaminate
+      .semanticContamination(sv, "sid", "embedding",
+        isEval = when(col("sid").isin("v0", "v4"), lit(true)), threshold = 0.9)
+    assert(withNull.count() == 5)
   }
 }

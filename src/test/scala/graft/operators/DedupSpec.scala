@@ -55,6 +55,24 @@ class DedupSpec extends SparkSpec {
     assert(viaStore == direct && viaStore.nonEmpty)
   }
 
+  test("incremental dedup drops the broadcast pin past the batch-size bound") {
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "nothing like anything else in the corpus at all")
+    ).toDF("doc_id", "text")
+    val prep = Dedup.prepareDedupCorpus(docs, "doc_id", "text")
+    val pinned = Dedup.minhashLshIncrementalAgainst(batch, "doc_id", "text", prep, 0.5)
+    val fallback = Dedup.minhashLshIncrementalAgainst(batch, "doc_id", "text", prep, 0.5,
+      maxBroadcastBatchRows = 1L)
+    // the contract is visible in the logical plan: hint present under the
+    // bound, absent past it (the planner then shuffles instead of OOMing)
+    assert(pinned.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!fallback.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // and degrading the join strategy never changes the answer
+    val expected = pinned.as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty && fallback.as[(Long, Long, Double)].collect().toSet == expected)
+  }
+
   test("incremental dedup equals the self-join restricted to cross pairs") {
     val batch = docs.filter($"doc_id" % 2 === 0)
     val corpus = docs.filter($"doc_id" % 2 =!= 0)
