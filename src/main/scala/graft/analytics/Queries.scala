@@ -1069,6 +1069,20 @@ object Queries {
              |FROM m""".stripMargin)
     ),
 
+    QueryDef(
+      "m04_real_decode",
+      // The REAL header parsers under the oracle gate: deterministic
+      // PNG/JPEG/GIF/WebP/WAV/MP4 payloads built bytes-up from
+      // index-derived params (graft.multimodal.MediaFixtures), decoded
+      // by the production ImageHeader/WavHeader/Mp4Header walks; the
+      // oracle pins the SAME params as a VALUES literal — a round-trip
+      // check that hash-mismatches if builders or parsers drift.
+      // (m01-m03 exercise the plumbing + fallback over text payloads;
+      // this row is what makes "decode is real" oracle-checked.)
+      (s, _) => Multimodal.decodeMetadata(graft.multimodal.MediaFixtures.table(s)),
+      Some(graft.multimodal.MediaFixtures.oracleSql)
+    ),
+
     // ===================== streaming batch twins ==========================
     QueryDef(
       "st01_tumbling",

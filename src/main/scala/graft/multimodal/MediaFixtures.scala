@@ -1,0 +1,191 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic binary media fixtures for the oracle gate.
+  *
+  * Each fixture is built bytes-up to its public container spec
+  * (PNG / JPEG / GIF / WebP / WAV / ISO-BMFF MP4) from index-derived
+  * parameters, and carries the EXPECTED metadata computed from those
+  * same parameters — never by calling the parsers under test. The m04
+  * query decodes the payloads through [[Multimodal.decodeMetadata]]'s
+  * real header parsers while the DuckDB oracle reads the pinned
+  * expectations as a VALUES literal ([[oracleSql]]), so the
+  * CORRECTNESS row is a round-trip gate: params → builder → bytes →
+  * parser → params. A drift in either the builders or the parsers
+  * hash-mismatches.
+  *
+  * Everything here is a pure function of the row index — no files, no
+  * randomness, no clock — so Spark and the oracle agree across
+  * processes and rounds.
+  */
+object MediaFixtures {
+
+  /** One fixture: the payload plus its pinned expected metadata in
+    * [[Multimodal.mediaMetaSchema]] shape. */
+  final case class Fixture(
+      mediaId: Long,
+      payload: Array[Byte],
+      format: String,
+      width: Option[Int],
+      height: Option[Int],
+      nFrames: Int,
+      durationMs: Long) {
+    def byteLen: Long = payload.length.toLong
+  }
+
+  // --- byte builders (public container specs, stdlib only) -----------------
+
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le24b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+  private def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def be16b(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def be32b(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def cc(s: String) = s.getBytes("ISO-8859-1")
+
+  /** Minimal PNG: signature, IHDR with the real dimensions, IEND. The
+    * CRCs are zeroed — header parsing doesn't checksum. */
+  def png(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32b(13) ++ cc("IHDR") ++ be32b(w) ++ be32b(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32b(0) ++ // bit depth, truecolor, zero CRC
+      be32b(0) ++ cc("IEND") ++ be32b(0)
+
+  /** Minimal JPEG: SOI, one SOF0 frame header (3 components), EOI. */
+  def jpeg(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc0.toByte) ++
+      be16b(17) ++ Array[Byte](8) ++ be16b(h) ++ be16b(w) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+
+  /** GIF89a with `frames` image descriptors (no color tables, one
+    * 1-byte LZW sub-block per frame) and a trailer. */
+  def gif(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val frame = Array[Byte](0x2c) ++ le16b(0) ++ le16b(0) ++ le16b(w) ++ le16b(h) ++
+      Array[Byte](0, 2, 1, 0, 0) // packed, LZW min code, sub-block(len 1), terminator
+    cc("GIF89a") ++ le16b(w) ++ le16b(h) ++ Array[Byte](0, 0, 0) ++
+      (0 until frames).flatMap(_ => frame).toArray ++ Array[Byte](0x3b)
+  }
+
+  private def riffChunk(tag: String, payload: Array[Byte]): Array[Byte] =
+    cc(tag) ++ le32b(payload.length) ++ payload ++
+      (if (payload.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+
+  private def webpFile(chunks: Array[Byte]*): Array[Byte] = {
+    val body = cc("WEBP") ++ chunks.flatten
+    cc("RIFF") ++ le32b(body.length) ++ body
+  }
+
+  /** Lossy (VP8) WebP still: 3-byte frame tag, start code, 14-bit dims. */
+  def webpLossy(w: Int, h: Int): Array[Byte] =
+    webpFile(riffChunk("VP8 ",
+      Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++ le16b(w) ++ le16b(h)))
+
+  /** Lossless (VP8L) WebP still: 0x2F, then (w-1) | (h-1) << 14, LE. */
+  def webpLossless(w: Int, h: Int): Array[Byte] =
+    webpFile(riffChunk("VP8L", Array[Byte](0x2f) ++ le32b((w - 1) | ((h - 1) << 14))))
+
+  /** Extended (VP8X) WebP with `frames` ANMF chunks (0 = still). */
+  def webpExtended(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val vp8x = riffChunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++ le24b(w - 1) ++ le24b(h - 1))
+    webpFile(vp8x +: (0 until frames).map(_ => riffChunk("ANMF", new Array[Byte](16))): _*)
+  }
+
+  /** PCM WAV: fmt chunk with the real sample geometry, data chunk of
+    * `sampleFrames * blockAlign` deterministic bytes. */
+  def wav(sampleRate: Int, channels: Int, sampleFrames: Int): Array[Byte] = {
+    val blockAlign = 2 * channels // 16-bit PCM
+    val byteRate = sampleRate * blockAlign
+    val data = Array.tabulate[Byte](sampleFrames * blockAlign)(i => ((i * 37) & 0xff).toByte)
+    val fmt = riffChunk("fmt ", le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++
+      le32b(byteRate) ++ le16b(blockAlign) ++ le16b(16))
+    val body = cc("WAVE") ++ fmt ++ riffChunk("data", data)
+    cc("RIFF") ++ le32b(body.length) ++ body
+  }
+
+  private def mp4Box(tp: String, payload: Array[Byte]): Array[Byte] =
+    be32b(payload.length + 8) ++ cc(tp) ++ payload
+
+  /** ISO-BMFF MP4: ftyp + moov(mvhd v0, trak(tkhd v0 with 16.16 dims,
+    * mdia/minf/stbl/stts with two sample-count entries)). */
+  def mp4(w: Int, h: Int, timescale: Int, durationUnits: Int, f1: Int, f2: Int): Array[Byte] = {
+    val mvhd = mp4Box("mvhd",
+      new Array[Byte](12) ++ be32b(timescale) ++ be32b(durationUnits) ++ new Array[Byte](80))
+    val tkhd = mp4Box("tkhd", new Array[Byte](76) ++ be32b(w << 16) ++ be32b(h << 16))
+    val stts = mp4Box("stts",
+      new Array[Byte](4) ++ be32b(2) ++ be32b(f1) ++ be32b(100) ++ be32b(f2) ++ be32b(200))
+    val trak = mp4Box("trak", tkhd ++ mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stts))))
+    mp4Box("ftyp", cc("isom") ++ be32b(0)) ++ mp4Box("moov", mvhd ++ trak)
+  }
+
+  // --- the fixture corpus ---------------------------------------------------
+
+  /** 98 fixtures, 14 per kind; kind = i % 7. Kind 6 is a UTF-8 text
+    * payload pinning the dispatch contract: unrecognized bytes take the
+    * [[Multimodal.FakeDecoder]] fallback, whose formula is replicated
+    * here independently (same arithmetic the m01 oracle uses). */
+  lazy val fixtures: Seq[Fixture] = (0 until 98).map { i =>
+    val id = 9000L + i
+    val w = 16 + (i * 37) % 1200
+    val h = 16 + (i * 53) % 900
+    val frames = 1 + i % 6
+    i % 7 match {
+      case 0 => Fixture(id, png(w, h), "png", Some(w), Some(h), 1, 0L)
+      case 1 => Fixture(id, jpeg(w, h), "jpeg", Some(w), Some(h), 1, 0L)
+      case 2 => Fixture(id, gif(w, h, frames), "gif", Some(w), Some(h), frames, 0L)
+      case 3 =>
+        // rotate the three bitstream variants; only VP8X animates
+        val (wv, hv) = (1 + w % 4000, 1 + h % 4000) // 14-bit dim space
+        (i / 7) % 3 match {
+          case 0 => Fixture(id, webpLossy(wv, hv), "webp", Some(wv), Some(hv), 1, 0L)
+          case 1 => Fixture(id, webpLossless(wv, hv), "webp", Some(wv), Some(hv), 1, 0L)
+          case _ =>
+            val anmf = i % 5 // 0 ANMF chunks = a still, reads as 1 frame
+            Fixture(id, webpExtended(wv, hv, anmf), "webp", Some(wv), Some(hv),
+              math.max(anmf, 1), 0L)
+        }
+      case 4 =>
+        val rate = Seq(8000, 16000, 44100)((i / 7) % 3)
+        val channels = 1 + (i / 7) % 2
+        val sampleFrames = 400 + i * 31
+        val dataBytes = sampleFrames.toLong * 2 * channels
+        Fixture(id, wav(rate, channels, sampleFrames), "wav", None, None,
+          sampleFrames, dataBytes * 1000L / (rate.toLong * 2 * channels))
+      case 5 =>
+        val scale = 600 + (i % 5) * 200
+        val durUnits = 1000 + i * 97
+        val (f1, f2) = (1 + i % 9, 2 + i % 5)
+        Fixture(id, mp4(w, h, scale, durUnits, f1, f2), "mp4", Some(w), Some(h),
+          f1 + f2, durUnits.toLong * 1000L / scale)
+      case _ =>
+        val payload = s"fixture text payload $i padding ${"x" * (i % 13)}".getBytes("UTF-8")
+        val n = payload.length.toLong
+        val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
+        Fixture(id, payload, fmt, Some((64 + n % 1856).toInt), Some((64 + (n * 7) % 1016).toInt),
+          (1 + n % 30).toInt, n * 40 % 600000)
+    }
+  }
+
+  /** (media_id, payload) fixture table — the [[Multimodal.decodeMetadata]]
+    * input shape. A 98-row local relation: this is a correctness gate,
+    * not a scale path (the scale path is [[Multimodal.readBinaryDir]]). */
+  def table(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fixtures.map(f => (f.mediaId, f.payload)).toDF("media_id", "payload")
+  }
+
+  /** DuckDB twin: the pinned expectations as a VALUES literal, column
+    * names and types matched to [[Multimodal.decodeMetadata]] output. */
+  def oracleSql: String = {
+    val rows = fixtures.map { f =>
+      val wv = f.width.map(_.toString).getOrElse("NULL")
+      val hv = f.height.map(_.toString).getOrElse("NULL")
+      s"(${f.mediaId},${f.byteLen},'${f.format}',$wv,$hv,${f.nFrames},${f.durationMs})"
+    }.mkString(",")
+    s"""SELECT CAST(media_id AS BIGINT) AS media_id, CAST(byte_len AS BIGINT) AS byte_len,
+       |format, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       |CAST(n_frames AS INTEGER) AS n_frames, CAST(duration_ms AS BIGINT) AS duration_ms
+       |FROM (VALUES $rows)
+       |AS t(media_id, byte_len, format, width, height, n_frames, duration_ms)""".stripMargin
+  }
+}
