@@ -42,10 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The page fetch itself sits behind the [[ApiTransport]] seam, chosen
   * by the `transport` OPTION (a class name) — deployment against the
-  * live API is configuration, not code: point `transport` at an HTTP
-  * POST implementation of the one-method trait and every
-  * planner-visible surface (schema, pushdown, pagination, retries)
-  * stays exactly as tested here. The default [[SimulatorTransport]]
+  * live API is configuration, not code: point `transport` at
+  * [[HttpApiTransport]] (the shipped `java.net.http` POST
+  * implementation of the reference's fetch, integration-tested against
+  * an in-process server) and every planner-visible surface (schema,
+  * pushdown, pagination, retries) stays exactly as tested here. The default [[SimulatorTransport]]
   * serves the same deterministic rows as [[ApiSimulator]]
   * ([[ApiSimulator.genValues]]), with row i's `:updated_at` spread
   * over `nDays` days from `baseDate` so range pushdown has
