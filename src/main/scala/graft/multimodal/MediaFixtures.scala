@@ -103,6 +103,43 @@ object MediaFixtures {
     cc("RIFF") ++ le32b(body.length) ++ body
   }
 
+  // Layer III geometry, duplicated here on purpose: the fixture's
+  // expectation must come from the public tables, not from the parser
+  // under test
+  private val mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val mp3Rates = Map(
+    1 -> Array(44100, 48000, 32000),
+    2 -> Array(22050, 24000, 16000),
+    25 -> Array(11025, 12000, 8000))
+
+  /** (sampleRate, samplesPerFrame, frameBytes) for a Layer III frame
+    * at the given table coordinates; `version` ∈ {1, 2, 25}. */
+  def mp3Geometry(version: Int, bitrateIdx: Int, rateIdx: Int): (Int, Int, Int) = {
+    val rate = mp3Rates(version)(rateIdx)
+    val kbps = (if (version == 1) mp3BitrateV1 else mp3BitrateV2)(bitrateIdx)
+    val spf = if (version == 1) 1152 else 576
+    (rate, spf, spf / 8 * (kbps * 1000) / rate)
+  }
+
+  /** MPEG Layer III stream: `frames` identical zero-payload frames,
+    * optionally behind an ID3v2 tag of `id3Bytes` content bytes. */
+  def mp3(version: Int, bitrateIdx: Int, rateIdx: Int, frames: Int, id3Bytes: Int): Array[Byte] = {
+    val vb = version match { case 1 => 3; case 2 => 2; case _ => 0 }
+    val h = (0x7ff << 21) | (vb << 19) | (1 << 17) | (1 << 16) | (bitrateIdx << 12) | (rateIdx << 10)
+    val (_, _, frameBytes) = mp3Geometry(version, bitrateIdx, rateIdx)
+    val frame = be32b(h) ++ new Array[Byte](frameBytes - 4)
+    val id3 =
+      if (id3Bytes == 0) Array.emptyByteArray
+      else cc("ID3") ++ Array[Byte](4, 0, 0) ++
+        Array[Byte](((id3Bytes >> 21) & 0x7f).toByte, ((id3Bytes >> 14) & 0x7f).toByte,
+          ((id3Bytes >> 7) & 0x7f).toByte, (id3Bytes & 0x7f).toByte) ++
+        Array.tabulate[Byte](id3Bytes)(i => ((i * 17) & 0x7f).toByte)
+    id3 ++ (0 until frames).flatMap(_ => frame).toArray
+  }
+
   private def mp4Box(tp: String, payload: Array[Byte]): Array[Byte] =
     be32b(payload.length + 8) ++ cc(tp) ++ payload
 
@@ -120,23 +157,23 @@ object MediaFixtures {
 
   // --- the fixture corpus ---------------------------------------------------
 
-  /** 98 fixtures, 14 per kind; kind = i % 7. Kind 6 is a UTF-8 text
+  /** 112 fixtures, 14 per kind; kind = i % 8. Kind 7 is a UTF-8 text
     * payload pinning the dispatch contract: unrecognized bytes take the
     * [[Multimodal.FakeDecoder]] fallback, whose formula is replicated
     * here independently (same arithmetic the m01 oracle uses). */
-  lazy val fixtures: Seq[Fixture] = (0 until 98).map { i =>
+  lazy val fixtures: Seq[Fixture] = (0 until 112).map { i =>
     val id = 9000L + i
     val w = 16 + (i * 37) % 1200
     val h = 16 + (i * 53) % 900
     val frames = 1 + i % 6
-    i % 7 match {
+    i % 8 match {
       case 0 => Fixture(id, png(w, h), "png", Some(w), Some(h), 1, 0L)
       case 1 => Fixture(id, jpeg(w, h), "jpeg", Some(w), Some(h), 1, 0L)
       case 2 => Fixture(id, gif(w, h, frames), "gif", Some(w), Some(h), frames, 0L)
       case 3 =>
         // rotate the three bitstream variants; only VP8X animates
         val (wv, hv) = (1 + w % 4000, 1 + h % 4000) // 14-bit dim space
-        (i / 7) % 3 match {
+        (i / 8) % 3 match {
           case 0 => Fixture(id, webpLossy(wv, hv), "webp", Some(wv), Some(hv), 1, 0L)
           case 1 => Fixture(id, webpLossless(wv, hv), "webp", Some(wv), Some(hv), 1, 0L)
           case _ =>
@@ -145,8 +182,8 @@ object MediaFixtures {
               math.max(anmf, 1), 0L)
         }
       case 4 =>
-        val rate = Seq(8000, 16000, 44100)((i / 7) % 3)
-        val channels = 1 + (i / 7) % 2
+        val rate = Seq(8000, 16000, 44100)((i / 8) % 3)
+        val channels = 1 + (i / 8) % 2
         val sampleFrames = 400 + i * 31
         val dataBytes = sampleFrames.toLong * 2 * channels
         Fixture(id, wav(rate, channels, sampleFrames), "wav", None, None,
@@ -157,6 +194,17 @@ object MediaFixtures {
         val (f1, f2) = (1 + i % 9, 2 + i % 5)
         Fixture(id, mp4(w, h, scale, durUnits, f1, f2), "mp4", Some(w), Some(h),
           f1 + f2, durUnits.toLong * 1000L / scale)
+      case 6 =>
+        val version = Seq(1, 2, 25)((i / 8) % 3)
+        val bitrateIdx = 1 + i % 14
+        val rateIdx = (i / 8) % 3
+        val nf = 2 + i % 6
+        val id3 = if (i % 3 == 0) 40 + i else 0
+        val (rate, spf, _) = mp3Geometry(version, bitrateIdx, rateIdx)
+        // the parser accumulates exact per-frame microseconds; with one
+        // geometry the total is nf × the per-frame division
+        Fixture(id, mp3(version, bitrateIdx, rateIdx, nf, id3), "mp3", None, None,
+          nf, nf.toLong * (spf * 1000000L / rate) / 1000L)
       case _ =>
         val payload = s"fixture text payload $i padding ${"x" * (i % 13)}".getBytes("UTF-8")
         val n = payload.length.toLong

@@ -8,16 +8,18 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The decode step is REAL for images, WAV audio and MP4 video:
+  * The decode step is REAL for images, WAV/MP3 audio and MP4 video:
   * [[ImageHeader]] detects PNG/JPEG/GIF/WebP by magic bytes and parses
   * width/height from the format's header (IHDR / SOFn / logical screen
   * descriptor / VP8 bitstream chunks), plus the true frame count for
   * animated GIFs and WebPs; [[WavHeader]] walks the RIFF chunks for
-  * exact sample-frame count and duration; [[Mp4Header]] walks the ISO
-  * BMFF boxes for the video track's dimensions, movie duration and
-  * `stts` frame count — all stdlib byte arithmetic, no external
-  * codecs. Payloads that are none of these (the synthetic fixtures'
-  * UTF-8 text, compressed audio, non-MP4 video containers) fall back
+  * exact sample-frame count and duration; [[Mp3Header]] walks MPEG
+  * Layer III frame headers (ID3-aware, VBR-correct) for frame count
+  * and duration; [[Mp4Header]] walks the ISO BMFF boxes for the video
+  * track's dimensions, movie duration and `stts` frame count — all
+  * stdlib byte arithmetic, no external codecs. Payloads that are none
+  * of these (the synthetic fixtures' UTF-8 text, FLAC/OGG audio,
+  * non-MP4 video containers) fall back
   * to [[FakeDecoder]]'s deterministic pseudo-metadata, keeping the
   * fixture oracles exact. The plumbing — the binary column schema, the
   * batched `mapPartitions` shape (the Scala equivalent of
@@ -227,6 +229,80 @@ object Multimodal {
 
   }
 
+  /** Real compressed-audio parser: MPEG-1/2/2.5 Layer III (MP3) frame
+    * walk, stdlib only. Same contract as the other header parsers:
+    * None (never a throw) for anything that isn't a parsable MP3
+    * stream. Skips a leading ID3v2 tag (syncsafe size), then walks
+    * frame headers — sync bits, version/layer, the public bitrate and
+    * sample-rate tables — summing exact per-frame durations; frame
+    * count × frame geometry handles VBR streams naturally. A truncated
+    * final frame ends the walk cleanly (the partial frame doesn't
+    * count); an ID3v1 "TAG" trailer ends it cleanly; any other
+    * mid-stream garbage rejects the whole payload (it wasn't an MP3).
+    * To keep the 2-byte sync from false-positives on arbitrary binary,
+    * a stream with no ID3 tag must open with at least TWO back-to-back
+    * valid frames. */
+  object Mp3Header {
+    import Bytes._
+
+    // Layer III bitrate (kbps) and sample-rate tables, by version
+    private val bitrateV1 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    private val bitrateV2 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    private val ratesV1 = Array(44100, 48000, 32000)
+    private val ratesV2 = Array(22050, 24000, 16000)
+    private val ratesV25 = Array(11025, 12000, 8000)
+
+    /** (frameBytes, samplesPerFrame, sampleRate) of the Layer III
+      * frame at `i`, or None if the 4 header bytes aren't one. */
+    private def frameAt(b: Array[Byte], i: Int): Option[(Int, Int, Int)] = {
+      val h = be32(b, i)
+      if (((h >>> 21) & 0x7ff) != 0x7ff) return None // 11-bit sync
+      val version = ((h >>> 19) & 3).toInt // 0=2.5, 1=reserved, 2=v2, 3=v1
+      val layer = ((h >>> 17) & 3).toInt // 1=III
+      val bitrateIdx = ((h >>> 12) & 0xf).toInt // 0=free, 15=bad
+      val rateIdx = ((h >>> 10) & 3).toInt // 3=reserved
+      val padding = ((h >>> 9) & 1).toInt
+      if (version == 1 || layer != 1 || bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3)
+        return None
+      val v1 = version == 3
+      val bitrate = (if (v1) bitrateV1 else bitrateV2)(bitrateIdx) * 1000
+      val rate = (if (v1) ratesV1 else if (version == 2) ratesV2 else ratesV25)(rateIdx)
+      val spf = if (v1) 1152 else 576
+      Some((spf / 8 * bitrate / rate + padding, spf, rate))
+    }
+
+    /** (nFrames, durationMs), or None if not a parsable MP3. */
+    def parse(b: Array[Byte]): Option[(Int, Long)] = {
+      var i = 0
+      var hadId3 = false
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), then the tag
+        val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) | ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        val next = 10L + size // corrupt sizes must not wrap the cursor
+        if (next > b.length) return None
+        i = next.toInt
+        hadId3 = true
+      }
+      var frames = 0
+      var durUs = 0L
+      while (i + 4 <= b.length) {
+        frameAt(b, i) match {
+          case Some((size, spf, rate)) =>
+            if (i + size > b.length) i = b.length // truncated final frame
+            else { frames += 1; durUs += spf * 1000000L / rate; i += size }
+          case None =>
+            // an ID3v1 trailer ends the stream cleanly; anything else
+            // means this was never an MP3
+            if (i + 3 <= b.length && b(i) == 'T' && b(i + 1) == 'A' && b(i + 2) == 'G') i = b.length
+            else return None
+        }
+      }
+      if (frames >= 2 || (hadId3 && frames >= 1)) Some((frames, durUs / 1000)) else None
+    }
+  }
+
   /** Real video container parser: ISO BMFF (MP4/MOV) box walk, stdlib
     * only. Same contract as the other header parsers: None (never a
     * throw) for anything that isn't a parsable MP4. Reads the movie
@@ -346,6 +422,10 @@ object Multimodal {
         WavHeader.parse(bytes).map { case (frames, durMs) =>
           Row(id, bytes.length.toLong, "wav", null, null,
             math.min(frames, Int.MaxValue.toLong).toInt, durMs)
+        }.orElse {
+          Mp3Header.parse(bytes).map { case (frames, durMs) =>
+            Row(id, bytes.length.toLong, "mp3", null, null, frames, durMs)
+          }
         }.orElse {
           Mp4Header.parse(bytes).map { case (w, h, durMs, frames) =>
             Row(id, bytes.length.toLong, "mp4", w, h, frames, durMs)

@@ -19,18 +19,47 @@ class MediaFixturesSpec extends AnyFunSuite {
     }
   }
 
-  test("the corpus covers all six real formats plus the fallback, unique ids") {
+  test("the corpus covers all seven real formats plus the fallback, unique ids") {
     val fs = MediaFixtures.fixtures
     assert(fs.map(_.mediaId).distinct.size == fs.size)
-    // kinds 0-5 are real containers; kind 6 reuses image format names
+    // kinds 0-6 are real containers; kind 7 reuses image format names
     // through the fallback formula, so count by construction slot
-    val realFormats = fs.zipWithIndex.collect { case (f, i) if i % 7 < 6 => f.format }.toSet
-    assert(realFormats == Set("png", "jpeg", "gif", "webp", "wav", "mp4"))
+    val realFormats = fs.zipWithIndex.collect { case (f, i) if i % 8 < 7 => f.format }.toSet
+    assert(realFormats == Set("png", "jpeg", "gif", "webp", "wav", "mp4", "mp3"))
     // real parses are distinguishable from the fallback: a png fixture's
     // dimensions come from the header, not the byte-length formula
     val p = fs.find(f => f.format == "png" && f.payload.length >= 8 &&
       (f.payload(0) & 0xff) == 0x89).get
     assert(p.width.get != (64 + p.byteLen % 1856).toInt || p.height.get != (64 + (p.byteLen * 7) % 1016).toInt)
+  }
+
+  test("Mp3Header: ID3 skip, version geometry, truncation and rejection rules") {
+    import Multimodal.Mp3Header
+    // 44.1 kHz v1 @128 kbps: 1152 samples/frame -> 26.122... ms/frame
+    val v1 = MediaFixtures.mp3(version = 1, bitrateIdx = 9, rateIdx = 0, frames = 4, id3Bytes = 0)
+    assert(Mp3Header.parse(v1) == Some((4, 4L * (1152L * 1000000L / 44100L) / 1000L)))
+    // v2.5 8 kHz: 576 samples/frame = 72 ms exactly
+    val v25 = MediaFixtures.mp3(25, 5, 2, 3, id3Bytes = 0)
+    assert(Mp3Header.parse(v25) == Some((3, 216L)))
+    // an ID3v2 tag is skipped, and makes a single-frame stream valid
+    val tagged = MediaFixtures.mp3(2, 7, 1, 1, id3Bytes = 300)
+    assert(Mp3Header.parse(tagged) == Some((1, 576L * 1000000L / 24000L / 1000L)))
+    // without a tag, one lone frame is not enough evidence
+    assert(Mp3Header.parse(MediaFixtures.mp3(1, 9, 0, 1, 0)).isEmpty)
+    // a truncated final frame ends the walk cleanly and doesn't count
+    assert(Mp3Header.parse(v1.dropRight(3)) == Some((3, 3L * (1152L * 1000000L / 44100L) / 1000L)))
+    // garbage mid-stream rejects the payload entirely
+    val dirty = v1.clone(); dirty(v1.length / 4) = 0x00 // clobber the second frame's sync
+    assert(Mp3Header.parse(dirty).isEmpty)
+    assert(Mp3Header.parse("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(Mp3Header.parse(Array.emptyByteArray).isEmpty)
+    // an ID3 tag whose syncsafe size overruns the buffer is rejected
+    val evil = MediaFixtures.mp3(1, 9, 0, 2, id3Bytes = 50).take(30)
+    assert(Mp3Header.parse(evil).isEmpty)
+    // dispatch: decodeOne reports mp3 with null dimensions
+    val row = Multimodal.decodeOne(21L, v1)
+    assert(row.getAs[String](2) == "mp3" && row.get(3) == null && row.get(4) == null)
+    assert(row.getAs[Int](5) == 4)
   }
 
   test("the oracle VALUES literal carries one row per fixture with NULLs for audio") {
