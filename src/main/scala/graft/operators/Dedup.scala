@@ -333,10 +333,35 @@ object Dedup {
   def exactJaccardJoin(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val tE6 = math.round(threshold * 1000000)
-    val withSh = Par.widen(docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk")))
+    val withSh = jaccardShingles(docs, idCol, textCol)
+    val cand = exactJaccardCandidates(withSh, threshold)
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("tot"))
+      .filter(col("inter") * 1000000L >= lit(tE6) * (col("tot") - col("inter")))
+      .select(
+        col("id_a"), col("id_b"),
+        expr("(inter * 1000000L) div (tot - inter)").as("jaccard_e6"))
+  }
+
+  /** The (id, sh) input [[exactJaccardCandidates]] consumes. */
+  private[operators] def jaccardShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Par.widen(docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk")))
       .filter(size(col("tk")) >= 3)
       .select(col("id"), Text.shingles(col("tk"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** The candidate (id_a, id_b) pairs that survive prefix, size and
+    * positional filtering — everything BEFORE the exact-intersection
+    * verify. Package-visible so DedupProps can assert the filters are
+    * exact (candidates ⊇ true pairs) independent of the verify stage,
+    * which guards the pruning inequality against future edits. */
+  private[operators] def exactJaccardCandidates(withSh: DataFrame, threshold: Double): DataFrame = {
+    val tE6 = math.round(threshold * 1000000)
     val pairsTok = withSh.select(col("id"), explode(col("sh")).as("tok"))
     val df = pairsTok.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc shingles sorted by global (df, tok) rarity order
@@ -368,16 +393,6 @@ object Dedup {
           bound(col("matches") + least(col("sa") - 1 - col("maxa"), col("sb") - 1 - col("maxb"))) >= needed)
       .select("id_a", "id_b")
     cand
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(
-        col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("tot"))
-      .filter(col("inter") * 1000000L >= lit(tE6) * (col("tot") - col("inter")))
-      .select(
-        col("id_a"), col("id_b"),
-        expr("(inter * 1000000L) div (tot - inter)").as("jaccard_e6"))
   }
 
   // --- exact n-gram Jaccard (bounded quadratic baseline) ----------------------

@@ -133,11 +133,15 @@ class DedupProps extends SparkSpec {
   }
 
   test("exactJaccardJoin equals brute force on a LOW-VOCABULARY corpus (positional-filter stress)") {
-    // 4-word vocabulary: every prefix token is shared by most docs, the
+    // tiny vocabularies: every prefix token is shared by most docs, the
     // exact regime where the PPJoin positional filter does the pruning —
-    // any over-pruning (a dropped qualifying pair) fails the comparison
-    val tinyVocab = Vector("aa", "bb", "cc", "dd")
-    for (seed <- 1 to 3) {
+    // any over-pruning (a dropped qualifying pair) fails BOTH the
+    // candidate-superset check and the end-to-end comparison. The
+    // 2-word vocabulary is the degenerate worst case: near-total token
+    // sharing, so the positional bounds are all that separates
+    // candidates from the full cross product.
+    for ((vocabSize, seed) <- Seq((4, 1), (4, 2), (4, 3), (2, 4), (3, 5))) {
+      val tinyVocab = Vector("aa", "bb", "cc", "dd").take(vocabSize)
       val rnd = new scala.util.Random(100 + seed)
       val docs = (0 until 30).map { i =>
         (i.toLong, Seq.fill(8 + rnd.nextInt(25))(tinyVocab(rnd.nextInt(tinyVocab.size))).mkString(" "))
@@ -146,9 +150,7 @@ class DedupProps extends SparkSpec {
       def shingleSet(t: String): Set[String] =
         t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
       val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
-      for (threshold <- Seq(0.5, 0.8)) {
-        val got = Dedup.exactJaccardJoin(df, "doc_id", "text", threshold)
-          .select("id_a", "id_b", "jaccard_e6").as[(Long, Long, Long)].collect().toSet
+      for (threshold <- Seq(0.5, 0.7, 0.9)) {
         val want = (for {
           (a, sa) <- sets.toSeq
           (b, sb) <- sets.toSeq
@@ -157,7 +159,17 @@ class DedupProps extends SparkSpec {
           union = sa.union(sb).size.toLong
           if inter * 1000000L >= math.round(threshold * 1000000) * union
         } yield (a, b, inter * 1000000L / union)).toSet
-        assert(got === want, s"seed $seed threshold $threshold")
+        // the filters must be a SUPERSET of the true pairs (pruning is
+        // exact, never lossy) ...
+        val cand = Dedup
+          .exactJaccardCandidates(Dedup.jaccardShingles(df, "doc_id", "text"), threshold)
+          .as[(Long, Long)].collect().toSet
+        val missing = want.map(w => (w._1, w._2)) -- cand
+        assert(missing.isEmpty, s"vocab $vocabSize seed $seed t $threshold over-pruned: $missing")
+        // ... and the verify stage must land exactly on brute force
+        val got = Dedup.exactJaccardJoin(df, "doc_id", "text", threshold)
+          .select("id_a", "id_b", "jaccard_e6").as[(Long, Long, Long)].collect().toSet
+        assert(got === want, s"vocab $vocabSize seed $seed threshold $threshold")
       }
     }
   }
