@@ -146,6 +146,32 @@ class HttpApiTransportSpec extends SparkSpec {
     assert(df.count() == 250) // and the healthy endpoint still serves
   }
 
+  test("ConfigMain drives the whole pipeline through the live HTTP transport") {
+    // deployment-is-config, demonstrated end to end: a properties file
+    // selects the HTTP transport, the Runner's CDC month buckets push
+    // into the DSv2 scan, and the scan POSTs real SoQL pages to the
+    // server — no code change anywhere on the path
+    handler.seenQueries.clear()
+    val dir = java.nio.file.Files.createTempDirectory("cfg-http").toString
+    val props = new java.util.Properties()
+    props.setProperty("workDir", dir)
+    props.setProperty("runId", "http-run-1")
+    props.setProperty("loadDate", "2026-02-05")
+    props.setProperty("epochStart", "2026-01-01")
+    props.setProperty("tablePrefix", "thttp")
+    props.setProperty("api.transport", classOf[HttpApiTransport].getName)
+    props.setProperty("api.endpoint", endpoint)
+    props.setProperty("api.pageSize", "100")
+    props.setProperty("api.maxPages", "5")
+    props.setProperty("api.httpbackoffms", "10")
+    assert(graft.pipeline.ConfigMain.run(spark, props) == "SUCCESS")
+    // all 250 server rows live in January; the Jan month bucket ingests them
+    assert(spark.read.parquet(s"$dir/warehouse_a/crime").count() == 250)
+    // every page request carried a pushed CDC range, none were bare
+    assert(handler.seenQueries.size() >= 5)
+    handler.seenQueries.forEach(q => assert(q.contains(":updated_at >=")))
+  }
+
   test("a missing endpoint option is rejected up front") {
     val noEndpoint = spark.read
       .format("graft-api")
