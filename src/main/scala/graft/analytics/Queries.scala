@@ -734,6 +734,18 @@ object Queries {
         isEval = col("vec_id") % 19 === 0, threshold = 0.4),
       Some(semanticContaminationSql(19, 0.4))),
 
+    QueryDef("s07_embedding_incremental_dedup", (s, d) => {
+      // the d07 production-ingest shape for vectors: a new batch
+      // (vec_id % 7) near-dup-checked against the existing corpus via
+      // the stored SRP-band artifact — batch coded + broadcast, corpus
+      // never recoded or self-joined
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingNearDupIncremental(
+        emb.filter(col("vec_id") % 7 === 0),
+        emb.filter(col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", 0.4, 32, 64)
+    }, Some(embeddingNearDupIncSql(7, 0.4, 32, 64))),
+
     // ============================ text analysis ===========================
     QueryDef(
       "t01_lang_id",
@@ -899,6 +911,32 @@ object Queries {
            |CASE WHEN n_grams > 0 AND coalesce(n_hit, 0) * 10 >= n_grams THEN 1 ELSE 0 END AS contaminated
            |FROM b LEFT JOIN h ON b.doc_id = h.doc_id""".stripMargin
       }
+    ),
+
+    QueryDef(
+      "t13_pii_redaction",
+      // PII scrubbing ([[graft.operators.Redact.redactPii]]): the
+      // synthetic corpus carries no PII, so both engines inject the
+      // same deterministic contact strings per doc_id (email + phone
+      // always, SSN on %3, IPv4 on %5) and then redact — the oracle
+      // checks the full redacted text plus the per-category counts.
+      (s, d) => {
+        val id = col("doc_id")
+        val pad4 = lpad((id % 10000).cast("string"), 4, "0")
+        val injected = Tables.documents(s, d).select(
+          id,
+          concat(
+            col("text"),
+            lit(" reach j"), id.cast("string"), lit("@ex"), (id % 7).cast("string"), lit(".com"),
+            lit(" or 312-555-"), pad4,
+            when(id % 3 === 0, concat(lit(" ssn 123-45-"), pad4)).otherwise(lit("")),
+            when(id % 5 === 0,
+              concat(lit(" ip 10.0."), (id % 256).cast("string"), lit("."), (id % 256).cast("string")))
+              .otherwise(lit(""))
+          ).as("text"))
+        graft.operators.Redact.redactPii(injected, "doc_id", "text")
+      },
+      Some(piiRedactionSql)
     ),
 
     QueryDef(
@@ -1567,6 +1605,21 @@ object Queries {
     * same candidate dedup, same exact-cosine verification with per-row
     * precomputed norms — bit-for-bit the Spark plan's arithmetic. */
   private def embeddingNearDupSql(threshold: Double, numPlanes: Int, dim: Int): String = {
+    val dot = Vectors.dotSql("va", "vb")
+    s"""${srpBandedCtesSql(numPlanes, dim)},
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  a.vec AS va, a.nrm AS na, b.vec AS vb, b.nrm AS nb
+       |  FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b,
+       |round(CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END, 5) AS cosine
+       |FROM cand
+       |WHERE (CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END) >= $threshold""".stripMargin
+  }
+
+  /** The shared SRP coding + banding CTEs (`coded`, `banded`) of the
+    * embedding near-dup oracles — one copy so the incremental twin can
+    * never drift from d03's arithmetic. */
+  private def srpBandedCtesSql(numPlanes: Int, dim: Int): String = {
     val signs: Seq[Seq[Int]] = (0 until numPlanes).map { p =>
       (0 until dim).map { dd =>
         val md5 = java.security.MessageDigest.getInstance("MD5").digest(s"$p:$dd".getBytes("UTF-8"))
@@ -1581,19 +1634,54 @@ object Queries {
     }.mkString(" + ")
     val chunks = math.max(1, numPlanes / 8)
     val chunkIdx = (0 until chunks).mkString("[", ", ", "]")
-    val dot = Vectors.dotSql("va", "vb")
     s"""WITH coded AS (SELECT vec_id AS id, embedding AS vec,
        |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm,
        |  $bucketTerms AS bucket FROM embeddings),
        |banded AS (SELECT id, vec, nrm, c.c AS chunk, (bucket >> (c.c * 8)) & 255 AS key
-       |  FROM coded, (SELECT unnest($chunkIdx) AS c) c),
-       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |  FROM coded, (SELECT unnest($chunkIdx) AS c) c)""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.embeddingNearDupIncrementalAgainst]] with
+    * the corpus prepared inline: identical coding/banding to d03's
+    * oracle, candidates restricted to batch (id % batchMod = 0) ×
+    * corpus cross pairs — no self pairs on either side. */
+  private def embeddingNearDupIncSql(batchMod: Int, threshold: Double, numPlanes: Int, dim: Int): String = {
+    val dot = Vectors.dotSql("va", "vb")
+    s"""${srpBandedCtesSql(numPlanes, dim)},
+       |cand AS (SELECT DISTINCT a.id AS batch_id, b.id AS corpus_id,
        |  a.vec AS va, a.nrm AS na, b.vec AS vb, b.nrm AS nb
-       |  FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id)
-       |SELECT id_a, id_b,
+       |  FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key
+       |    AND a.id % $batchMod = 0 AND b.id % $batchMod <> 0)
+       |SELECT batch_id, corpus_id,
        |round(CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END, 5) AS cosine
        |FROM cand
        |WHERE (CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END) >= $threshold""".stripMargin
+  }
+
+  /** DuckDB twin of t13: the same deterministic PII injection, the
+    * regex chain lifted verbatim from [[graft.operators.Redact.Chain]]
+    * (one source of truth — the patterns are RE2/Java-portable by
+    * construction), counts measured on the original text. */
+  private def piiRedactionSql: String = {
+    val injected = Seq(
+      "text",
+      "' reach j'", "CAST(doc_id AS VARCHAR)", "'@ex'", "CAST(doc_id % 7 AS VARCHAR)", "'.com'",
+      "' or 312-555-'", "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')",
+      "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END",
+      "CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END"
+    ).mkString(" || ")
+    val clean = graft.operators.Redact.Chain.foldLeft("text") {
+      case (acc, (re, token)) => s"regexp_replace($acc, '$re', '$token', 'g')"
+    }
+    val counts = Seq(
+      "n_email" -> graft.operators.Redact.EmailRe,
+      "n_ssn" -> graft.operators.Redact.SsnRe,
+      "n_phone" -> graft.operators.Redact.PhoneRe,
+      "n_ip" -> graft.operators.Redact.Ipv4Re
+    ).map { case (n, re) => s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS $n" }
+    s"""WITH injected AS (SELECT doc_id, $injected AS text FROM documents)
+       |SELECT doc_id, $clean AS clean, ${counts.mkString(",\n")}
+       |FROM injected""".stripMargin
   }
 
   /** DuckDB twin of [[Decontaminate.semanticContamination]]: same

@@ -443,16 +443,8 @@ object Dedup {
       numPlanes: Int = 32,
       dim: Int = 64
   ): DataFrame = {
-    val chunkBits = 8
-    val chunks = math.max(1, numPlanes / chunkBits)
-    val keyMask = (1L << chunkBits) - 1
     val coded = Similarity.srpCode(emb, idCol, vecCol, numPlanes, dim)
-    val banded = coded.select(
-      col("id"),
-      explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"), shiftright(col("bucket"), c * chunkBits).bitwiseAND(lit(keyMask)).as("key"))
-      }: _*)).as("ck")
-    )
+    val banded = srpBands(coded, numPlanes)
     val l = banded.select(col("ck").as("ck_a"), col("id").as("id_a"))
     val r = banded.select(col("ck").as("ck_b"), col("id").as("id_b"))
     val cand = l
@@ -470,6 +462,91 @@ object Dedup {
       )
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
+  }
+
+  /** (id, ck) SRP band-chunk table from a coded table carrying a
+    * `bucket` column: 8-bit chunks of the bucket code, the
+    * [[bandTable]] analog for embeddings. */
+  private def srpBands(coded: DataFrame, numPlanes: Int): DataFrame = {
+    val chunkBits = 8
+    val chunks = math.max(1, numPlanes / chunkBits)
+    val keyMask = (1L << chunkBits) - 1
+    coded.select(
+      col("id"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"), shiftright(col("bucket"), c * chunkBits).bitwiseAND(lit(keyMask)).as("key"))
+      }: _*)).as("ck")
+    )
+  }
+
+  /** The persistable corpus-side artifact for incremental embedding
+    * near-dup: (id, vec, nrm, bucket) — one [[Similarity.srpCode]] row
+    * per vector. Write it once, append each accepted batch's own coded
+    * rows, and every future increment probes it without re-reading or
+    * re-coding corpus vectors ([[embeddingNearDupIncrementalAgainst]]).
+    * The vector twin of [[prepareDedupCorpus]]. */
+  def prepareEmbeddingCorpus(
+      emb: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int = 32, dim: Int = 64): DataFrame =
+    Similarity.srpCode(emb, idCol, vecCol, numPlanes, dim)
+
+  /** Incremental embedding near-dup — [[minhashLshIncremental]]'s
+    * production-ingest shape for vectors: match a NEW batch of
+    * embeddings against the EXISTING corpus instead of re-running the
+    * all-pairs self-join. Output: (batch_id, corpus_id, cosine >=
+    * threshold). Sides are assumed id-disjoint; within-batch dups are
+    * [[embeddingNearDup]] on the (small) batch alone. */
+  def embeddingNearDupIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 32,
+      dim: Int = 64): DataFrame =
+    embeddingNearDupIncrementalAgainst(batch, idCol, vecCol,
+      prepareEmbeddingCorpus(corpus, idCol, vecCol, numPlanes, dim), threshold, numPlanes, dim)
+
+  /** [[embeddingNearDupIncremental]] against an already-prepared corpus
+    * table ([[prepareEmbeddingCorpus]], typically read back from
+    * storage): the increment codes only the batch, probes the stored
+    * bands, and verifies candidates with exact cosine — the corpus is
+    * never recoded or self-joined. The batch bands broadcast under the
+    * same enforced size contract as the text twin
+    * ([[minhashLshIncrementalAgainst]]): past `maxBroadcastBatchRows`
+    * the hint is dropped and the candidate join degrades to a shuffle
+    * instead of OOMing the driver. */
+  def embeddingNearDupIncrementalAgainst(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      corpusPrep: DataFrame,
+      threshold: Double,
+      numPlanes: Int = 32,
+      dim: Int = 64,
+      maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame = {
+    val codedB = Similarity.srpCode(batch, idCol, vecCol, numPlanes, dim)
+    val bB = srpBands(codedB, numPlanes).select(col("ck").as("ck_a"), col("id").as("batch_id"))
+    val bC = srpBands(corpusPrep, numPlanes).select(col("ck").as("ck_b"), col("id").as("corpus_id"))
+    val limitN = math.min(maxBroadcastBatchRows + 1, Int.MaxValue.toLong).toInt
+    val oversized = batch.select(col(idCol)).limit(limitN).count() > maxBroadcastBatchRows
+    if (oversized)
+      System.err.println(s"[graft] embeddingNearDupIncrementalAgainst: batch exceeds " +
+        s"$maxBroadcastBatchRows rows — broadcast pin dropped, candidate join will shuffle")
+    val bBSide = if (oversized) bB else broadcast(bB)
+    val cand = bBSide
+      .join(bC, col("ck_a") === col("ck_b"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    cand
+      .join(codedB.select(col("id").as("batch_id"), col("vec").as("v_a"), col("nrm").as("n_a")), "batch_id")
+      .join(corpusPrep.select(col("id").as("corpus_id"), col("vec").as("v_b"), col("nrm").as("n_b")), "corpus_id")
+      .withColumn(
+        "cosine",
+        when(col("n_a") * col("n_b") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dotF(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("cosine"), 5).as("cosine"))
   }
 
   /** Resolve near-duplicate PAIRS into clusters: every document that

@@ -120,6 +120,35 @@ class DedupSpec extends SparkSpec {
     assert(sh == 1) // only the "xy" doc
   }
 
+  test("incremental embedding near-dup equals the self-join restricted to cross pairs") {
+    val emb = (0 until 24).map { i =>
+      // three planted directions plus noise vectors
+      val base = Array.tabulate(8)(d => if (d == i % 3) 1.0f else 0.02f * ((i + d) % 5))
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val batch = emb.filter($"vec_id" % 4 === 0)
+    val corpus = emb.filter($"vec_id" % 4 =!= 0)
+    val inc = Dedup.embeddingNearDupIncremental(batch, corpus, "vec_id", "embedding", 0.9, 16, 8)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val full = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.9, 16, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cross = full.collect {
+      case (a, b) if a % 4 == 0 && b % 4 != 0 => (a, b)
+      case (a, b) if b % 4 == 0 && a % 4 != 0 => (b, a)
+    }
+    assert(inc == cross && inc.nonEmpty)
+    // the stored-artifact path and the broadcast fallback agree with it
+    val prep = Dedup.prepareEmbeddingCorpus(corpus, "vec_id", "embedding", 16, 8)
+    val viaPrep = Dedup
+      .embeddingNearDupIncrementalAgainst(batch, "vec_id", "embedding", prep, 0.9, 16, 8)
+    val fallback = Dedup.embeddingNearDupIncrementalAgainst(
+      batch, "vec_id", "embedding", prep, 0.9, 16, 8, maxBroadcastBatchRows = 1L)
+    assert(viaPrep.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!fallback.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(viaPrep.select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet == inc)
+    assert(fallback.select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet == inc)
+  }
+
   test("embedding near-dup finds parallel vectors only") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
