@@ -739,12 +739,16 @@ object Queries {
       // (vec_id % 7) near-dup-checked against the existing corpus via
       // the stored SRP-band artifact — batch coded + broadcast, corpus
       // never recoded or self-joined
+      // threshold 0.35 (vs d03's 0.4): cross pairs are ~1/7 of the
+      // self-join's, and at sf0.001 none of the few ≥0.4 survivors land
+      // in a shared SRP bucket — 0.35 keeps the smoke gate (rows > 0)
+      // meaningful at every sf
       val emb = Tables.embeddings(s, d)
       Dedup.embeddingNearDupIncremental(
         emb.filter(col("vec_id") % 7 === 0),
         emb.filter(col("vec_id") % 7 =!= 0),
-        "vec_id", "embedding", 0.4, 32, 64)
-    }, Some(embeddingNearDupIncSql(7, 0.4, 32, 64))),
+        "vec_id", "embedding", 0.35, 32, 64)
+    }, Some(embeddingNearDupIncSql(7, 0.35, 32, 64))),
 
     // ============================ text analysis ===========================
     QueryDef(
