@@ -944,6 +944,25 @@ object Queries {
     ),
 
     QueryDef(
+      "t14_boilerplate_strip",
+      // boilerplate line removal ([[graft.operators.Boilerplate]]):
+      // both engines wrap every doc in the same injected furniture
+      // (a shared header + footer, one unique line); lines recurring
+      // in > 10 docs are dropped — including any text line that the
+      // corpus itself repeats often enough, same rule both sides.
+      (s, d) => {
+        val id = col("doc_id")
+        val injected = Tables.documents(s, d).select(
+          id,
+          concat(lit("Subscribe now\n"), col("text"),
+            lit("\nuniq-"), id.cast("string"),
+            lit("\n(c) 2026 Example Corp")).as("text"))
+        graft.operators.Boilerplate.strip(injected, "doc_id", "text", maxDocFreq = 10)
+      },
+      Some(boilerplateStripSql(10))
+    ),
+
+    QueryDef(
       "t07_corpus_curation",
       // the composed curation pipeline a training corpus actually runs:
       // quality-gate (tokens >= 5, the t02 bucket-1 floor), then drop
@@ -1661,6 +1680,29 @@ object Queries {
        |FROM cand
        |WHERE (CASE WHEN na * nb = 0 THEN 0.0 ELSE $dot / (na * nb) END) >= $threshold""".stripMargin
   }
+
+  /** DuckDB twin of t14: same injected furniture, same line-frequency
+    * rule (empty lines never count, dropped lines leave no separator —
+    * `string_agg` skips the NULLed-out lines exactly as the Spark side
+    * filters them from the array before `concat_ws`). */
+  private def boilerplateStripSql(maxDocFreq: Int): String =
+    s"""WITH injected AS (SELECT doc_id,
+       |  'Subscribe now' || chr(10) || text || chr(10) || 'uniq-' || CAST(doc_id AS VARCHAR)
+       |    || chr(10) || '(c) 2026 Example Corp' AS text FROM documents),
+       |parted AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM injected),
+       |lines AS (SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos, unnest(parts) AS line
+       |  FROM parted),
+       |bad AS (SELECT line FROM
+       |  (SELECT line, count(DISTINCT doc_id) AS df FROM lines WHERE trim(line) <> '' GROUP BY 1)
+       |  WHERE df > $maxDocFreq),
+       |marked AS (SELECT l.doc_id, l.pos, l.line,
+       |  CASE WHEN b.line IS NULL THEN 0 ELSE 1 END AS dropped
+       |  FROM lines l LEFT JOIN bad b ON l.line = b.line)
+       |SELECT doc_id,
+       |coalesce(string_agg(CASE WHEN dropped = 0 THEN line END, chr(10) ORDER BY pos), '') AS clean,
+       |CAST(count(*) AS BIGINT) AS n_lines,
+       |CAST(sum(dropped) AS BIGINT) AS n_dropped
+       |FROM marked GROUP BY doc_id""".stripMargin
 
   /** DuckDB twin of t13: the same deterministic PII injection, the
     * regex chain lifted verbatim from [[graft.operators.Redact.Chain]]
