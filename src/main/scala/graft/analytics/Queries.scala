@@ -963,6 +963,23 @@ object Queries {
     ),
 
     QueryDef(
+      "t15_chunking",
+      // sliding-window chunking ([[graft.operators.Packing.chunk]]):
+      // 32-token windows with 8-token overlap (step 24) — the pass that
+      // turns documents into model-sized units; pure per-row explode.
+      (s, d) => graft.operators.Packing.chunk(Tables.documents(s, d), "doc_id", "text", 32, 8),
+      Some(s"""WITH tk AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+              |nz AS (SELECT doc_id, t FROM tk WHERE len(t) > 0),
+              |c AS (SELECT doc_id,
+              |  unnest(generate_series(0, CAST(floor((len(t) - 1) / 24) AS BIGINT))) AS chunk_idx, t
+              |  FROM nz)
+              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              |CAST(len(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT) AS n_tokens,
+              |array_to_string(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk
+              |FROM c""".stripMargin)
+    ),
+
+    QueryDef(
       "t07_corpus_curation",
       // the composed curation pipeline a training corpus actually runs:
       // quality-gate (tokens >= 5, the t02 bucket-1 floor), then drop

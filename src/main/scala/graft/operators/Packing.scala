@@ -37,6 +37,41 @@ object Packing {
       )
   }
 
+  /** Sliding-window chunking: split each document's token stream into
+    * overlapping context-window chunks — the pass that turns raw
+    * documents into model-sized training/retrieval units. Chunk i
+    * covers tokens [i·(size−overlap), i·(size−overlap)+size); chunks
+    * start while their offset is inside the document, so every token
+    * lands in at least one chunk and consecutive chunks share
+    * `overlap` tokens. Documents with no tokens emit nothing.
+    *
+    * Scale shape: a pure per-row explode — no shuffle, no state; the
+    * fan-out is bounded by n/(size−overlap)+1 chunks per document and
+    * pipelines inside the feeding scan. Output: (id, chunk_idx,
+    * n_tokens, chunk) with `chunk` re-joined as text. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String, size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    val tk = graft.core.Par.widen(
+      docs.select(col(idCol), graft.functions.Text.tokens(col(textCol)).as("tk")))
+      .filter(size_(col("tk")) > 0)
+    tk.select(
+        col(idCol),
+        col("tk"),
+        explode(sequence(lit(0), floor((size_(col("tk")) - 1) / step).cast("int"))).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("tk"), col("chunk_idx") * step + 1, lit(size)).as("toks"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size_(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("chunk"))
+  }
+  // functions.size shadowed by the `size` parameter above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Deterministic hash split: an md5-derived bucket in [0, 100)
     * computed from the id alone assigns each row to the first label
     * whose cumulative percentage covers the bucket. Stable across
