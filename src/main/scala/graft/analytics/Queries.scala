@@ -750,6 +750,19 @@ object Queries {
         "vec_id", "embedding", 0.35, 32, 64)
     }, Some(embeddingNearDupIncSql(7, 0.35, 32, 64))),
 
+    QueryDef("s08_ann_ivf_indexed", (s, d) => {
+      // the ANN SERVING shape: the IVF index (quantizer + inverted
+      // file) is a stored artifact; a query batch (vec_id % 13) probes
+      // it without the corpus ever being re-assigned — completes the
+      // stored-artifact trilogy (d07 text, s07 vectors, s08 ANN)
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKIndexed(
+        emb.filter(col("vec_id") % 13 === 0), "vec_id", "embedding",
+        Similarity.prepareIvfIndex(emb, "vec_id", "embedding", 8),
+        nProbe = 2, k = 5)
+        .withColumn("rk", col("rk").cast("long"))
+    }, Some(ivfIndexedSql(8, 2, 13, 5))),
+
     // ============================ text analysis ===========================
     QueryDef(
       "t01_lang_id",
@@ -1796,6 +1809,32 @@ object Queries {
        |cand AS (SELECT DISTINCT p.query_id, a.id AS cand_id, a.vec AS cv, a.nrm AS cn, q.vec AS qv, q.nrm AS qn
        |  FROM probes p JOIN assigned a ON a.cluster = p.cluster AND a.id != p.query_id
        |  JOIN assigned q ON q.id = p.query_id),
+       |scored2 AS (SELECT query_id, cand_id,
+       |  CASE WHEN qn * cn = 0 THEN 0.0 ELSE ${dot("qv", "cv")} / (qn * cn) END AS cosine FROM cand)
+       |SELECT query_id, cand_id, round(cosine, 5) AS cosine, rk FROM
+       |(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk FROM scored2)
+       |WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB twin of [[Similarity.ivfTopKIndexed]] over an
+    * inline-prepared index: same assignment and probe arithmetic as
+    * [[ivfTopKSql]], with the query set drawn by modulus
+    * (id % queryMod = 0) instead of an id prefix — the serving shape's
+    * oracle. */
+  private def ivfIndexedSql(nCentroids: Int, nProbe: Int, queryMod: Int, k: Int): String = {
+    def dot(a: String, b: String) = Vectors.dotSql(a, b)
+    s"""WITH base AS (SELECT vec_id AS id, embedding AS vec,
+       |  sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |cents AS (SELECT id AS cid, vec AS cvec, nrm AS cnrm FROM base WHERE id < $nCentroids),
+       |scored AS (SELECT b.id, b.vec, b.nrm, c.cid,
+       |  CASE WHEN b.nrm * c.cnrm = 0 THEN 0.0 ELSE ${dot("b.vec", "c.cvec")} / (b.nrm * c.cnrm) END AS csim
+       |  FROM base b CROSS JOIN cents c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid ASC) AS r FROM scored),
+       |assigned AS (SELECT id, vec, nrm, cid AS cluster FROM ranked WHERE r = 1),
+       |probes AS (SELECT id AS query_id, cid AS cluster FROM ranked WHERE r <= $nProbe AND id % $queryMod = 0),
+       |cand AS (SELECT DISTINCT p.query_id, a.id AS cand_id, a.vec AS cv, a.nrm AS cn, q.vec AS qv, q.nrm AS qn
+       |  FROM probes p JOIN assigned a ON a.cluster = p.cluster AND a.id != p.query_id
+       |  JOIN base q ON q.id = p.query_id),
        |scored2 AS (SELECT query_id, cand_id,
        |  CASE WHEN qn * cn = 0 THEN 0.0 ELSE ${dot("qv", "cv")} / (qn * cn) END AS cosine FROM cand)
        |SELECT query_id, cand_id, round(cosine, 5) AS cosine, rk FROM

@@ -172,6 +172,106 @@ object Similarity {
     ivfSearch(base, cents, nProbe, nQueries, k)
   }
 
+  /** The persistable IVF serving index — quantizer + inverted file:
+    * `centroids` (cid, cvec, cnrm) and `assigned` (id, vec, nrm,
+    * cluster). The stored-artifact pattern ([[graft.operators.Dedup
+    * .prepareDedupCorpus]] / `prepareEmbeddingCorpus`) applied to ANN
+    * serving: build offline, write both tables, and serve every future
+    * query batch with [[ivfTopKIndexed]] — the corpus is never
+    * re-scanned or re-assigned at query time. */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Build an [[IvfIndex]] with the data-point quantizer (first
+    * `nCentroids` ids — deterministic, oracle-reproducible; pass
+    * [[trainCentroids]] output to the `cents` overload for the
+    * production k-means quantizer). */
+  def prepareIvfIndex(emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int): IvfIndex = {
+    val cents = Par.widen(emb)
+      .filter(col(idCol) < nCentroids)
+      .select(
+        col(idCol).as("cid"),
+        col(vecCol).as("cvec"),
+        VectorExpressions.normF(col(vecCol)).as("cnrm"))
+    prepareIvfIndexWith(emb, idCol, vecCol, cents)
+  }
+
+  /** [[prepareIvfIndex]] against an externally supplied quantizer:
+    * one broadcast-assignment pass over the corpus (the map-side
+    * `max_by` argmax — N×C scored rows collapse to N before any
+    * shuffle) builds the inverted file. */
+  def prepareIvfIndexWith(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame): IvfIndex = {
+    val base = Par.widen(emb).select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      VectorExpressions.normF(col(vecCol)).as("nrm"))
+    val assigned = base
+      .crossJoin(broadcast(cents))
+      .withColumn(
+        "csim",
+        when(col("nrm") * col("cnrm") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dotF(col("vec"), col("cvec")) / (col("nrm") * col("cnrm"))))
+      .groupBy(col("id"), col("vec"), col("nrm"))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("ncid"))).as("cluster"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Serve an ANN query batch from a stored [[IvfIndex]]: queries score
+    * against the broadcast quantizer for their `nProbe` probe cells,
+    * probe cells join the inverted file on cluster id, survivors
+    * re-rank by exact cosine. Matches [[ivfTopK]] exactly when the
+    * query set is drawn from the indexed corpus (same assignment,
+    * probe order and tie-breaks); a candidate with the query's own id
+    * is excluded, so corpus-drawn query sets never match themselves.
+    *
+    * Scale shape: query cost is nProbe·(corpus/C) candidate rows per
+    * query — the corpus tables stream from storage, nothing is
+    * recomputed; only (query_id, cluster) pairs and the final
+    * candidates shuffle. */
+  def ivfTopKIndexed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: IvfIndex,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val q = Par.widen(queries).select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      VectorExpressions.normF(col(vecCol)).as("qn"))
+    val probes = q
+      .crossJoin(broadcast(index.centroids))
+      .withColumn(
+        "csim",
+        when(col("qn") * col("cnrm") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dotF(col("qv"), col("cvec")) / (col("qn") * col("cnrm"))))
+      .groupBy(col("query_id"))
+      .agg(
+        slice(
+          sort_array(collect_list(struct(col("csim"), (-col("cid")).as("ncid"))), asc = false),
+          1,
+          nProbe
+        ).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), (-col("t.ncid")).as("cluster"))
+    val scored = probes
+      .join(
+        index.assigned
+          .select(col("id").as("cand_id"), col("vec").as("cv"), col("nrm").as("cn"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .join(q, Seq("query_id"))
+      .withColumn(
+        "cosine",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(VectorExpressions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cosine"), 5).as("cosine"), col("rk"))
+  }
+
   /** Shared IVF search core: assignment, probe selection, and cell
     * search against a given (cid, cvec, cnrm) quantizer. */
   private def ivfSearch(base: DataFrame, cents: DataFrame, nProbe: Int, nQueries: Int, k: Int): DataFrame = {

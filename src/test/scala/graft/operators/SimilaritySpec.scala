@@ -53,6 +53,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("indexed IVF serving matches the inline search, including through parquet") {
+    val dirs = Seq(Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f))
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 16).map { i =>
+      val d = dirs(i % 2)
+      (i.toLong, d.map(x => x + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val inline = Similarity.ivfTopK(corpus, "vec_id", "embedding", 4, 2, 3, 2)
+      .select("query_id", "cand_id", "rk").as[(Long, Long, Int)].collect().toSet
+    // same corpus-prefix query set through the stored index
+    val idx = Similarity.prepareIvfIndex(corpus, "vec_id", "embedding", 4)
+    val served = Similarity.ivfTopKIndexed(
+        corpus.filter($"vec_id" < 3), "vec_id", "embedding", idx, nProbe = 2, k = 2)
+      .select("query_id", "cand_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(served == inline && served.nonEmpty)
+    // and the index survives a storage round trip (the serving deploy path)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx")
+    idx.centroids.write.parquet(s"$dir/centroids")
+    idx.assigned.write.parquet(s"$dir/assigned")
+    val stored = Similarity.IvfIndex(
+      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/assigned"))
+    val viaStore = Similarity.ivfTopKIndexed(
+        corpus.filter($"vec_id" < 3), "vec_id", "embedding", stored, nProbe = 2, k = 2)
+      .select("query_id", "cand_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(viaStore == inline)
+  }
+
   test("binary-file ingest reads media blobs with stable hashed ids") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))
