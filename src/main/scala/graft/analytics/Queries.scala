@@ -993,6 +993,65 @@ object Queries {
     ),
 
     QueryDef(
+      "t16_top_ngram_mass",
+      // the remaining Gopher repetition signal (t09 covers duplicate
+      // bigram FRACTION, t11 the top TOKEN): the character mass of the
+      // single most repeated word n-gram, n in {2,3,4}. Computed by the
+      // codegen'd per-row [[Text.topGram]] counter — zero shuffle; the
+      // explode→groupBy form would shuffle one (doc_id, gram) pair per
+      // corpus token. Ratios in exact integer micro-units (the t04
+      // rule); denominator is the char length of the space-joined
+      // token text, identical both engines.
+      (s, d) => {
+        val tkDf = Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+          .select(
+            col("doc_id"),
+            length(concat_ws(" ", col("tk"))).cast("long").as("n_chars_tok"),
+            Text.topGram(col("tk"), 2).as("t2"),
+            Text.topGram(col("tk"), 3).as("t3"),
+            Text.topGram(col("tk"), 4).as("t4"))
+        def fracE6(t: String): Column =
+          expr(s"CASE WHEN n_chars_tok > 0 THEN ($t.cnt * length($t.gram) * 1000000L) div n_chars_tok ELSE 0L END")
+        tkDf.select(
+          col("doc_id"), col("n_chars_tok"),
+          col("t2.gram").as("top2_gram"), col("t2.cnt").as("top2_n"), fracE6("t2").as("top2_frac_e6"),
+          col("t3.gram").as("top3_gram"), col("t3.cnt").as("top3_n"), fracE6("t3").as("top3_frac_e6"),
+          col("t4.gram").as("top4_gram"), col("t4.cnt").as("top4_n"), fracE6("t4").as("top4_frac_e6"))
+      },
+      Some {
+        val tk = toksSql("lower(text)")
+        def grams(n: Int): String = {
+          val parts = (0 until n).map(k => s"t[i+$k]").mkString(", ")
+          s"""SELECT doc_id, concat_ws(' ', $parts) AS gram
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i FROM tk)""".stripMargin
+        }
+        def top(n: Int): String =
+          s"""c$n AS (SELECT doc_id, gram, c FROM
+             |  (SELECT doc_id, gram, count(*) AS c FROM (${grams(n)}) GROUP BY 1, 2)
+             |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) = 1)""".stripMargin
+        def cols(n: Int): String =
+          s"""coalesce(c$n.gram, '') AS top${n}_gram, CAST(coalesce(c$n.c, 0) AS BIGINT) AS top${n}_n,
+             |CASE WHEN b.n_chars_tok > 0
+             |  THEN coalesce(c$n.c, 0) * len(coalesce(c$n.gram, '')) * 1000000 // b.n_chars_tok
+             |  ELSE 0 END AS top${n}_frac_e6""".stripMargin
+        s"""WITH tk AS (SELECT doc_id, $tk AS t FROM documents),
+           |b AS (SELECT doc_id, CAST(len(array_to_string(t, ' ')) AS BIGINT) AS n_chars_tok FROM tk),
+           |${top(2)},
+           |${top(3)},
+           |${top(4)}
+           |SELECT b.doc_id, b.n_chars_tok,
+           |${cols(2)},
+           |${cols(3)},
+           |${cols(4)}
+           |FROM b
+           |LEFT JOIN c2 ON b.doc_id = c2.doc_id
+           |LEFT JOIN c3 ON b.doc_id = c3.doc_id
+           |LEFT JOIN c4 ON b.doc_id = c4.doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "t07_corpus_curation",
       // the composed curation pipeline a training corpus actually runs:
       // quality-gate (tokens >= 5, the t02 bucket-1 floor), then drop

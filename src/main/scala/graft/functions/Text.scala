@@ -40,6 +40,13 @@ object Text {
   def shingles(toks: Column, n: Int): Column =
     TextExpressions.shingleGrams(toks, n)
 
+  /** Most-frequent word n-gram with multiplicity, as
+    * `struct(gram, cnt, m)` — see [[TextExpressions.TopGram]]. Per-row,
+    * zero-shuffle; ties break to the byte-smallest gram, matching the
+    * oracle's `ORDER BY c DESC, gram ASC` window pick. */
+  def topGram(toks: Column, n: Int): Column =
+    TextExpressions.topGram(toks, n)
+
   /** DuckDB SQL for [[shingles]] over a token-list expression. */
   def shinglesSql(toksExpr: String, n: Int): String = {
     val parts = (0 until n).map(k => s"$toksExpr[i+$k]").mkString(", ")

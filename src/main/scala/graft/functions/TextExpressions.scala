@@ -133,6 +133,95 @@ object TextExpressions {
     }
   }
 
+  /** Most-frequent word n-gram of a token array, WITH multiplicity —
+    * the Gopher repetition signal t09/t11 don't cover: the character
+    * mass of the single most repeated n-gram. Returns
+    * `struct(gram string, cnt long, m long)` where `m` is the total
+    * n-gram count (`max(ntok - n + 1, 0)`); ties break to the
+    * lexicographically smallest gram (byte order — the same order
+    * DuckDB's default binary collation sorts by, so the oracle's
+    * `ORDER BY c DESC, gram ASC ... row_number() = 1` picks the same
+    * winner). Docs with fewer than n tokens report ('', 0, 0).
+    *
+    * Why an expression and not explode→groupBy: per-row counting keeps
+    * the whole signal inside one WholeStageCodegen scan pass — at
+    * 100 TB the explode form shuffles one (doc_id, gram) pair per
+    * TOKEN of corpus, while this shuffles nothing at all.
+    */
+  case class TopGram(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "n-gram size must be >= 1")
+
+    override def dataType: DataType = TopGram.schema
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_top_gram expects array<string>, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      TopGram.build(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cls = TopGram.getClass.getName.stripSuffix("$") + "$"
+        s"""${ev.value} = ($cls.MODULE$$).build($v, $n);"""
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object TopGram {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+    val schema: StructType = StructType(Seq(
+      StructField("gram", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("m", LongType, nullable = false)))
+
+    private val SPACE = UTF8String.fromString(" ")
+    private val EMPTY = UTF8String.fromString("")
+
+    /** Shared by interpreted eval and generated code: one counting pass,
+      * then one deterministic (cnt desc, gram asc) selection pass. */
+    def build(toks: ArrayData, n: Int): Any = {
+      val ntok = toks.numElements()
+      val m = ntok - n + 1
+      if (m <= 0)
+        return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](EMPTY, 0L, 0L))
+      val counts = new java.util.HashMap[UTF8String, Int]()
+      var i = 0
+      while (i < m) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) {
+          parts(k) = toks.getUTF8String(i + k)
+          k += 1
+        }
+        counts.merge(UTF8String.concatWs(SPACE, parts: _*), 1, Integer.sum _)
+        i += 1
+      }
+      var bestGram: UTF8String = null
+      var bestCnt = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c > bestCnt || (c == bestCnt && e.getKey.compareTo(bestGram) < 0)) {
+          bestCnt = c
+          bestGram = e.getKey
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bestGram, bestCnt.toLong, m.toLong))
+    }
+  }
+
   /** Column wrapper: distinct word n-grams of a token-array column. */
   def shingleGrams(toks: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
@@ -142,4 +231,9 @@ object TextExpressions {
   def tokenizeWords(text: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       TokenizeWords(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** Column wrapper: most-frequent n-gram struct(gram, cnt, m). */
+  def topGram(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      TopGram(org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
 }

@@ -38,6 +38,27 @@ class TextSpec extends SparkSpec {
     assert(nulls.select(Text.tokens($"t")).first().isNullAt(0))
   }
 
+  test("topGram counts with multiplicity and tie-breaks to the smallest gram") {
+    val df = Seq(
+      "a b a b a b c",  // "a b" x3, "b a" x2, "b c" x1 -> top ("a b", 3, 6)
+      "x y z w",        // all bigrams once -> tie, smallest first: ("x y", 1, 3)
+      "solo",           // fewer than 2 tokens -> ('', 0, 0)
+      ""                // no tokens -> ('', 0, 0)
+    ).toDF("t")
+    val out = df.select(Text.topGram(Text.tokens($"t"), 2).as("g"))
+      .select($"g.gram", $"g.cnt", $"g.m")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a b", 3L, 6L), ("x y", 1L, 3L), ("", 0L, 0L), ("", 0L, 0L)))
+    // trigram over a doc that is one phrase repeated: cnt tracks overlap
+    val tri = Seq("p q r p q r p q r").toDF("t")
+      .select(Text.topGram(Text.tokens($"t"), 3).as("g"))
+      .select($"g.gram", $"g.cnt", $"g.m").as[(String, Long, Long)].first()
+    assert(tri == (("p q r", 3L, 7L)))
+    // null token array propagates
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(Text.topGram(Text.tokens($"t"), 2)).first().isNullAt(0))
+  }
+
   test("langId picks the marker-winning language, und when none") {
     val df = Seq("the cat is on the mat", "der hund ist gut und", "xyzzy plugh").toDF("t")
     val out = df.select(Text.langId(Text.tokens($"t")).as("l")).as[String].collect()
