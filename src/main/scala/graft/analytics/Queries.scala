@@ -993,6 +993,25 @@ object Queries {
     ),
 
     QueryDef(
+      "t17_stratified_cap",
+      // per-domain quota capping ([[Packing.stratifiedCap]]): keep the
+      // 10 docs with the smallest seeded md5(id) per source — an exact
+      // deterministic K-per-stratum sample. The operator's threshold
+      // prefilter keeps the rank window O(strata x quota) instead of
+      // sorting the corpus; the oracle ranks everything (semantics are
+      // identical, the threshold is an optimization).
+      (s, d) =>
+        Packing.stratifiedCap(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang")),
+          "doc_id", "source", seed = 7, quota = 10),
+      Some(s"""WITH t AS (SELECT doc_id, source, lang,
+              |${Hashing.md5LongSql("concat('cap:', CAST(doc_id AS VARCHAR))", 7)} AS h FROM documents)
+              |SELECT doc_id, source, lang,
+              |CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS samp_rank
+              |FROM t QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, doc_id) <= 10""".stripMargin)
+    ),
+
+    QueryDef(
       "t16_top_ngram_mass",
       // the remaining Gopher repetition signal (t09 covers duplicate
       // bigram FRACTION, t11 the top TOKEN): the character mass of the

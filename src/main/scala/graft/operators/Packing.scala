@@ -117,4 +117,68 @@ object Packing {
     }
     df.filter(h < rate)
   }
+
+  /** Deterministic stratified quota cap: keep at most `quota` rows per
+    * `groupCol` stratum — the ones with the smallest md5 hash of the id
+    * — i.e. an exact, reproducible uniform sample of K per group (the
+    * per-domain cap step of corpus mixing; [[weightedSample]] is its
+    * probabilistic cousin). Output adds `samp_rank` (1-based rank by
+    * (hash, id) inside the stratum).
+    *
+    * Why not one big window: `row_number() over (partition by group)`
+    * shuffles the ENTIRE corpus into as many partitions as there are
+    * strata — with tens of sources and 100 TB that is a few-partition
+    * sort of everything. Instead: (1) per-group counts (map-side
+    * combined, tiny); (2) a pure map-side hash-threshold filter sized
+    * so ~2×quota rows per stratum survive; (3) the exact rank window
+    * over survivors only — the shuffle is O(strata × quota), not
+    * O(corpus). A Chernoff-unlikely threshold shortfall (fewer than
+    * `quota` survivors in an over-quota stratum) is detected by a
+    * per-group recount and retried with 4× the margin, so the result
+    * is always EXACTLY the quota smallest hashes — the thresholding is
+    * invisible to semantics.
+    *
+    * Strata values must be non-null and driver-small in number (they
+    * are sources/languages/domains by construction — the same bound
+    * [[weightedSample]]'s rate map assumes). */
+  def stratifiedCap(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      seed: Int,
+      quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val MAX60 = 1L << 60 // md5Long is a 60-bit non-negative hash
+    val h = graft.functions.Hashing.md5Long(concat(lit("cap:"), col(idCol).cast("string")), seed)
+    val withH = df.withColumn("samp_h", h)
+    val counts: Map[Any, Long] = withH.groupBy(col(groupCol)).count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    require(!counts.contains(null), s"stratifiedCap: NULL stratum in $groupCol")
+
+    var margin = 2.0
+    while (true) {
+      val thr: Map[Any, Long] = counts.map { case (g, n) =>
+        g -> (if (n <= quota) Long.MaxValue
+              else math.min(MAX60.toDouble, MAX60.toDouble * margin * quota / n).toLong)
+      }
+      val thrCol = thr.foldLeft(lit(Long.MaxValue): Column) {
+        case (acc, (g, t)) => when(col(groupCol) === lit(g), lit(t)).otherwise(acc)
+      }
+      val survivors = withH.filter(col("samp_h") < thrCol)
+      val survCounts: Map[Any, Long] = survivors.groupBy(col(groupCol)).count()
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val short = counts.exists { case (g, n) =>
+        n > quota && survCounts.getOrElse(g, 0L) < quota
+      }
+      if (!short) {
+        val w = Window.partitionBy(col(groupCol)).orderBy(col("samp_h"), col(idCol))
+        return survivors
+          .withColumn("samp_rank", row_number().over(w).cast("long"))
+          .filter(col("samp_rank") <= quota)
+          .drop("samp_h")
+      }
+      margin *= 4
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -69,4 +69,55 @@ class PackingSpec extends SparkSpec {
         "doc_id", "g", 1, Map("x" -> 2000000L), 0L)
     }
   }
+
+  test("stratifiedCap equals the brute-force per-group hash rank, all strata") {
+    // 3 strata: one over quota, one exactly at quota, one under
+    val df = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (100 until 105).map(i => (i.toLong, "at")) ++
+      (200 until 203).map(i => (i.toLong, "small"))).toDF("doc_id", "src")
+    val out = Packing.stratifiedCap(df, "doc_id", "src", seed = 3, quota = 5)
+      .select("doc_id", "src", "samp_rank").as[(Long, String, Long)].collect().toSet
+    // brute force: rank by (md5 hash, id) inside each stratum, keep <= 5
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"src")
+      .orderBy(graft.functions.Hashing.md5Long(concat(lit("cap:"), $"doc_id".cast("string")), 3), $"doc_id")
+    val brute = df.withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter($"samp_rank" <= 5)
+      .select("doc_id", "src", "samp_rank").as[(Long, String, Long)].collect().toSet
+    assert(out == brute)
+    assert(out.count(_._2 == "big") == 5)    // capped
+    assert(out.count(_._2 == "at") == 5)     // exactly quota, all kept
+    assert(out.count(_._2 == "small") == 3)  // under quota, all kept
+    // determinism across runs
+    val again = Packing.stratifiedCap(df, "doc_id", "src", seed = 3, quota = 5)
+      .select("doc_id", "src", "samp_rank").as[(Long, String, Long)].collect().toSet
+    assert(again == out)
+  }
+
+  test("stratifiedCap survives a threshold shortfall via the margin retry") {
+    // quota 1 on a 2-row stratum: threshold ~= 2^60 * 2 * 1/2 = full
+    // range, so no shortfall is even possible there; force the tight
+    // case with a big stratum and quota 1 — margin 2 keeps ~2 rows in
+    // expectation and the Chernoff guard must still return EXACTLY the
+    // smallest hash. Run several seeds to cross the retry path with
+    // high probability.
+    val df = (0 until 400).map(i => (i.toLong, "g")).toDF("doc_id", "src")
+    (1 to 5).foreach { seed =>
+      val got = Packing.stratifiedCap(df, "doc_id", "src", seed = seed, quota = 1)
+        .select("doc_id").as[Long].collect().toSeq
+      val h = graft.functions.Hashing.md5Long(concat(lit("cap:"), $"doc_id".cast("string")), seed)
+      val want = df.withColumn("h", h).orderBy($"h", $"doc_id")
+        .select("doc_id").as[Long].head()
+      assert(got == Seq(want), s"seed $seed")
+    }
+  }
+
+  test("stratifiedCap rejects null strata and non-positive quotas") {
+    val df = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("doc_id", "src")
+    intercept[IllegalArgumentException] {
+      Packing.stratifiedCap(df, "doc_id", "src", seed = 1, quota = 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Packing.stratifiedCap(df.filter($"src".isNotNull), "doc_id", "src", seed = 1, quota = 0)
+    }
+  }
 }
