@@ -993,6 +993,36 @@ object Queries {
     ),
 
     QueryDef(
+      "t18_dup_spans",
+      // exact-substring duplicated spans ([[Dedup.duplicatedSpans]]):
+      // token ranges covered by 8-gram seeds that occur >= 2 times
+      // corpus-wide, merged per doc — the sub-document ranges an
+      // ExactSubstr-style curation pass cuts. Seeds are 60-bit md5
+      // hashes both engines compute identically.
+      (s, d) => Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text", k = 8, seed = 5),
+      Some {
+        val tk = toksSql("lower(text)")
+        val parts = (0 until 8).map(j => s"t[i+$j]").mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, $tk AS t FROM documents),
+           |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           |  ${Hashing.md5LongSql("concat_ws(' ', " + parts + ")", 5)} AS gh
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM tk)),
+           |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+           |seeds AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+           |flag AS (SELECT doc_id, pos,
+           |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS new_span
+           |  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |sp AS (SELECT doc_id, pos,
+           |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx
+           |  FROM flag)
+           |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+           |CAST(min(pos) AS BIGINT) AS start_tok, CAST(max(pos) + 8 AS BIGINT) AS end_tok,
+           |CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_seeds
+           |FROM sp GROUP BY doc_id, span_idx""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "t17_stratified_cap",
       // per-domain quota capping ([[Packing.stratifiedCap]]): keep the
       // 10 docs with the smallest seeded md5(id) per source — an exact

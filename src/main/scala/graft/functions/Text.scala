@@ -47,6 +47,12 @@ object Text {
   def topGram(toks: Column, n: Int): Column =
     TextExpressions.topGram(toks, n)
 
+  /** Position-ordered word n-grams with duplicates kept — see
+    * [[TextExpressions.PositionalGrams]]. Output index i is the gram
+    * starting at token i. */
+  def positionalGrams(toks: Column, n: Int): Column =
+    TextExpressions.positionalGrams(toks, n)
+
   /** DuckDB SQL for [[shingles]] over a token-list expression. */
   def shinglesSql(toksExpr: String, n: Int): String = {
     val parts = (0 until n).map(k => s"$toksExpr[i+$k]").mkString(", ")

@@ -133,6 +133,63 @@ object TextExpressions {
     }
   }
 
+  /** Word n-grams IN POSITION ORDER with duplicates kept — the seed
+    * stream for exact-substring span detection ([[graft.operators.Dedup
+    * .duplicatedSpans]]), where position i of the output is the gram
+    * starting at token i. Same one-pass loop as [[ShingleGrams]] minus
+    * the dedup; empty when the doc has fewer than n tokens (parity with
+    * DuckDB `generate_series(1, len-n+1)`). */
+  case class PositionalGrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "n-gram size must be >= 1")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_positional_grams expects array<string>, got $t")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      PositionalGrams.build(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val cls = PositionalGrams.getClass.getName.stripSuffix("$") + "$"
+        s"""${ev.value} = ($cls.MODULE$$).build($v, $n);"""
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object PositionalGrams {
+    private val SPACE = UTF8String.fromString(" ")
+
+    /** Shared by interpreted eval and generated code. */
+    def build(toks: ArrayData, n: Int): ArrayData = {
+      val ntok = toks.numElements()
+      val m = ntok - n + 1
+      if (m <= 0) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[AnyRef](m)
+      var i = 0
+      while (i < m) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) {
+          parts(k) = toks.getUTF8String(i + k)
+          k += 1
+        }
+        out(i) = UTF8String.concatWs(SPACE, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Most-frequent word n-gram of a token array, WITH multiplicity —
     * the Gopher repetition signal t09/t11 don't cover: the character
     * mass of the single most repeated n-gram. Returns
@@ -231,6 +288,11 @@ object TextExpressions {
   def tokenizeWords(text: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       TokenizeWords(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** Column wrapper: position-ordered n-grams with duplicates kept. */
+  def positionalGrams(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PositionalGrams(org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
 
   /** Column wrapper: most-frequent n-gram struct(gram, cnt, m). */
   def topGram(toks: Column, n: Int): Column =

@@ -601,6 +601,55 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Exact-substring duplicated-span finder — the sub-document shape of
+    * the Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" ExactSubstr pass (arXiv:2107.06499), seeded with k-token
+    * grams instead of a suffix array: a token position is a SEED when
+    * the k-gram starting there occurs >= 2 times in the whole corpus
+    * (any doc, including the same one); overlapping or back-to-back
+    * seeds (next <= prev + k) merge into maximal spans. Emits one row
+    * per (doc, span): [start_tok, end_tok) token range, its length and
+    * seed count — the ranges a curation pass would cut or down-weight.
+    *
+    * Scale shape: positional grams are one per token (codegen'd
+    * [[Text.positionalGrams]], no HOF), hashed to 60 bits so the
+    * corpus-wide duplicate count shuffles (hash, id, pos) triples —
+    * never gram text; the count is map-side combined, the seed filter
+    * is a shuffle semi-join on the hash, and the span merge is one
+    * per-doc window over SEED positions only (2101 of 23k grams at
+    * sf0.01). Everything is linear in corpus tokens — the suffix-array
+    * global sort this replaces is the one ExactSubstr stage that does
+    * not distribute.
+    *
+    * Both engines hash with [[Hashing.md5Long]]; a 60-bit collision
+    * would need ~2^30 distinct grams per false pair, and the oracle
+    * hashes identically so the gate stays exact either way. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int, seed: Int = 0): DataFrame = {
+    require(k >= 2, "seed gram length must be >= 2")
+    val grams = Par.widen(
+        docs.select(col(idCol), Text.tokens(lower(col(textCol))).as("tk")))
+      .select(col(idCol), posexplode(Text.positionalGrams(col("tk"), k)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        Hashing.md5Long(col("gram"), seed).as("gh"))
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c")).filter(col("c") >= 2).select("gh")
+    val seeds = grams.join(dup, Seq("gh"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    seeds
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("new_span",
+        // merge overlapping (pos < prev + k) AND back-to-back
+        // (pos == prev + k) seeds: both leave the covered token range
+        // contiguous, and a span is a maximal contiguous range
+        when(col("prev").isNull || col("pos") > col("prev") + k, lit(1L)).otherwise(lit(0L)))
+      .withColumn("span_idx", sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("span_idx"))
+      .agg(
+        min(col("pos")).as("start_tok"),
+        (max(col("pos")) + k).as("end_tok"),
+        (max(col("pos")) + k - min(col("pos"))).as("n_tokens"),
+        count(lit(1)).as("n_seeds"))
+  }
+
   /** Keep-latest-per-key dedup (J1/ST3 upsert semantics): one row per
     * key, the one with the greatest (orderCol, tieCol). */
   def keepLatest(df: DataFrame, keyCols: Seq[String], orderCol: String, tieCol: String): DataFrame = {

@@ -160,4 +160,42 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((0L, 1L))) // parallel vectors share every SRP bucket
 
   }
+
+  test("duplicatedSpans merges overlapping and back-to-back seeds, splits on gaps") {
+    // k=3. Doc 0 and doc 1 share "a b c d" -> seeds at positions 0,1 in
+    // both (overlap -> ONE span [0, 4)). Doc 0 additionally repeats
+    // "x y z" twice WITHIN itself at positions 6 and 9 (gap 3 == k ->
+    // back-to-back, merged into [6, 12)). Doc 2 shares nothing.
+    val d0 = "a b c d q r x y z x y z"   // tokens 0..11
+    val d1 = "a b c d"
+    val d2 = "p q r s t u v w"           // unique ("q r" bigrams exist but k=3 grams don't repeat)
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "span_idx", "start_tok", "end_tok", "n_tokens", "n_seeds")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, 0L, 4L, 4L, 2L),   // shared "a b c d": seeds 0,1 overlap
+      (0L, 2L, 6L, 12L, 6L, 2L),  // internal repeat "x y z x y z": seeds 6,9 touch
+      (1L, 1L, 0L, 4L, 4L, 2L)
+    ))
+  }
+
+  test("duplicatedSpans splits spans separated by a clean gap") {
+    // the shared k-gram appears at positions 0 and 5 of doc 0 (gap 5 >
+    // k=3) via two distinct shared phrases -> two spans
+    val docs = Seq(
+      (0L, "m n o GAP1 GAP2 u v w"),
+      (1L, "m n o xx yy u v w")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "span_idx", "start_tok", "end_tok")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 1L, 0L, 3L), (0L, 2L, 5L, 8L),
+      (1L, 1L, 0L, 3L), (1L, 2L, 5L, 8L)))
+  }
+
+  test("duplicatedSpans is empty on a duplicate-free corpus and short docs") {
+    val docs = Seq((0L, "one two"), (1L, "three four five six")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3).isEmpty)
+  }
 }
