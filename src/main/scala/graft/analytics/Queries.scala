@@ -725,6 +725,36 @@ object Queries {
         .withColumn("rk", col("rk").cast("long")),
       Some(ivfTopKSql(8, 2, 20, 10))),
 
+    QueryDef("s09_ann_recall", (s, d) => {
+      // the ANN quality gate: recall@10 of the IVF index (s04 params)
+      // against the exact brute-force top-10 (s01 shape) on the same
+      // 20-query sample. The quadratic truth side is bounded by the
+      // SAMPLE (20 queries x corpus, linear in corpus) — the eval
+      // never runs all-pairs. Integer micro-units per the t04 rule.
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 20, 10)
+        .select(col("query_id"), col("cand_id"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", 8, 2, 20, 10)
+        .select(col("query_id"), col("cand_id"))
+      val hits = approx.join(truth, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(
+          col("query_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_e6", expr("(n_hit * 1000000L) div n_true"))
+    }, Some {
+      s"""WITH truth AS (${bruteForceTopKSql(20, 10)}),
+         |approx AS (${ivfTopKSql(8, 2, 20, 10)}),
+         |h AS (SELECT a.query_id, count(*) AS n_hit FROM approx a
+         |  JOIN truth t ON a.query_id = t.query_id AND a.cand_id = t.cand_id GROUP BY 1),
+         |tt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM truth GROUP BY 1)
+         |SELECT tt.query_id, n_true, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |coalesce(n_hit, 0) * 1000000 // n_true AS recall_e6
+         |FROM tt LEFT JOIN h ON tt.query_id = h.query_id""".stripMargin
+    }),
+
     QueryDef("s06_semantic_decontaminate", (s, d) =>
       // embedding-space twin of t12 ([[Decontaminate.semanticContamination]]):
       // max cosine of each train vector vs the broadcast eval set

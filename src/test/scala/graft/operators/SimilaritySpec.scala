@@ -29,6 +29,20 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == bf)
   }
 
+  test("IVF recall@k is 1.0 when every cluster is probed (s09 identity)") {
+    // probing all nClusters makes the IVF candidate set identical to
+    // brute force, so recall must be exactly 1 — the invariant the s09
+    // eval query's arithmetic rests on
+    val data = (0 until 12).map(i =>
+      (i.toLong, Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat, (i % 3).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(data, "vec_id", "embedding", 4, 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(data, "vec_id", "embedding", nCentroids = 3, nProbe = 3, nQueries = 4, k = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ivf == truth)
+  }
+
   test("k-means trainer recovers separated clusters; trained IVF matches brute force") {
     // 18 vectors in 3 well-separated directions, 6 per cluster
     val dirs = Seq(Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f), Array(0.0f, 0.0f, 1.0f, 0.0f))
