@@ -1082,8 +1082,12 @@ object Queries {
       // rule); denominator is the char length of the space-joined
       // token text, identical both engines.
       (s, d) => {
-        val tkDf = Tables.documents(s, d)
-          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+        // widen before the per-row counting: a single-split scan would
+        // otherwise pin all three gram passes on one task (no-op at
+        // scale where the scan has real splits)
+        val tkDf = graft.core.Par.widen(
+            Tables.documents(s, d)
+              .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk")))
           .select(
             col("doc_id"),
             length(concat_ws(" ", col("tk"))).cast("long").as("n_chars_tok"),
