@@ -1023,6 +1023,41 @@ object Queries {
     ),
 
     QueryDef(
+      "t19_vocab_coverage",
+      // the vocab-size decision curve: top-100 tokens by corpus
+      // frequency with rank and CUMULATIVE token-mass coverage (what
+      // fraction of all occurrences the top-r vocabulary covers — the
+      // Zipf curve a tokenizer budget is read off). Shape: one
+      // map-side-combined groupBy(token), a distributed TakeOrdered
+      // top-K (never a global sort), then the rank/cumsum window runs
+      // on 100 rows only; the corpus total is a bounded scalar cursor
+      // (the t08 pattern). Coverage in integer micro-units (t04 rule).
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(Text.tokens(lower(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n"))).first().getLong(0)
+        val top = counts.orderBy(col("n").desc, col("token").asc).limit(100)
+        val w = Window.orderBy(col("n").desc, col("token").asc)
+        top
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("cum_n",
+            sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("token"), col("n"), col("rk"),
+            expr(s"(cum_n * 1000000L) div ${total}L").as("cum_cov_e6"))
+      },
+      Some(s"""WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM
+              |  (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents) GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+              |top AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 100)
+              |SELECT token, n,
+              |CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rk,
+              |CAST(sum(n) OVER (ORDER BY n DESC, token ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              |  * 1000000 // (SELECT t FROM tot) AS cum_cov_e6
+              |FROM top""".stripMargin)
+    ),
+
+    QueryDef(
       "t18_dup_spans",
       // exact-substring duplicated spans ([[Dedup.duplicatedSpans]]):
       // token ranges covered by 8-gram seeds that occur >= 2 times

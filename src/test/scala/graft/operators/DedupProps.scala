@@ -173,4 +173,36 @@ class DedupProps extends SparkSpec {
       }
     }
   }
+
+  test("duplicatedSpans matches a driver-side seed-and-merge reference (low vocab, 5 seeds)") {
+    // tiny vocab -> dense k-gram collisions, the worst case for the
+    // span merge; reference recomputes seeds and maximal ranges exactly
+    val k = 3
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(300 + seed)
+      val tinyVocab = vocab.take(4 + rnd.nextInt(4))
+      val corpus = (0 until 20).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(15))(tinyVocab(rnd.nextInt(tinyVocab.size))).mkString(" "))
+      }
+      // reference: count k-grams corpus-wide, seed positions, merge
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      val gramCount = scala.collection.mutable.Map[Seq[String], Int]()
+      toks.values.foreach(tk => tk.sliding(k).filter(_.size == k).foreach(g => gramCount(g) = gramCount.getOrElse(g, 0) + 1))
+      val want = toks.flatMap { case (id, tk) =>
+        val seeds = tk.sliding(k).zipWithIndex.collect { case (g, p) if g.size == k && gramCount(g) >= 2 => p }.toSeq
+        val spans = seeds.foldLeft(Vector.empty[(Int, Int, Int)]) { // (start, lastSeed, nSeeds)
+          case (acc, p) if acc.nonEmpty && p <= acc.last._2 + k =>
+            acc.init :+ ((acc.last._1, p, acc.last._3 + 1))
+          case (acc, p) => acc :+ ((p, p, 1))
+        }
+        spans.zipWithIndex.map { case ((s0, sl, ns), i) =>
+          (id, (i + 1).toLong, s0.toLong, (sl + k).toLong, (sl + k - s0).toLong, ns.toLong)
+        }
+      }.toSet
+      val got = Dedup.duplicatedSpans(corpus.toDF("doc_id", "text"), "doc_id", "text", k)
+        .select("doc_id", "span_idx", "start_tok", "end_tok", "n_tokens", "n_seeds")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
 }
