@@ -1023,6 +1023,57 @@ object Queries {
     ),
 
     QueryDef(
+      "t20_lm_score",
+      // statistical LM quality scoring (the CCNet shape, log-free so it
+      // crosses the oracle gate exactly): a bigram MLE is "trained" on
+      // the corpus itself — c2(w1 w2) / c1h(w1), with the history count
+      // c1h = bigrams starting at w1 so every probability is <= 1 —
+      // and each doc reports the mean conditional probability of its
+      // bigram positions in integer micro-units. Low scores = improbable
+      // token sequences = the gibberish a perplexity filter drops.
+      // Shape: the position stream (one row per corpus bigram) joins
+      // the two count tables on their keys — linear shuffles, AQE
+      // broadcasts the counts when the vocab is small; per-doc sums are
+      // map-side combined; docs with < 2 tokens report (0, 0).
+      (s, d) => {
+        val base = graft.core.Par.widen(
+          Tables.documents(s, d)
+            .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk")))
+        val pos = base.select(
+            col("doc_id"),
+            explode(Text.positionalGrams(col("tk"), 2)).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val c2 = pos.groupBy("bg").agg(count(lit(1)).as("nbg"))
+        val c1 = pos.groupBy("w1").agg(count(lit(1)).as("nw1"))
+        val perDoc = pos.join(c2, Seq("bg")).join(c1, Seq("w1"))
+          .withColumn("p_e6", expr("(nbg * 1000000L) div nw1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sp"))
+        base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            expr("CASE WHEN coalesce(n_bigrams, 0L) > 0 THEN sp div n_bigrams ELSE 0L END")
+              .as("lm_score_e6"))
+      },
+      Some {
+        val tk = toksSql("lower(text)")
+        s"""WITH tk AS (SELECT doc_id, $tk AS t FROM documents),
+           |pos AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS bg, t[i] AS w1
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM tk)),
+           |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS nbg FROM pos GROUP BY 1),
+           |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS nw1 FROM pos GROUP BY 1),
+           |p AS (SELECT doc_id, nbg * 1000000 // nw1 AS p_e6
+           |  FROM pos JOIN c2 USING (bg) JOIN c1 USING (w1)),
+           |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(p_e6) AS BIGINT) AS sp
+           |  FROM p GROUP BY 1)
+           |SELECT b.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+           |CASE WHEN coalesce(n_bigrams, 0) > 0 THEN sp // n_bigrams ELSE 0 END AS lm_score_e6
+           |FROM (SELECT doc_id FROM documents) b LEFT JOIN d ON b.doc_id = d.doc_id""".stripMargin
+      }
+    ),
+
+    QueryDef(
       "t19_vocab_coverage",
       // the vocab-size decision curve: top-100 tokens by corpus
       // frequency with rank and CUMULATIVE token-mass coverage (what
