@@ -755,6 +755,68 @@ object Queries {
          |FROM tt LEFT JOIN h ON tt.query_id = h.query_id""".stripMargin
     }),
 
+    QueryDef("s10_pq_codes", (s, d) => {
+      // product quantization encoding — the ANN memory-compression
+      // story s05's scalar int8 doesn't cover: each vector splits into
+      // 4 subvectors of 16 dims, each assigned to its nearest codeword
+      // (L2, data-point codebook = subvectors of vec_id < 8, the IVF
+      // coarse-quantizer pattern), so a 64-float vector serves from 4
+      // small codes. Codebook is broadcast (nCent x nSub rows); the
+      // corpus streams once; argmin = min over (dist, cid) structs with
+      // the cid tie-break the oracle's window replicates. Distances
+      // are identical-order IEEE folds both engines, rounded to 5
+      // BEFORE the argmin so ties are decided on equal ground.
+      Quantize.pqEncode(
+        graft.core.Par.widen(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nSub = 4, subDim = 16, nCent = 8)
+    }, Some {
+      def dot(a: String, b: String) = Vectors.dotSql(a, b)
+      s"""WITH sv AS (SELECT vec_id, CAST(m AS BIGINT) AS sub,
+         |  list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
+         |  FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS m) g),
+         |cents AS (SELECT vec_id AS cid, sub, sv AS cv FROM sv WHERE vec_id < 8),
+         |scored AS (SELECT s.vec_id, s.sub, c.cid,
+         |  round(${dot("s.sv", "s.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("s.sv", "c.cv")}, 5) AS dist
+         |  FROM sv s JOIN cents c ON s.sub = c.sub)
+         |SELECT vec_id, sub, cid AS code, dist FROM
+         |(SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM scored)
+         |WHERE rn = 1""".stripMargin
+    }),
+
+    QueryDef("s11_pq_adc", (s, d) =>
+      // the serving half of PQ ([[Quantize.pqAdcTopK]]): each query
+      // precomputes its codeword distance table (broadcast); candidates
+      // contribute only (id, sub, code) triples — raw corpus vectors
+      // never enter the search. Integer 1e-5 distance units make the
+      // per-candidate sum order-free long arithmetic. Queries are
+      // vec_id % 13 (the s08 serving convention), top-5.
+      Quantize.pqAdcTopK(
+        graft.core.Par.widen(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nSub = 4, subDim = 16, nCent = 8, queryMod = 13, k = 5),
+      Some {
+        def dot(a: String, b: String) = Vectors.dotSql(a, b)
+        s"""WITH sv AS (SELECT vec_id, CAST(m AS BIGINT) AS sub,
+           |  list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
+           |  FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS m) g),
+           |cents AS (SELECT vec_id AS cid, sub, sv AS cv FROM sv WHERE vec_id < 8),
+           |scored AS (SELECT s.vec_id, s.sub, c.cid,
+           |  round(${dot("s.sv", "s.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("s.sv", "c.cv")}, 5) AS dist
+           |  FROM sv s JOIN cents c ON s.sub = c.sub),
+           |codes AS (SELECT vec_id AS cand_id, sub, cid AS code FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM scored)
+           |  WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, sub, sv FROM sv WHERE vec_id % 13 = 0),
+           |qtab AS (SELECT query_id, c.sub, c.cid,
+           |  CAST(round((${dot("q.sv", "q.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("q.sv", "c.cv")}) * 100000, 0) AS BIGINT) AS dq_e5
+           |  FROM q JOIN cents c ON q.sub = c.sub),
+           |adc AS (SELECT query_id, cand_id, CAST(sum(dq_e5) AS BIGINT) AS adc_e5
+           |  FROM codes JOIN qtab ON codes.sub = qtab.sub AND codes.code = qtab.cid
+           |  WHERE cand_id != query_id GROUP BY 1, 2)
+           |SELECT query_id, cand_id, adc_e5, rk FROM
+           |(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_e5 ASC, cand_id ASC) AS BIGINT) AS rk FROM adc)
+           |WHERE rk <= 5""".stripMargin
+      }),
+
     QueryDef("s06_semantic_decontaminate", (s, d) =>
       // embedding-space twin of t12 ([[Decontaminate.semanticContamination]]):
       // max cosine of each train vector vs the broadcast eval set

@@ -1,11 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.VectorExpressions.{dotF => dt}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scalar (int8-style) quantization of an embedding corpus — the
-  * storage/serving compression step of a vector pipeline: each vector
-  * is scaled by 127 / max|x_i| and floored to integers in [-127, 127].
+/** Quantization of an embedding corpus — the storage/serving
+  * compression steps of a vector pipeline: scalar int8 (each vector
+  * scaled by 127 / max|x_i| and floored to [-127, 127]) and product
+  * quantization ([[pqEncode]] / [[pqAdcTopK]]).
   *
   * Determinism contract: the only float ops are one multiply and one
   * divide in double precision (both correctly rounded under IEEE-754,
@@ -42,4 +45,82 @@ object Quantize {
     int8Long(emb, idCol, vecCol)
       .groupBy("vec_id")
       .agg(sum("q").as("sum_q"), min("q").as("min_q"), max("q").as("max_q"))
+
+  /** One row per (vector, subvector): the `slice` of `subDim` dims
+    * starting at `sub * subDim`. Internal layout shared by the PQ
+    * encoder and the ADC search. */
+  private def subvectors(emb: DataFrame, idCol: String, vecCol: String, nSub: Int, subDim: Int): DataFrame =
+    emb.select(col(idCol), explode(array((0 until nSub).map(m =>
+        struct(lit(m.toLong).as("sub"), slice(col(vecCol), m * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col(idCol), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Identical-order IEEE L2² between two subvector columns — the
+    * expression the DuckDB oracle replicates fold-for-fold. */
+  private def l2sq(a: Column, b: Column): Column =
+    dt(a, a) + dt(b, b) - lit(2.0) * dt(a, b)
+
+  /** Product-quantization encoding — the ANN memory-compression step
+    * scalar int8 ([[int8Long]]) doesn't cover: each vector splits into
+    * `nSub` subvectors of `subDim` dims, each assigned to its nearest
+    * codeword by L2 (codebook = the subvectors of the first `nCent`
+    * ids, the same data-point coarse-quantizer pattern as
+    * [[Similarity.ivfTopK]]), so a `nSub * subDim`-float vector serves
+    * from `nSub` small codes.
+    *
+    * Scale shape: the codebook is broadcast (nCent × nSub rows); the
+    * corpus streams once through a per-row scored loop; the argmin is
+    * `min` over (dist, cid) structs — map-side combinable, with the
+    * cid tie-break an oracle window replicates. Distances are rounded
+    * to 5 decimals BEFORE the argmin so ties are decided on equal
+    * ground in both engines. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String, nSub: Int, subDim: Int, nCent: Int): DataFrame = {
+    val subs = subvectors(emb, idCol, vecCol, nSub, subDim)
+    val cents = subs.filter(col(idCol) < nCent)
+      .select(col(idCol).as("cid"), col("sub"), col("sv").as("cv"))
+    subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("dist", round(l2sq(col("sv"), col("cv")), 5))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("st"))
+      .select(col(idCol), col("sub"), col("st.cid").as("code"), col("st.dist").as("dist"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes — the
+    * serving half of product quantization: each query precomputes its
+    * distance table to every codeword (`queries × nSub × nCent` rows,
+    * broadcast), and a candidate's approximate distance is the SUM of
+    * table entries at its codes — the corpus contributes only its
+    * (id, sub, code) triples, never raw vectors. Distance entries are
+    * integer 1e-5 units (`round(d * 1e5)`) so the per-candidate sum is
+    * order-free long arithmetic — bit-identical in any engine — and
+    * the (adc, cand_id) ranking is exactly reproducible. Queries are
+    * `id % queryMod == 0` (the s08 serving convention); self-matches
+    * excluded. */
+  def pqAdcTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nSub: Int,
+      subDim: Int,
+      nCent: Int,
+      queryMod: Int,
+      k: Int): DataFrame = {
+    val codes = pqEncode(emb, idCol, vecCol, nSub, subDim, nCent)
+      .select(col(idCol).as("cand_id"), col("sub"), col("code"))
+    val qsubs = subvectors(emb.filter(col(idCol) % queryMod === 0), idCol, vecCol, nSub, subDim)
+      .select(col(idCol).as("query_id"), col("sub"), col("sv"))
+    val cents = subvectors(emb.filter(col(idCol) < nCent), idCol, vecCol, nSub, subDim)
+      .select(col(idCol).as("cid"), col("sub"), col("sv").as("cv"))
+    val qtab = qsubs.join(cents, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(l2sq(col("sv"), col("cv")) * 100000.0, 0).cast("long").as("dq_e5"))
+    codes.join(broadcast(qtab),
+        codes("sub") === qtab("sub") && codes("code") === qtab("cid"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("dq_e5")).as("adc_e5"))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc_e5").asc, col("cand_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

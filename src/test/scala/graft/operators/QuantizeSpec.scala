@@ -25,4 +25,46 @@ class QuantizeSpec extends SparkSpec {
     // scale 127: floor(63.5) = 63, floor(-127) = -127
     assert(r == ((7L, -64L, -127L, 63L)))
   }
+
+  test("pqEncode assigns codebook members to themselves at distance zero") {
+    val emb = (0 until 6).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 3 + d) * 2).toFloat))).toDF("vec_id", "embedding")
+    val own = Quantize.pqEncode(emb, "vec_id", "embedding", nSub = 2, subDim = 4, nCent = 6)
+      .filter($"vec_id" < 6)
+      .select("vec_id", "sub", "code", "dist").as[(Long, Long, Long, Double)].collect()
+    // every vector is a codeword -> nearest codeword is itself, d = 0
+    assert(own.forall { case (id, _, code, dist) => code == id && dist == 0.0 })
+  }
+
+  test("ADC over an exhaustive codebook reproduces the exact L2 ranking") {
+    // nCent = corpus size: codes reconstruct every vector exactly, so
+    // the asymmetric distance IS the true L2^2 and the top-k must equal
+    // a brute-force L2 ranking - the identity the s11 approximation
+    // degrades from when nCent shrinks
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.cos(i * 1.3 + d * 0.7) * 3).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Quantize.pqAdcTopK(emb, "vec_id", "embedding",
+        nSub = 2, subDim = 4, nCent = 12, queryMod = 5, k = 3)
+      .select("query_id", "cand_id", "rk").as[(Long, Long, Long)].collect().toSet
+    // driver-side brute force: exact L2^2 in the same e5 integer units
+    val byId = vecs.toMap
+    def l2e5(a: Array[Float], b: Array[Float]): Long = {
+      // same per-subvector fold and per-sub e5 rounding as the operator
+      (0 until 2).map { m =>
+        def dot(x: Array[Float], y: Array[Float]) =
+          (0 until 4).map(d => x(m * 4 + d).toDouble * y(m * 4 + d).toDouble).sum
+        math.round((dot(a, a) + dot(b, b) - 2 * dot(a, b)) * 100000.0)
+      }.sum
+    }
+    val want = (for {
+      q <- vecs.map(_._1) if q % 5 == 0
+      ranked = vecs.filter(_._1 != q)
+        .map { case (c, v) => (c, l2e5(byId(q), v)) }
+        .sortBy { case (c, d) => (d, c) }
+        .take(3)
+      ((c, _), i) <- ranked.zipWithIndex
+    } yield (q, c, (i + 1).toLong)).toSet
+    assert(got == want)
+  }
 }
