@@ -1527,6 +1527,20 @@ object Queries {
              |FROM i JOIN c ON i.user_id = c.c_user
              |AND click_ts > imp_ts AND click_ts <= imp_ts + INTERVAL 60 MINUTE""".stripMargin)
     ),
+    QueryDef(
+      "st05_stream_neardup",
+      // the streaming near-dup path ([[graft.streaming.NearDupStream]])
+      // run in batch mode — the SAME flatMapGroupsWithState code that
+      // serves a stream executes here with empty initial state, and
+      // because pairs are undirected and chunk-minimal-emitted its
+      // result set must equal d02 exactly; oracle-checking it here
+      // gates the streaming logic against DuckDB
+      (s, d) =>
+        graft.streaming.NearDupStream
+          .simhashDupPairs(Tables.documents(s, d), "doc_id", "text", 3)
+          .toDF(),
+      Some(simhashPairsSql(3))
+    ),
 
     // ==================== SQL/temp-view layer (J4) ========================
     QueryDef(

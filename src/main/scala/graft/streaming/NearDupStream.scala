@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.functions.Text
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the streaming twin of
+  * [[Dedup.simhashPairs]] (d02): documents arrive on a stream and every
+  * hamming-&le;-3 SimHash pair is emitted as soon as its second member
+  * arrives, across micro-batch boundaries.
+  *
+  * Design:
+  *  - the sketch is computed PER ROW (a driver-free Scala twin of the
+  *    [[graft.functions.SimHashAgg]] fold, spec-pinned equal), because a
+  *    streaming aggregation ahead of `flatMapGroupsWithState` would
+  *    stack two stateful operators;
+  *  - state lives per (chunk, 15-bit key) pigeonhole band and holds the
+  *    (id, sketch) pairs seen in that band — 16 bytes per doc per
+  *    chunk, no text, no token sets. The 4-chunk pigeonhole guarantees
+  *    any hamming-&le;-3 pair shares a band, so recall is exact, same
+  *    as the batch operator;
+  *  - a colliding pair is emitted ONLY by the first chunk whose keys
+  *    match (`firstSharedChunk`) — locally computable from the two
+  *    sketches, so each pair is emitted exactly once with no
+  *    downstream distinct (which would be a second stateful operator);
+  *  - pairs are undirected (`id_a < id_b`), so arrival order never
+  *    changes the result set and the batch-mode run of this exact code
+  *    path equals d02 — which is how the st05 correctness row
+  *    oracle-checks the streaming logic against DuckDB.
+  *
+  * Ids are assumed unique on the stream (the d02 contract); a
+  * re-delivered id would re-enter band state and duplicate its future
+  * pairs — feed through [[EventStream.dedupStream]] first if the
+  * source can re-deliver.
+  */
+object NearDupStream {
+
+  case class BandRow(chunk: Int, key: Long, id: Long, simhash: Long)
+  case class DupPair(id_a: Long, id_b: Long, hamming: Long)
+
+  /** 60-bit md5 hash — the Scala twin of [[graft.functions.Hashing
+    * .md5Long]] (first 15 hex chars of md5("salt:s"), base 16). */
+  private[streaming] def md5Long60(s: String, salt: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Per-row SimHash, equal to [[Dedup.simhashTable]]'s aggregate form:
+    * ±1 counters over the 60-bit md5 (salt 11) of each whitespace
+    * token, bit set on a strictly positive sum. None when the doc has
+    * no tokens (such docs sketch to nothing in the batch form too). */
+  private[streaming] def sketch(text: String): Option[Long] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) None
+    else {
+      val bits = Text.simhashBits
+      val counters = new Array[Long](bits)
+      toks.foreach { t =>
+        val h = md5Long60(t, 11)
+        var i = 0
+        while (i < bits) {
+          counters(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+      }
+      var code = 0L
+      var i = 0
+      while (i < bits) { if (counters(i) > 0) code |= 1L << i; i += 1 }
+      Some(code)
+    }
+  }
+
+  private def chunkKey(sh: Long, c: Int): Long =
+    (sh >>> (c * Dedup.simhashChunkBits)) & ((1L << Dedup.simhashChunkBits) - 1)
+
+  /** The one chunk allowed to emit a given pair: the lowest whose keys
+    * collide. Derivable from the two sketches alone on any executor. */
+  private[streaming] def firstSharedChunk(a: Long, b: Long): Int =
+    (0 until Dedup.simhashChunks).find(c => chunkKey(a, c) == chunkKey(b, c)).getOrElse(-1)
+
+  /** Works on a streaming OR batch DataFrame of (idCol, textCol); batch
+    * mode runs the same code path with empty initial state. */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): Dataset[DupPair] = {
+    require(maxHamming <= Dedup.simhashChunks - 1,
+      "4-chunk pigeonhole guarantees recall only for hamming <= 3")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        sketch(text).toSeq.flatMap { sh =>
+          (0 until Dedup.simhashChunks).map(c => BandRow(c, chunkKey(sh, c), id, sh))
+        }
+      }
+    banded
+      .groupByKey(b => (b.chunk, b.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[Seq[(Long, Long)]]) => {
+          val chunk = key._1
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[DupPair]
+          // sort so intra-batch pairs are found deterministically
+          rows.toSeq.sortBy(_.id).foreach { r =>
+            seen.foreach { case (pid, psh) =>
+              if (pid != r.id) {
+                val ham = java.lang.Long.bitCount(psh ^ r.simhash)
+                if (ham <= maxHamming && firstSharedChunk(psh, r.simhash) == chunk)
+                  out += DupPair(math.min(pid, r.id), math.max(pid, r.id), ham.toLong)
+              }
+            }
+            seen = seen :+ ((r.id, r.simhash))
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
+}
