@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Deterministic binary media fixtures for the oracle gate.
   *
   * Each fixture is built bytes-up to its public container spec
-  * (PNG / JPEG / GIF / WebP / WAV / ISO-BMFF MP4) from index-derived
+  * (PNG / JPEG / GIF / WebP / WAV / MP3 / FLAC / Ogg / ISO-BMFF MP4)
+  * from index-derived
   * parameters, and carries the EXPECTED metadata computed from those
   * same parameters — never by calling the parsers under test. The m04
   * query decodes the payloads through [[Multimodal.decodeMetadata]]'s
@@ -140,6 +141,56 @@ object MediaFixtures {
     id3 ++ (0 until frames).flatMap(_ => frame).toArray
   }
 
+  /** FLAC: "fLaC" magic + a single (last) STREAMINFO metadata block
+    * with the packed sample geometry, then a few deterministic bytes
+    * standing in for audio frames. */
+  def flac(sampleRate: Int, totalSamples: Long): Array[Byte] = {
+    val info = new Array[Byte](34)
+    // min/max block size 4096 (spec-typical); frame-size fields zero
+    info(0) = 0x10; info(1) = 0; info(2) = 0x10; info(3) = 0
+    info(10) = (sampleRate >> 12).toByte
+    info(11) = ((sampleRate >> 4) & 0xff).toByte
+    // rate low nibble | (channels-1 = 1, stereo) << 1 | (bps-1 = 15) >> 4
+    info(12) = (((sampleRate & 0xf) << 4) | (1 << 1) | (15 >> 4)).toByte
+    info(13) = (((15 & 0xf) << 4) | ((totalSamples >> 32) & 0xf)).toByte
+    info(14) = ((totalSamples >> 24) & 0xff).toByte
+    info(15) = ((totalSamples >> 16) & 0xff).toByte
+    info(16) = ((totalSamples >> 8) & 0xff).toByte
+    info(17) = (totalSamples & 0xff).toByte
+    cc("fLaC") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ info ++
+      Array.tabulate[Byte](24)(i => ((i * 41) & 0xff).toByte)
+  }
+
+  private def oggPage(headerType: Int, granule: Long, seq: Int, payload: Array[Byte]): Array[Byte] = {
+    // one segment per 255-byte lace + terminal short lace (payload < 255 here)
+    require(payload.length < 255, "fixture pages are single-segment")
+    cc("OggS") ++ Array[Byte](0, headerType.toByte) ++
+      le32b((granule & 0xffffffffL).toInt) ++ le32b((granule >>> 32).toInt) ++
+      le32b(77) ++ le32b(seq) ++ le32b(0) ++ // serial, page seq, zero CRC
+      Array[Byte](1, payload.length.toByte) ++ payload
+  }
+
+  /** Ogg Vorbis: BOS page with the identification header, one data
+    * page, an EOS page whose granule position is the PCM total. */
+  def oggVorbis(sampleRate: Int, totalSamples: Long): Array[Byte] = {
+    val id = Array[Byte](0x01) ++ cc("vorbis") ++ le32b(0) ++ Array[Byte](2) ++
+      le32b(sampleRate) ++ le32b(0) ++ le32b(112000) ++ le32b(0) ++
+      Array[Byte](0xb8.toByte, 0x01)
+    oggPage(0x02, 0L, 0, id) ++
+      oggPage(0x00, totalSamples / 2, 1, Array.tabulate[Byte](48)(i => (i * 29).toByte)) ++
+      oggPage(0x04, totalSamples, 2, Array.tabulate[Byte](32)(i => (i * 13).toByte))
+  }
+
+  /** Ogg Opus: BOS page with OpusHead (pre-skip in 48 kHz ticks), a
+    * data page, an EOS page; granule ticks are always 48 kHz. */
+  def oggOpus(preSkip: Int, granule: Long): Array[Byte] = {
+    val head = cc("OpusHead") ++ Array[Byte](1, 2) ++ le16b(preSkip) ++
+      le32b(48000) ++ le16b(0) ++ Array[Byte](0)
+    oggPage(0x02, 0L, 0, head) ++
+      oggPage(0x00, granule / 2, 1, Array.tabulate[Byte](40)(i => (i * 59).toByte)) ++
+      oggPage(0x04, granule, 2, Array.tabulate[Byte](24)(i => (i * 31).toByte))
+  }
+
   private def mp4Box(tp: String, payload: Array[Byte]): Array[Byte] =
     be32b(payload.length + 8) ++ cc(tp) ++ payload
 
@@ -157,23 +208,23 @@ object MediaFixtures {
 
   // --- the fixture corpus ---------------------------------------------------
 
-  /** 112 fixtures, 14 per kind; kind = i % 8. Kind 7 is a UTF-8 text
+  /** 120 fixtures, 12 per kind; kind = i % 10. Kind 9 is a UTF-8 text
     * payload pinning the dispatch contract: unrecognized bytes take the
     * [[Multimodal.FakeDecoder]] fallback, whose formula is replicated
     * here independently (same arithmetic the m01 oracle uses). */
-  lazy val fixtures: Seq[Fixture] = (0 until 112).map { i =>
+  lazy val fixtures: Seq[Fixture] = (0 until 120).map { i =>
     val id = 9000L + i
     val w = 16 + (i * 37) % 1200
     val h = 16 + (i * 53) % 900
     val frames = 1 + i % 6
-    i % 8 match {
+    i % 10 match {
       case 0 => Fixture(id, png(w, h), "png", Some(w), Some(h), 1, 0L)
       case 1 => Fixture(id, jpeg(w, h), "jpeg", Some(w), Some(h), 1, 0L)
       case 2 => Fixture(id, gif(w, h, frames), "gif", Some(w), Some(h), frames, 0L)
       case 3 =>
         // rotate the three bitstream variants; only VP8X animates
         val (wv, hv) = (1 + w % 4000, 1 + h % 4000) // 14-bit dim space
-        (i / 8) % 3 match {
+        (i / 10) % 3 match {
           case 0 => Fixture(id, webpLossy(wv, hv), "webp", Some(wv), Some(hv), 1, 0L)
           case 1 => Fixture(id, webpLossless(wv, hv), "webp", Some(wv), Some(hv), 1, 0L)
           case _ =>
@@ -182,8 +233,8 @@ object MediaFixtures {
               math.max(anmf, 1), 0L)
         }
       case 4 =>
-        val rate = Seq(8000, 16000, 44100)((i / 8) % 3)
-        val channels = 1 + (i / 8) % 2
+        val rate = Seq(8000, 16000, 44100)((i / 10) % 3)
+        val channels = 1 + (i / 10) % 2
         val sampleFrames = 400 + i * 31
         val dataBytes = sampleFrames.toLong * 2 * channels
         Fixture(id, wav(rate, channels, sampleFrames), "wav", None, None,
@@ -195,9 +246,9 @@ object MediaFixtures {
         Fixture(id, mp4(w, h, scale, durUnits, f1, f2), "mp4", Some(w), Some(h),
           f1 + f2, durUnits.toLong * 1000L / scale)
       case 6 =>
-        val version = Seq(1, 2, 25)((i / 8) % 3)
+        val version = Seq(1, 2, 25)((i / 10) % 3)
         val bitrateIdx = 1 + i % 14
-        val rateIdx = (i / 8) % 3
+        val rateIdx = (i / 10) % 3
         val nf = 2 + i % 6
         val id3 = if (i % 3 == 0) 40 + i else 0
         val (rate, spf, _) = mp3Geometry(version, bitrateIdx, rateIdx)
@@ -205,6 +256,23 @@ object MediaFixtures {
         // geometry the total is nf × the per-frame division
         Fixture(id, mp3(version, bitrateIdx, rateIdx, nf, id3), "mp3", None, None,
           nf, nf.toLong * (spf * 1000000L / rate) / 1000L)
+      case 7 =>
+        val rate = Seq(8000, 22050, 44100, 96000)((i / 10) % 4)
+        val total = 10000L + i * 977L
+        Fixture(id, flac(rate, total), "flac", None, None,
+          math.min(total, Int.MaxValue.toLong).toInt, total * 1000L / rate)
+      case 8 =>
+        if ((i / 10) % 2 == 0) {
+          val rate = Seq(8000, 44100, 48000)(i % 3)
+          val total = 5000L + i * 331L
+          Fixture(id, oggVorbis(rate, total), "vorbis", None, None,
+            total.toInt, total * 1000L / rate)
+        } else {
+          val preSkip = 312
+          val pcm = 960L * (10 + i % 50)
+          Fixture(id, oggOpus(preSkip, preSkip + pcm), "opus", None, None,
+            pcm.toInt, pcm * 1000L / 48000L)
+        }
       case _ =>
         val payload = s"fixture text payload $i padding ${"x" * (i % 13)}".getBytes("UTF-8")
         val n = payload.length.toLong
@@ -215,7 +283,7 @@ object MediaFixtures {
   }
 
   /** (media_id, payload) fixture table — the [[Multimodal.decodeMetadata]]
-    * input shape. A 98-row local relation: this is a correctness gate,
+    * input shape. A 120-row local relation: this is a correctness gate,
     * not a scale path (the scale path is [[Multimodal.readBinaryDir]]). */
   def table(spark: SparkSession): DataFrame = {
     import spark.implicits._

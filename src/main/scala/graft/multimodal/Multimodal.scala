@@ -8,17 +8,21 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The decode step is REAL for images, WAV/MP3 audio and MP4 video:
+  * The decode step is REAL for images, WAV/MP3/FLAC/Ogg audio and MP4
+  * video:
   * [[ImageHeader]] detects PNG/JPEG/GIF/WebP by magic bytes and parses
   * width/height from the format's header (IHDR / SOFn / logical screen
   * descriptor / VP8 bitstream chunks), plus the true frame count for
   * animated GIFs and WebPs; [[WavHeader]] walks the RIFF chunks for
   * exact sample-frame count and duration; [[Mp3Header]] walks MPEG
   * Layer III frame headers (ID3-aware, VBR-correct) for frame count
-  * and duration; [[Mp4Header]] walks the ISO BMFF boxes for the video
+  * and duration; [[FlacHeader]] reads the STREAMINFO block's packed
+  * sample geometry; [[OggHeader]] walks Ogg pages to the final granule
+  * position with Vorbis/Opus identification-header dispatch;
+  * [[Mp4Header]] walks the ISO BMFF boxes for the video
   * track's dimensions, movie duration and `stts` frame count — all
   * stdlib byte arithmetic, no external codecs. Payloads that are none
-  * of these (the synthetic fixtures' UTF-8 text, FLAC/OGG audio,
+  * of these (the synthetic fixtures' UTF-8 text,
   * non-MP4 video containers) fall back
   * to [[FakeDecoder]]'s deterministic pseudo-metadata, keeping the
   * fixture oracles exact. The plumbing — the binary column schema, the
@@ -303,6 +307,96 @@ object Multimodal {
     }
   }
 
+  /** Real lossless-compressed-audio parser: FLAC STREAMINFO, stdlib
+    * only. Same contract as the other header parsers: None (never a
+    * throw) for anything that isn't a parsable FLAC. After the "fLaC"
+    * magic, metadata blocks follow — 1-byte header (bit 7 = last,
+    * bits 0-6 = type) + 24-bit BE length. STREAMINFO (type 0, 34
+    * bytes) must come first per the public spec; its packed tail
+    * carries sample rate (20 bits), channels-1 (3), bits-per-sample-1
+    * (5) and the 36-bit total inter-channel sample count — everything
+    * duration needs, no frame decoding. */
+  object FlacHeader {
+    import Bytes._
+
+    /** (sampleFrames, durationMs), from the STREAMINFO block. */
+    def parse(b: Array[Byte]): Option[(Long, Long)] = {
+      if (b.length < 42 || !fourCC(b, 0, "fLaC")) return None
+      // first block header at 4; STREAMINFO must be first (type 0)
+      if ((u8(b, 4) & 0x7f) != 0) return None
+      val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+      if (len < 34 || 8 + len > b.length) return None
+      val s = 8 // STREAMINFO payload start
+      // packed 64 bits at offset 10: rate(20) ch-1(3) bps-1(5) total(36)
+      val rate = (u8(b, s + 10) << 12) | (u8(b, s + 11) << 4) | (u8(b, s + 12) >> 4)
+      val total = ((u8(b, s + 13) & 0x0f).toLong << 32) |
+        (u8(b, s + 14).toLong << 24) | (u8(b, s + 15) << 16) |
+        (u8(b, s + 16) << 8) | u8(b, s + 17)
+      // rate 0 is spec-invalid; total 0 means "unknown" — reject both
+      // (duration would be a lie) and let the caller fall back
+      if (rate <= 0 || total <= 0) None
+      else Some((total, total * 1000L / rate))
+    }
+  }
+
+  /** Real Ogg container parser: page walk + Vorbis/Opus identification
+    * header, stdlib only. Same contract as the other header parsers:
+    * None (never a throw) for anything that isn't a parsable Ogg
+    * stream. The first page's payload identifies the codec (the public
+    * `vorbis` / `OpusHead` signatures) and carries the sample
+    * rate; duration comes from the LAST page's granule position — PCM
+    * sample count for Vorbis, 48 kHz ticks minus pre-skip for Opus —
+    * so the walk reads 27-byte page headers and segment tables only,
+    * never codec payload past page one. A mid-stream non-"OggS" byte
+    * rejects the whole payload (it wasn't an Ogg); a truncated final
+    * page keeps the last complete page's granule. */
+  object OggHeader {
+    import Bytes._
+
+    /** (codec, sampleFrames, durationMs) with codec "vorbis"|"opus". */
+    def parse(b: Array[Byte]): Option[(String, Long, Long)] = {
+      if (b.length < 28 || !fourCC(b, 0, "OggS") || u8(b, 4) != 0) return None
+      var i = 0
+      var lastGranule = -1L
+      var first = true
+      var codec: String = null
+      var rate = 0L
+      var preSkip = 0L
+      while (i + 27 <= b.length && fourCC(b, i, "OggS")) {
+        val granule = le32(b, i + 6) | (le32(b, i + 10) << 32)
+        val nSegs = u8(b, i + 26)
+        if (i + 27 + nSegs > b.length) { i = b.length } // truncated table
+        else {
+          var payload = 0
+          var k = 0
+          while (k < nSegs) { payload += u8(b, i + 27 + k); k += 1 }
+          val next = i.toLong + 27L + nSegs + payload
+          if (first) {
+            val p = i + 27 + nSegs // first page's payload = id header
+            if (p + 30 <= b.length && u8(b, p) == 0x01 && fourCC(b, p + 1, "vorb") &&
+              b(p + 5) == 'i' && b(p + 6) == 's') {
+              codec = "vorbis"
+              rate = le32(b, p + 12) // version(4) channels(1) rate(4 LE)
+            } else if (p + 19 <= b.length && fourCC(b, p, "Opus") && fourCC(b, p + 4, "Head")) {
+              codec = "opus"
+              rate = 48000L // granule ticks are 48 kHz regardless of input rate
+              preSkip = le16(b, p + 10)
+            } else return None
+            first = false
+          }
+          // granule -1 marks a page with no completed packet; skip it
+          if (granule >= 0 && next <= b.length) lastGranule = granule
+          if (next > b.length) i = b.length else i = next.toInt
+        }
+      }
+      if (codec == null || rate <= 0 || lastGranule < 0) None
+      else {
+        val frames = math.max(0L, lastGranule - preSkip)
+        Some((codec, frames, frames * 1000L / rate))
+      }
+    }
+  }
+
   /** Real video container parser: ISO BMFF (MP4/MOV) box walk, stdlib
     * only. Same contract as the other header parsers: None (never a
     * throw) for anything that isn't a parsable MP4. Reads the movie
@@ -425,6 +519,16 @@ object Multimodal {
         }.orElse {
           Mp3Header.parse(bytes).map { case (frames, durMs) =>
             Row(id, bytes.length.toLong, "mp3", null, null, frames, durMs)
+          }
+        }.orElse {
+          FlacHeader.parse(bytes).map { case (frames, durMs) =>
+            Row(id, bytes.length.toLong, "flac", null, null,
+              math.min(frames, Int.MaxValue.toLong).toInt, durMs)
+          }
+        }.orElse {
+          OggHeader.parse(bytes).map { case (codec, frames, durMs) =>
+            Row(id, bytes.length.toLong, codec, null, null,
+              math.min(frames, Int.MaxValue.toLong).toInt, durMs)
           }
         }.orElse {
           Mp4Header.parse(bytes).map { case (w, h, durMs, frames) =>

@@ -19,13 +19,14 @@ class MediaFixturesSpec extends AnyFunSuite {
     }
   }
 
-  test("the corpus covers all seven real formats plus the fallback, unique ids") {
+  test("the corpus covers all nine real containers plus the fallback, unique ids") {
     val fs = MediaFixtures.fixtures
     assert(fs.map(_.mediaId).distinct.size == fs.size)
-    // kinds 0-6 are real containers; kind 7 reuses image format names
+    // kinds 0-8 are real containers; kind 9 reuses image format names
     // through the fallback formula, so count by construction slot
-    val realFormats = fs.zipWithIndex.collect { case (f, i) if i % 8 < 7 => f.format }.toSet
-    assert(realFormats == Set("png", "jpeg", "gif", "webp", "wav", "mp4", "mp3"))
+    val realFormats = fs.zipWithIndex.collect { case (f, i) if i % 10 < 9 => f.format }.toSet
+    assert(realFormats ==
+      Set("png", "jpeg", "gif", "webp", "wav", "mp4", "mp3", "flac", "vorbis", "opus"))
     // real parses are distinguishable from the fallback: a png fixture's
     // dimensions come from the header, not the byte-length formula
     val p = fs.find(f => f.format == "png" && f.payload.length >= 8 &&
@@ -60,6 +61,50 @@ class MediaFixturesSpec extends AnyFunSuite {
     val row = Multimodal.decodeOne(21L, v1)
     assert(row.getAs[String](2) == "mp3" && row.get(3) == null && row.get(4) == null)
     assert(row.getAs[Int](5) == 4)
+  }
+
+  test("FlacHeader: STREAMINFO geometry, truncation and rejection rules") {
+    import Multimodal.FlacHeader
+    // 44.1 kHz, 88200 samples = exactly 2000 ms
+    val f = MediaFixtures.flac(44100, 88200L)
+    assert(FlacHeader.parse(f) == Some((88200L, 2000L)))
+    // a >32-bit total exercises the 36-bit field's high nibble
+    val big = MediaFixtures.flac(96000, 0x2_0000_0000L) // 2^33
+    assert(FlacHeader.parse(big).map(_._1) == Some(0x2_0000_0000L))
+    // truncated mid-STREAMINFO, wrong magic, unknown-total streams reject
+    assert(FlacHeader.parse(f.take(20)).isEmpty)
+    assert(FlacHeader.parse("fLaX1234".getBytes("ISO-8859-1")).isEmpty)
+    assert(FlacHeader.parse(MediaFixtures.flac(44100, 0L)).isEmpty) // total 0 = unknown
+    assert(FlacHeader.parse(Array.emptyByteArray).isEmpty)
+    // a stream whose first block is NOT STREAMINFO violates the spec
+    val wrongFirst = f.clone(); wrongFirst(4) = (0x80 | 4).toByte // VORBIS_COMMENT
+    assert(FlacHeader.parse(wrongFirst).isEmpty)
+    // dispatch: decodeOne reports flac with null dimensions
+    val row = Multimodal.decodeOne(31L, f)
+    assert(row.getAs[String](2) == "flac" && row.get(3) == null && row.get(4) == null)
+    assert(row.getAs[Int](5) == 88200 && row.getAs[Long](6) == 2000L)
+  }
+
+  test("OggHeader: Vorbis/Opus dispatch, final-granule duration, rejection rules") {
+    import Multimodal.OggHeader
+    // Vorbis: duration from the EOS page's granule at the id header's rate
+    val v = MediaFixtures.oggVorbis(8000, 16000L)
+    assert(OggHeader.parse(v) == Some(("vorbis", 16000L, 2000L)))
+    // Opus: granule ticks are 48 kHz and pre-skip is subtracted
+    val o = MediaFixtures.oggOpus(312, 312L + 48000L)
+    assert(OggHeader.parse(o) == Some(("opus", 48000L, 1000L)))
+    // a truncated final page keeps the last complete page's granule
+    val cut = v.dropRight(10)
+    assert(OggHeader.parse(cut) == Some(("vorbis", 8000L, 1000L)))
+    // wrong magic / unknown codec / empty all reject
+    assert(OggHeader.parse("OggX".getBytes("ISO-8859-1")).isEmpty)
+    val alien = v.clone(); alien(28) = 0x7f // clobber the id header's packet type
+    assert(OggHeader.parse(alien).isEmpty)
+    assert(OggHeader.parse(Array.emptyByteArray).isEmpty)
+    // dispatch: decodeOne reports the codec with null dimensions
+    val row = Multimodal.decodeOne(32L, o)
+    assert(row.getAs[String](2) == "opus" && row.get(3) == null && row.get(4) == null)
+    assert(row.getAs[Int](5) == 48000 && row.getAs[Long](6) == 1000L)
   }
 
   test("the oracle VALUES literal carries one row per fixture with NULLs for audio") {
