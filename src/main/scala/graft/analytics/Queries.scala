@@ -817,6 +817,54 @@ object Queries {
            |WHERE rk <= 5""".stripMargin
       }),
 
+    QueryDef("s12_ivf_pq", (s, d) =>
+      // the composed serving architecture ([[Quantize.ivfPqTopK]]):
+      // IVF cells bound WHICH candidates a query touches (~nProbe/8 of
+      // the corpus), PQ/ADC bounds WHAT each touch costs (4 table
+      // lookups on codes — raw vectors never enter the search). Same
+      // coarse quantizer as s04/s08, same codebook/distance units as
+      // s10/s11, so the composition is the only new arithmetic.
+      Quantize.ivfPqTopK(
+        graft.core.Par.widen(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding",
+        nCoarse = 8, nSub = 4, subDim = 16, nCent = 8, nProbe = 2, queryMod = 13, k = 5),
+      Some {
+        def dot(a: String, b: String) = Vectors.dotSql(a, b)
+        s"""WITH base AS (SELECT vec_id AS id, embedding AS vec,
+           |  sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings),
+           |ccents AS (SELECT id AS ccid, vec AS ccv, nrm AS ccn FROM base WHERE id < 8),
+           |cscored AS (SELECT b.id, c.ccid,
+           |  CASE WHEN b.nrm * c.ccn = 0 THEN 0.0 ELSE ${dot("b.vec", "c.ccv")} / (b.nrm * c.ccn) END AS csim
+           |  FROM base b CROSS JOIN ccents c),
+           |cranked AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, ccid ASC) AS r FROM cscored),
+           |assigned AS (SELECT id, ccid AS cluster FROM cranked WHERE r = 1),
+           |probes AS (SELECT id AS query_id, ccid AS cluster FROM cranked WHERE r <= 2 AND id % 13 = 0),
+           |sv AS (SELECT vec_id, CAST(m AS BIGINT) AS sub,
+           |  list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
+           |  FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS m) g),
+           |cents AS (SELECT vec_id AS cid, sub, sv AS cv FROM sv WHERE vec_id < 8),
+           |pscored AS (SELECT s.vec_id, s.sub, c.cid,
+           |  round(${dot("s.sv", "s.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("s.sv", "c.cv")}, 5) AS dist
+           |  FROM sv s JOIN cents c ON s.sub = c.sub),
+           |codes AS (SELECT vec_id AS cand_id, sub, cid AS code FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM pscored)
+           |  WHERE rn = 1),
+           |cellcodes AS (SELECT c.cand_id, a.cluster, c.sub, c.code
+           |  FROM codes c JOIN assigned a ON a.id = c.cand_id),
+           |q AS (SELECT vec_id AS query_id, sub, sv FROM sv WHERE vec_id % 13 = 0),
+           |qtab AS (SELECT query_id, c.sub, c.cid,
+           |  CAST(round((${dot("q.sv", "q.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("q.sv", "c.cv")}) * 100000, 0) AS BIGINT) AS dq_e5
+           |  FROM q JOIN cents c ON q.sub = c.sub),
+           |adc AS (SELECT p.query_id, cc.cand_id, CAST(sum(t.dq_e5) AS BIGINT) AS adc_e5
+           |  FROM probes p
+           |  JOIN cellcodes cc ON cc.cluster = p.cluster AND cc.cand_id != p.query_id
+           |  JOIN qtab t ON t.query_id = p.query_id AND t.sub = cc.sub AND t.cid = cc.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, cand_id, adc_e5, rk FROM
+           |(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_e5 ASC, cand_id ASC) AS BIGINT) AS rk FROM adc)
+           |WHERE rk <= 5""".stripMargin
+      }),
+
     QueryDef("s06_semantic_decontaminate", (s, d) =>
       // embedding-space twin of t12 ([[Decontaminate.semanticContamination]]):
       // max cosine of each train vector vs the broadcast eval set

@@ -123,4 +123,77 @@ object Quantize {
           Window.partitionBy(col("query_id")).orderBy(col("adc_e5").asc, col("cand_id").asc)).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** IVF+PQ composed search — the two halves of the serving
+    * architecture fused the way a production vector index (FAISS
+    * IVFPQ) runs at scale: the coarse quantizer ([[Similarity.ivfTopK]]'s
+    * data-point cells, cosine assignment) bounds WHICH candidates are
+    * touched, and ADC over PQ codes ([[pqAdcTopK]]'s integer distance
+    * tables) bounds WHAT each touched candidate costs. A query reads
+    * ~nProbe/nCoarse of the corpus, and each candidate read is `nSub`
+    * table lookups on small codes — raw corpus vectors never enter the
+    * search on either axis.
+    *
+    * Scale shape: both quantizers are broadcast (nCoarse and
+    * nCent × nSub rows); assignment and encoding are single corpus
+    * scans collapsed map-side (max_by argmax / min-struct argmin); the
+    * inverted code file (cand_id, cluster, sub, code) is the only
+    * corpus-sized table downstream, joined to probes on the cluster
+    * id; the per-candidate ADC sum is order-free long arithmetic,
+    * map-side combined. Production IVFPQ encodes RESIDUALS against the
+    * coarse centroid; the raw-vector codebook here keeps every number
+    * a pure function both engines compute identically — the
+    * composition shape is what this operator pins. */
+  def ivfPqTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCoarse: Int,
+      nSub: Int,
+      subDim: Int,
+      nCent: Int,
+      nProbe: Int,
+      queryMod: Int,
+      k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.normF
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"), normF(col(vecCol)).as("nrm"))
+    val coarse = base.filter(col("id") < nCoarse)
+      .select(col("id").as("ccid"), col("vec").as("ccv"), col("nrm").as("ccn"))
+    val cscored = base.crossJoin(broadcast(coarse))
+      .withColumn("csim",
+        when(col("nrm") * col("ccn") === 0.0, lit(0.0))
+          .otherwise(dt(col("vec"), col("ccv")) / (col("nrm") * col("ccn"))))
+    val assigned = cscored
+      .groupBy(col("id"))
+      .agg(max_by(col("ccid"), struct(col("csim"), (-col("ccid")).as("nc"))).as("cluster"))
+    // the inverted code file: every corpus vector's PQ codes, keyed by
+    // its coarse cell — the persistable serving artifact
+    val cellCodes = pqEncode(emb, idCol, vecCol, nSub, subDim, nCent)
+      .select(col(idCol).as("cand_id"), col("sub"), col("code"))
+      .join(assigned.select(col("id").as("cand_id"), col("cluster")), Seq("cand_id"))
+    val probes = cscored.filter(col("id") % queryMod === 0)
+      .groupBy(col("id"))
+      .agg(slice(
+        sort_array(collect_list(struct(col("csim"), (-col("ccid")).as("nc"))), asc = false),
+        1, nProbe).as("top"))
+      .select(col("id").as("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), (-col("t.nc")).as("cluster"))
+    val qsubs = subvectors(emb.filter(col(idCol) % queryMod === 0), idCol, vecCol, nSub, subDim)
+      .select(col(idCol).as("query_id"), col("sub"), col("sv"))
+    val cents = subvectors(emb.filter(col(idCol) < nCent), idCol, vecCol, nSub, subDim)
+      .select(col(idCol).as("cid"), col("sub"), col("sv").as("cv"))
+    val qtab = qsubs.join(cents, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(l2sq(col("sv"), col("cv")) * 100000.0, 0).cast("long").as("dq_e5"))
+    probes.join(cellCodes, Seq("cluster"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(broadcast(qtab), Seq("query_id", "sub"))
+      .filter(col("code") === col("cid"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("dq_e5")).as("adc_e5"))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc_e5").asc, col("cand_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

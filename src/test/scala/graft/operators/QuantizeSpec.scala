@@ -67,4 +67,37 @@ class QuantizeSpec extends SparkSpec {
     } yield (q, c, (i + 1).toLong)).toSet
     assert(got == want)
   }
+
+  test("IVF+PQ with a single coarse cell degenerates to plain ADC search") {
+    // nCoarse = 1: every vector lands in cell 0 and every query probes
+    // it, so the IVF stage is a no-op and the composed search must
+    // equal pqAdcTopK row-for-row — pins that composing the stages
+    // changes WHERE candidates come from, never their arithmetic
+    val emb = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.cos(i * 1.7 + d * 0.9) * 2).toFloat))).toDF("vec_id", "embedding")
+    val flat = Quantize.pqAdcTopK(emb, "vec_id", "embedding",
+        nSub = 2, subDim = 4, nCent = 5, queryMod = 7, k = 4)
+      .select("query_id", "cand_id", "adc_e5", "rk").as[(Long, Long, Long, Long)].collect().toSet
+    val composed = Quantize.ivfPqTopK(emb, "vec_id", "embedding",
+        nCoarse = 1, nSub = 2, subDim = 4, nCent = 5, nProbe = 1, queryMod = 7, k = 4)
+      .select("query_id", "cand_id", "adc_e5", "rk").as[(Long, Long, Long, Long)].collect().toSet
+    assert(composed == flat)
+  }
+
+  test("IVF+PQ candidates come only from probed cells") {
+    // two well-separated clusters around orthogonal axes: a query must
+    // only ever rank candidates sharing its probed cell (nProbe = 1)
+    val emb = (0 until 16).map { i =>
+      val axis = i % 2 // even ids hug dim 0, odd ids hug dim 4
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == axis * 4) 10.0 + (i / 2) * 0.1 else 0.01 * ((i + d) % 3)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.ivfPqTopK(emb, "vec_id", "embedding",
+        nCoarse = 2, nSub = 2, subDim = 4, nCent = 4, nProbe = 1, queryMod = 7, k = 8)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    // ids 0/1 are the two coarse centroids (one per axis); with nProbe=1
+    // a query's candidates must share its axis parity
+    assert(out.forall { case (q, c) => q % 2 == c % 2 })
+  }
 }
