@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, IncrementalAgg, Packing, Quantize, RangeJoin, Similarity, Skew, Upsert}
+import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Skew, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -862,6 +862,49 @@ object Queries {
            |  GROUP BY 1, 2)
            |SELECT query_id, cand_id, adc_e5, rk FROM
            |(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_e5 ASC, cand_id ASC) AS BIGINT) AS rk FROM adc)
+           |WHERE rk <= 5""".stripMargin
+      }),
+
+    QueryDef("s13_hybrid_rrf", (s, d) =>
+      // hybrid retrieval ([[Retrieval.hybridTopK]]): dense cosine
+      // top-10 (s01's exact baseline — production swaps in the s08/s12
+      // index; the fusion is ranking-agnostic) fused with an
+      // inverted-index lexical top-10 by reciprocal-rank fusion. The
+      // lexical weights are the log-free IDF proxy `N div df`, the RRF
+      // score `1e9 div (60 + rank)` — integer division end-to-end, so
+      // the two-tower composition crosses the oracle gate exactly.
+      Retrieval.hybridTopK(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        "doc_id", "text", "vec_id", "embedding",
+        nQueries = 20, kEach = 10, k0 = 60, k = 5),
+      Some {
+        val dot = Vectors.dotSql("q.embedding", "c.embedding")
+        val tk = toksSql("lower(text)")
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+           |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |  CASE WHEN q.nrm * c.nrm = 0 THEN 0.0 ELSE $dot / (q.nrm * c.nrm) END AS cosine
+           |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+           |dense AS (SELECT query_id, cand_id, rk FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk FROM p)
+           |  WHERE rk <= 10),
+           |post AS (SELECT DISTINCT id, term FROM
+           |  (SELECT doc_id AS id, unnest($tk) AS term FROM documents)),
+           |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+           |nt AS (SELECT count(*) AS n_total FROM documents),
+           |wt AS (SELECT term, n_total // df AS wt FROM dfreq CROSS JOIN nt),
+           |lexs AS (SELECT q.id AS query_id, c.id AS cand_id, CAST(sum(wt) AS BIGINT) AS lex_score
+           |  FROM post q JOIN post c ON q.term = c.term AND q.id < 20 AND c.id != q.id
+           |  JOIN wt ON wt.term = q.term GROUP BY 1, 2),
+           |lex AS (SELECT query_id, cand_id, rk FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY lex_score DESC, cand_id ASC) AS rk FROM lexs)
+           |  WHERE rk <= 10),
+           |fused AS (SELECT coalesce(d.query_id, l.query_id) AS query_id,
+           |  coalesce(d.cand_id, l.cand_id) AS cand_id,
+           |  coalesce(1000000000 // (60 + d.rk), 0) + coalesce(1000000000 // (60 + l.rk), 0) AS rrf_e9
+           |  FROM dense d FULL OUTER JOIN lex l ON d.query_id = l.query_id AND d.cand_id = l.cand_id)
+           |SELECT query_id, cand_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9, rk FROM
+           |(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_e9 DESC, cand_id ASC) AS BIGINT) AS rk FROM fused)
            |WHERE rk <= 5""".stripMargin
       }),
 
