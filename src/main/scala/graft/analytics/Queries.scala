@@ -627,6 +627,36 @@ object Queries {
              |FROM d""".stripMargin)
     ),
     QueryDef(
+      "q33_distribution_windows",
+      // the remaining window family: ntile / percent_rank / cume_dist.
+      // The order key is (o_totalprice, o_orderkey) — TOTAL, so every
+      // rank function is tie-free and deterministic across engines
+      // (ntile over a non-total order is engine-defined), and
+      // percent_rank/cume_dist reduce to exact small-integer ratios
+      // ((rn-1)/(n-1), rn/n) whose single correctly-rounded division
+      // is bit-identical in both engines. Partitioned by
+      // o_orderpriority — at 100 TB a distribution window is a
+      // per-partition total sort, so the partition key must bound
+      // partition size (priority × month in production; priority alone
+      // keeps the oracle small here).
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_frac"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |percent_rank() OVER w AS pct_rank,
+             |cume_dist() OVER w AS cum_frac
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin)
+    ),
+    QueryDef(
       "q22_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d).agg(
