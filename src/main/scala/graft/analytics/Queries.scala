@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Skew, Upsert}
+import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, GraphRank, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Skew, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -655,6 +655,44 @@ object Queries {
              |cume_dist() OVER w AS cum_frac
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin)
+    ),
+    QueryDef(
+      "g01_graph_rank",
+      // link-graph importance ([[GraphRank.pageRank]]): integer
+      // PageRank, 3 fixed iterations, over the undirected
+      // customer—supplier transaction graph (custkey*2 / suppkey*2+1
+      // keeps the two id spaces disjoint by parity). The corpus-
+      // curation analog: weight documents by their host's link
+      // centrality. Every score is exact e9 units — distribution is
+      // `score div degree`, damping `(85 * inflow) div 100` — so the
+      // iterative fixed point is bit-identical in the oracle's CTE
+      // chain.
+      (s, d) => {
+        val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(
+            Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        GraphRank.pageRank(e, iters = 3).withColumnRenamed("node", "node_id")
+      },
+      Some {
+        def iter(k: Int) =
+          s"""i$k AS (SELECT u.dst AS node, CAST(sum(r.score_e9 // d.deg) AS BIGINT) AS inflow
+             |  FROM und u JOIN r${k - 1} r ON r.node = u.src JOIN deg d ON d.src = u.src GROUP BY 1),
+             |r$k AS (SELECT n.node, 150000000 + (85 * coalesce(i.inflow, 0)) // 100 AS score_e9
+             |  FROM nodes n LEFT JOIN i$k i ON i.node = n.node)""".stripMargin
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS node FROM und),
+           |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score_e9 FROM nodes),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT node AS node_id, CAST(score_e9 AS BIGINT) AS score_e9 FROM r3""".stripMargin
+      }
     ),
     QueryDef(
       "q22_approx_distinct",
