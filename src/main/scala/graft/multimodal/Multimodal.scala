@@ -348,8 +348,10 @@ object Multimodal {
     * sample count for Vorbis, 48 kHz ticks minus pre-skip for Opus —
     * so the walk reads 27-byte page headers and segment tables only,
     * never codec payload past page one. A mid-stream non-"OggS" byte
-    * rejects the whole payload (it wasn't an Ogg); a truncated final
-    * page keeps the last complete page's granule. */
+    * or a truncated final page ends the walk, keeping the last
+    * complete page's granule (truncation semantics, like the RIFF and
+    * ISO-BMFF walks); an unrecognized first-page codec rejects the
+    * payload. */
   object OggHeader {
     import Bytes._
 
