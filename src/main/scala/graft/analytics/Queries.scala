@@ -941,10 +941,13 @@ object Queries {
       // lexical weights are the log-free IDF proxy `N div df`, the RRF
       // score `1e9 div (60 + rank)` — integer division end-to-end, so
       // the two-tower composition crosses the oracle gate exactly.
+      // Terms in more than half the corpus are barred from candidate
+      // generation (the df cap that stops a stopword's df² posting
+      // fan-out at scale).
       Retrieval.hybridTopK(
         Tables.documents(s, d), Tables.embeddings(s, d),
         "doc_id", "text", "vec_id", "embedding",
-        nQueries = 20, kEach = 10, k0 = 60, k = 5),
+        nQueries = 20, kEach = 10, k0 = 60, k = 5, maxDfPermille = 500),
       Some {
         val dot = Vectors.dotSql("q.embedding", "c.embedding")
         val tk = toksSql("lower(text)")
@@ -960,7 +963,8 @@ object Queries {
            |  (SELECT doc_id AS id, unnest($tk) AS term FROM documents)),
            |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
            |nt AS (SELECT count(*) AS n_total FROM documents),
-           |wt AS (SELECT term, n_total // df AS wt FROM dfreq CROSS JOIN nt),
+           |wt AS (SELECT term, n_total // df AS wt FROM dfreq CROSS JOIN nt
+           |  WHERE df * 1000 <= 500 * n_total),
            |lexs AS (SELECT q.id AS query_id, c.id AS cand_id, CAST(sum(wt) AS BIGINT) AS lex_score
            |  FROM post q JOIN post c ON q.term = c.term AND q.id < 20 AND c.id != q.id
            |  JOIN wt ON wt.term = q.term GROUP BY 1, 2),

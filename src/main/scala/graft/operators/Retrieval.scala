@@ -39,19 +39,30 @@ object Retrieval {
     * ranked by `Σ_{t ∈ q ∩ c} (N div df_t)` desc, id asc. The exact
     * integer cousin of a BM25 retriever: same inverted-index plan,
     * log-free weights.
+    *
+    * `maxDfPermille` caps the document frequency of terms that may
+    * GENERATE candidates (df·1000 ≤ maxDfPermille·N): the posting
+    * join's fan-out on a term is df², so one stopword-frequency term
+    * is a quadratic blow-up at corpus scale — the reason every
+    * production retriever drops or impact-orders high-df postings.
+    * Capped terms contribute nothing (they carry weight ≈ 1 and no
+    * discrimination); 1000 disables the cap.
     */
-  def lexicalTopK(docs: DataFrame, idCol: String, textCol: String, nQueries: Int, k: Int): DataFrame = {
+  def lexicalTopK(docs: DataFrame, idCol: String, textCol: String, nQueries: Int, k: Int,
+      maxDfPermille: Int = 1000): DataFrame = {
     val postings = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
       .select(col("id"), explode(Text.tokens(lower(col("txt")))).as("term"))
       .distinct()
     val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_total"))
-    val w = df.crossJoin(broadcast(n)).select(col("term"), expr("n_total div df").as("wt"))
+    val w = df.crossJoin(broadcast(n))
+      .filter(expr(s"df * 1000 <= $maxDfPermille * n_total"))
+      .select(col("term"), expr("n_total div df").as("wt"))
     val q = postings.filter(col("id") < nQueries).select(col("id").as("query_id"), col("term"))
     val scored = q
+      .join(w, Seq("term")) // df cap prunes the query's terms BEFORE the posting fan-out
       .join(postings.select(col("id").as("cand_id"), col("term")), Seq("term"))
       .filter(col("cand_id") =!= col("query_id"))
-      .join(w, Seq("term"))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(sum(col("wt")).as("lex_score"))
     scored
@@ -95,10 +106,11 @@ object Retrieval {
       nQueries: Int,
       kEach: Int,
       k0: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      maxDfPermille: Int = 1000): DataFrame = {
     val dense = Similarity.bruteForceTopK(emb, vecIdCol, vecCol, nQueries, kEach)
       .select(col("query_id"), col("cand_id"), col("rk"))
-    val lex = lexicalTopK(docs, docIdCol, textCol, nQueries, kEach)
+    val lex = lexicalTopK(docs, docIdCol, textCol, nQueries, kEach, maxDfPermille)
       .select(col("query_id"), col("cand_id"), col("rk"))
     rrfFuse(dense, lex, k0, k)
   }

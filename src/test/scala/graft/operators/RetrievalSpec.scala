@@ -23,6 +23,25 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 3L, 1L), (0L, 3L, 2L, 2L), (0L, 2L, 1L, 3L)))
   }
 
+  test("the df cap bars stopword-frequency terms from generating candidates") {
+    // "the" is in 3/5 docs (600 permille): with the cap at 500 it may
+    // not generate candidates or contribute weight, so doc 2 (sharing
+    // ONLY "the" with the query) disappears and doc 1 is scored by
+    // "a" alone
+    val docs = Seq(
+      (0L, "zebra the the a"),
+      (1L, "the a b"),
+      (2L, "the c"),
+      (3L, "zebra d"),
+      (4L, "e f")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.lexicalTopK(docs, "doc_id", "text", nQueries = 1, k = 3, maxDfPermille = 500)
+      .select("query_id", "cand_id", "lex_score", "rk").as[(Long, Long, Long, Long)].collect()
+      .sortBy(_._4)
+    // wt: a -> 2, zebra -> 2 ("the" capped); ties break on cand_id asc
+    assert(out.toSeq == Seq((0L, 1L, 2L, 1L), (0L, 3L, 2L, 2L)))
+  }
+
   test("rrfFuse sums reciprocal ranks with integer division, absent list contributes 0") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "cand_id", "rk")
     val b = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "cand_id", "rk")
