@@ -1299,6 +1299,31 @@ object Queries {
     ),
 
     QueryDef(
+      "t21_temperature_mix",
+      // temperature-flattened language resampling at τ = 0.5
+      // ([[Packing.temperatureMix]]): target share of language L
+      // becomes √n_L / Σ√n — the multilingual data-mixing recipe
+      // (upweight low-resource languages), with rates DERIVED from the
+      // corpus's own statistics (t10's weightedSample is the hand-set
+      // cousin). The keep rate √(n_min/n_L) is computed with one IEEE
+      // division and one IEEE sqrt (both correctly rounded, so
+      // bit-identical in any engine — the log-free trick, sqrt
+      // edition); the keep decision is the same md5 per-row filter as
+      // t06/t10. On the fixture corpus en is kept at ~54% while the
+      // smallest language keeps everything.
+      (s, d) =>
+        Packing.temperatureMix(Tables.documents(s, d), "doc_id", "lang", seed = 17),
+      Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_d FROM documents GROUP BY 1),
+              |m AS (SELECT min(n_d) AS n_m FROM c),
+              |r AS (SELECT lang,
+              |  CAST(floor(sqrt(CAST(n_m AS DOUBLE) / n_d) * 1000000) AS BIGINT) AS rate_e6
+              |  FROM c CROSS JOIN m)
+              |SELECT doc_id, d.lang, rate_e6 FROM documents d JOIN r ON d.lang = r.lang
+              |WHERE ${Hashing.md5LongSql("concat('mix:', CAST(doc_id AS VARCHAR))", 17)} % 1000000
+              |  < rate_e6""".stripMargin)
+    ),
+
+    QueryDef(
       "t19_vocab_coverage",
       // the vocab-size decision curve: top-100 tokens by corpus
       // frequency with rank and CUMULATIVE token-mass coverage (what

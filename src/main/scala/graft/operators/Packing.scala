@@ -118,6 +118,38 @@ object Packing {
     df.filter(h < rate)
   }
 
+  /** Temperature-flattened domain resampling at τ = 0.5 — the
+    * data-mixing recipe (multilingual / DoReMi-style) where the target
+    * share of domain d is `√n_d / Σ√n_e`: big domains are downsampled,
+    * the smallest keeps everything, and unlike [[weightedSample]] the
+    * rates are DERIVED from the corpus's own domain statistics, not
+    * hand-set. The keep rate reduces to `√(n_min / n_d)`, computed as
+    * `floor(sqrt(n_min / n_d) · 1e6)` — IEEE division and square root
+    * are both correctly rounded, so (unlike log-based weighting) the
+    * rate is bit-identical in any engine at any corpus size, no
+    * integer-overflow gymnastics.
+    *
+    * Scale shape: per-domain counts are one map-side-combined
+    * aggregation (domains are driver-small by the same bound
+    * [[weightedSample]] assumes); the rate table broadcasts; the keep
+    * decision is the same pure per-row md5 filter — embarrassingly
+    * parallel, reproducible across engines, runs and epochs. */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String, seed: Int): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_d"))
+    val ref = counts.agg(min(col("n_d")).as("n_m"))
+    val rates = counts.crossJoin(broadcast(ref))
+      .select(
+        col(groupCol),
+        floor(sqrt(col("n_m").cast("double") / col("n_d")) * 1000000.0).cast("long").as("rate_e6"))
+    val h = pmod(
+      graft.functions.Hashing.md5Long(concat(lit("mix:"), col(idCol).cast("string")), seed),
+      lit(1000000L))
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(rates), Seq(groupCol))
+      .filter(h < col("rate_e6"))
+      .select(col(idCol), col(groupCol), col("rate_e6"))
+  }
+
   /** Deterministic stratified quota cap: keep at most `quota` rows per
     * `groupCol` stratum — the ones with the smallest md5 hash of the id
     * — i.e. an exact, reproducible uniform sample of K per group (the

@@ -63,6 +63,24 @@ class PackingSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"), s"expected shuffle-free filter:\n$p")
   }
 
+  test("temperatureMix derives sqrt-flattened keep rates from the corpus itself") {
+    // 400 'big' docs, 100 'small': keep rate for big = sqrt(100/400)
+    // = 0.5 exactly; the smallest domain keeps everything
+    val docs = spark.range(500)
+      .select($"id".as("doc_id"),
+        when($"id" < 400, "big").otherwise("small").as("dom"))
+    val out = Packing.temperatureMix(docs, "doc_id", "dom", seed = 3)
+    val rates = out.select("dom", "rate_e6").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("big") == 500000L && rates("small") == 1000000L)
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(counts("small") == 100L) // rate 1.0: all kept
+    assert(counts("big") > 130 && counts("big") < 270) // ~200 of 400
+    // deterministic: the same seed reproduces the exact row set
+    val again = Packing.temperatureMix(docs, "doc_id", "dom", seed = 3)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("weightedSample rejects rates outside [0, 1e6]") {
     intercept[IllegalArgumentException] {
       Packing.weightedSample(spark.range(1).toDF("doc_id").withColumn("g", lit("x")),
