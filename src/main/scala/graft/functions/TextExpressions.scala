@@ -244,8 +244,13 @@ object TextExpressions {
     private val EMPTY = UTF8String.fromString("")
 
     /** Shared by interpreted eval and generated code: one counting pass,
-      * then one deterministic (cnt desc, gram asc) selection pass. */
-    def build(toks: ArrayData, n: Int): Any = {
+      * then one deterministic (cnt desc, gram asc) selection pass.
+      * The declared return type MUST be InternalRow, not Any: the
+      * generated projection assigns the call result to an
+      * `InternalRow`-typed slot, and janino rejects an Object source —
+      * which silently demoted every projection containing this
+      * expression to interpreted mode. */
+    def build(toks: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
       val ntok = toks.numElements()
       val m = ntok - n + 1
       if (m <= 0)

@@ -38,6 +38,28 @@ class TextSpec extends SparkSpec {
     assert(nulls.select(Text.tokens($"t")).first().isNullAt(0))
   }
 
+  test("every custom expression codegen-compiles in an UnsafeProjection (no interpreted fallback)") {
+    // GenerateUnsafeProjection.generate THROWS on a codegen compile
+    // failure, unlike UnsafeProjection.create which silently falls
+    // back to interpreted mode — the regression this pins: TopGram's
+    // struct-returning build() must be declared as InternalRow, or
+    // janino rejects the Object-to-InternalRow assignment and every
+    // projection containing the expression runs interpreted (observed
+    // as 132 ERROR CodeGenerator lines per bench run before the fix).
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val toks = BoundReference(0, ArrayType(StringType), nullable = true)
+    val exprs = Seq(
+      TextExpressions.TopGram(toks, 2),
+      TextExpressions.ShingleGrams(toks, 2),
+      TextExpressions.PositionalGrams(toks, 2),
+      TextExpressions.TokenizeWords(BoundReference(1, StringType, nullable = true)))
+    exprs.foreach { e =>
+      GenerateUnsafeProjection.generate(Seq(e)) // must not throw
+    }
+  }
+
   test("topGram counts with multiplicity and tie-breaks to the smallest gram") {
     val df = Seq(
       "a b a b a b c",  // "a b" x3, "b a" x2, "b c" x1 -> top ("a b", 3, 6)
