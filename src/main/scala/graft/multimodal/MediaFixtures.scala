@@ -194,6 +194,54 @@ object MediaFixtures {
   private def mp4Box(tp: String, payload: Array[Byte]): Array[Byte] =
     be32b(payload.length + 8) ++ cc(tp) ++ payload
 
+  // --- Matroska/WebM (EBML) builders ---------------------------------------
+
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    // ids are stored with their marker bits; emit minimal big-endian
+    val len = if (id <= 0xff) 1 else if (id <= 0xffff) 2 else if (id <= 0xffffff) 3 else 4
+    (0 until len).map(k => ((id >> (8 * (len - 1 - k))) & 0xff).toByte).toArray
+  }
+
+  /** EBML size vint, always 2 bytes (0x4000 | n) — valid for n ≤ 16382. */
+  private def ebmlSize(n: Int): Array[Byte] = {
+    require(n >= 0 && n <= 16382, "fixture elements are 2-byte-size encoded")
+    Array[Byte]((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+  }
+
+  private def ebml(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlIdBytes(id) ++ ebmlSize(payload.length) ++ payload
+
+  private def ebmlUint(id: Long, v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+    ebml(id, (0 until len).map(k => ((v >> (8 * (len - 1 - k))) & 0xff).toByte).toArray)
+  }
+
+  private def ebmlFloat8(id: Long, v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    ebml(id, (0 until 8).map(k => ((bits >> (8 * (7 - k))) & 0xff).toByte).toArray)
+  }
+
+  /** Matroska/WebM: EBML header with the DocType, a Segment with Info
+    * (TimestampScale + float Duration), one video TrackEntry with the
+    * real dimensions, and one Cluster with `frames` SimpleBlocks for
+    * that track (plus one for a non-video track, which must NOT
+    * count). */
+  def mkv(docType: String, w: Int, h: Int, frames: Int, scaleNs: Long, durUnits: Double): Array[Byte] = {
+    val header = ebml(0x1A45DFA3L, ebmlUint(0x4286L, 1) ++ ebml(0x4282L, cc(docType)))
+    val info = ebml(0x1549A966L, ebmlUint(0x2AD7B1L, scaleNs) ++ ebmlFloat8(0x4489L, durUnits))
+    val video = ebml(0xE0L, ebmlUint(0xB0L, w) ++ ebmlUint(0xBAL, h))
+    val vTrack = ebml(0xAEL, ebmlUint(0xD7L, 1) ++ ebmlUint(0x83L, 1) ++ video)
+    val aTrack = ebml(0xAEL, ebmlUint(0xD7L, 2) ++ ebmlUint(0x83L, 2)) // audio: no dims
+    val tracks = ebml(0x1654AE6BL, vTrack ++ aTrack)
+    def block(track: Int) = ebml(0xA3L,
+      Array[Byte]((0x80 | track).toByte, 0, 0, 0) ++
+        Array.tabulate[Byte](6)(i => ((i * 19 + track) & 0xff).toByte))
+    val cluster = ebml(0x1F43B675L,
+      ebmlUint(0xE7L, 0) ++ (0 until frames).flatMap(_ => block(1)).toArray ++ block(2))
+    header ++ ebml(0x18538067L, info ++ tracks ++ cluster)
+  }
+
   /** ISO-BMFF MP4: ftyp + moov(mvhd v0, trak(tkhd v0 with 16.16 dims,
     * mdia/minf/stbl/stts with two sample-count entries)). */
   def mp4(w: Int, h: Int, timescale: Int, durationUnits: Int, f1: Int, f2: Int): Array[Byte] = {
@@ -208,23 +256,23 @@ object MediaFixtures {
 
   // --- the fixture corpus ---------------------------------------------------
 
-  /** 120 fixtures, 12 per kind; kind = i % 10. Kind 9 is a UTF-8 text
+  /** 132 fixtures, 12 per kind; kind = i % 11. Kind 10 is a UTF-8 text
     * payload pinning the dispatch contract: unrecognized bytes take the
     * [[Multimodal.FakeDecoder]] fallback, whose formula is replicated
     * here independently (same arithmetic the m01 oracle uses). */
-  lazy val fixtures: Seq[Fixture] = (0 until 120).map { i =>
+  lazy val fixtures: Seq[Fixture] = (0 until 132).map { i =>
     val id = 9000L + i
     val w = 16 + (i * 37) % 1200
     val h = 16 + (i * 53) % 900
     val frames = 1 + i % 6
-    i % 10 match {
+    i % 11 match {
       case 0 => Fixture(id, png(w, h), "png", Some(w), Some(h), 1, 0L)
       case 1 => Fixture(id, jpeg(w, h), "jpeg", Some(w), Some(h), 1, 0L)
       case 2 => Fixture(id, gif(w, h, frames), "gif", Some(w), Some(h), frames, 0L)
       case 3 =>
         // rotate the three bitstream variants; only VP8X animates
         val (wv, hv) = (1 + w % 4000, 1 + h % 4000) // 14-bit dim space
-        (i / 10) % 3 match {
+        (i / 11) % 3 match {
           case 0 => Fixture(id, webpLossy(wv, hv), "webp", Some(wv), Some(hv), 1, 0L)
           case 1 => Fixture(id, webpLossless(wv, hv), "webp", Some(wv), Some(hv), 1, 0L)
           case _ =>
@@ -233,8 +281,8 @@ object MediaFixtures {
               math.max(anmf, 1), 0L)
         }
       case 4 =>
-        val rate = Seq(8000, 16000, 44100)((i / 10) % 3)
-        val channels = 1 + (i / 10) % 2
+        val rate = Seq(8000, 16000, 44100)((i / 11) % 3)
+        val channels = 1 + (i / 11) % 2
         val sampleFrames = 400 + i * 31
         val dataBytes = sampleFrames.toLong * 2 * channels
         Fixture(id, wav(rate, channels, sampleFrames), "wav", None, None,
@@ -246,9 +294,9 @@ object MediaFixtures {
         Fixture(id, mp4(w, h, scale, durUnits, f1, f2), "mp4", Some(w), Some(h),
           f1 + f2, durUnits.toLong * 1000L / scale)
       case 6 =>
-        val version = Seq(1, 2, 25)((i / 10) % 3)
+        val version = Seq(1, 2, 25)((i / 11) % 3)
         val bitrateIdx = 1 + i % 14
-        val rateIdx = (i / 10) % 3
+        val rateIdx = (i / 11) % 3
         val nf = 2 + i % 6
         val id3 = if (i % 3 == 0) 40 + i else 0
         val (rate, spf, _) = mp3Geometry(version, bitrateIdx, rateIdx)
@@ -257,12 +305,12 @@ object MediaFixtures {
         Fixture(id, mp3(version, bitrateIdx, rateIdx, nf, id3), "mp3", None, None,
           nf, nf.toLong * (spf * 1000000L / rate) / 1000L)
       case 7 =>
-        val rate = Seq(8000, 22050, 44100, 96000)((i / 10) % 4)
+        val rate = Seq(8000, 22050, 44100, 96000)((i / 11) % 4)
         val total = 10000L + i * 977L
         Fixture(id, flac(rate, total), "flac", None, None,
           math.min(total, Int.MaxValue.toLong).toInt, total * 1000L / rate)
       case 8 =>
-        if ((i / 10) % 2 == 0) {
+        if ((i / 11) % 2 == 0) {
           val rate = Seq(8000, 44100, 48000)(i % 3)
           val total = 5000L + i * 331L
           Fixture(id, oggVorbis(rate, total), "vorbis", None, None,
@@ -273,6 +321,14 @@ object MediaFixtures {
           Fixture(id, oggOpus(preSkip, preSkip + pcm), "opus", None, None,
             pcm.toInt, pcm * 1000L / 48000L)
         }
+      case 9 =>
+        val docType = if ((i / 11) % 2 == 0) "webm" else "matroska"
+        val scaleNs = Seq(1000000L, 500000L, 2000000L)(i % 3)
+        val durUnits = 900.0 + i * 13.25 // dyadic fraction: exact in float8
+        val nf = 1 + i % 7
+        Fixture(id, mkv(docType, w, h, nf, scaleNs, durUnits),
+          if (docType == "webm") "webm" else "mkv", Some(w), Some(h), nf,
+          math.floor(durUnits * scaleNs / 1000000.0).toLong)
       case _ =>
         val payload = s"fixture text payload $i padding ${"x" * (i % 13)}".getBytes("UTF-8")
         val n = payload.length.toLong
@@ -283,7 +339,7 @@ object MediaFixtures {
   }
 
   /** (media_id, payload) fixture table — the [[Multimodal.decodeMetadata]]
-    * input shape. A 120-row local relation: this is a correctness gate,
+    * input shape. A 132-row local relation: this is a correctness gate,
     * not a scale path (the scale path is [[Multimodal.readBinaryDir]]). */
   def table(spark: SparkSession): DataFrame = {
     import spark.implicits._

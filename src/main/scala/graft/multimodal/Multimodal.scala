@@ -20,10 +20,12 @@ import org.apache.spark.sql.types._
   * sample geometry; [[OggHeader]] walks Ogg pages to the final granule
   * position with Vorbis/Opus identification-header dispatch;
   * [[Mp4Header]] walks the ISO BMFF boxes for the video
-  * track's dimensions, movie duration and `stts` frame count — all
+  * track's dimensions, movie duration and `stts` frame count;
+  * [[MkvHeader]] walks Matroska/WebM EBML elements for the video
+  * track's dimensions, the Info duration and the per-track
+  * SimpleBlock count — all
   * stdlib byte arithmetic, no external codecs. Payloads that are none
-  * of these (the synthetic fixtures' UTF-8 text,
-  * non-MP4 video containers) fall back
+  * of these (the synthetic fixtures' UTF-8 text) fall back
   * to [[FakeDecoder]]'s deterministic pseudo-metadata, keeping the
   * fixture oracles exact. The plumbing — the binary column schema, the
   * batched `mapPartitions` shape (the Scala equivalent of
@@ -484,6 +486,151 @@ object Multimodal {
       } yield frames.toInt
   }
 
+  /** Real Matroska/WebM container parser: EBML element walk, stdlib
+    * only. Same contract as the other header parsers: None (never a
+    * throw) for anything that isn't parsable. The EBML header's
+    * DocType picks the format string ("webm" vs "mkv"); the Segment's
+    * Info element carries TimestampScale (ns per unit, default 1e6)
+    * and Duration (float, in units); the first video TrackEntry
+    * carries PixelWidth/PixelHeight; the frame count is the number of
+    * SimpleBlocks addressed to that track across Clusters — block
+    * HEADERS only, codec payloads are never decoded. Truncated or
+    * malformed elements end the walk with what was parsed (the RIFF /
+    * ISO-BMFF truncation semantics); a missing video track rejects the
+    * payload (audio-only WebM falls back). */
+  object MkvHeader {
+    import Bytes._
+
+    /** (value-with-marker, length) of the EBML id at `i`, or None. */
+    private def readId(b: Array[Byte], i: Int): Option[(Long, Int)] = {
+      if (i >= b.length) return None
+      val first = u8(b, i)
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8 for first in [1,255]
+      if (len < 1 || len > 4 || i + len > b.length) return None
+      var v = 0L
+      var k = 0
+      while (k < len) { v = (v << 8) | u8(b, i + k); k += 1 }
+      Some((v, len))
+    }
+
+    /** (size, length) of the EBML size vint at `i` (marker stripped);
+      * all-ones ("unknown size") reads as -1. */
+    private def readSize(b: Array[Byte], i: Int): Option[(Long, Int)] = {
+      if (i >= b.length) return None
+      val first = u8(b, i)
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 23
+      if (len < 1 || len > 8 || i + len > b.length) return None
+      var v = (first & (0xff >>> len)).toLong
+      var k = 1
+      while (k < len) { v = (v << 8) | u8(b, i + k); k += 1 }
+      val allOnes = ((1L << (7 * len)) - 1)
+      Some((if (v == allOnes) -1L else v, len))
+    }
+
+    /** Children of the master element spanning [from, to): (id,
+      * payloadStart, payloadEnd). Stops at the first malformed or
+      * truncated element. */
+    private def children(b: Array[Byte], from: Int, to: Int): Seq[(Long, Int, Int)] = {
+      val out = Seq.newBuilder[(Long, Int, Int)]
+      var i = from
+      var ok = true
+      while (ok && i < to) {
+        (for {
+          (id, il) <- readId(b, i)
+          (sz, sl) <- readSize(b, i + il)
+        } yield {
+          val ps = i + il + sl
+          val pe = if (sz < 0) to else ps + sz
+          if (pe > to || pe < ps) ok = false
+          else { out += ((id, ps, pe.toInt)); i = pe.toInt }
+        }).getOrElse { ok = false }
+      }
+      out.result()
+    }
+
+    private def uintAt(b: Array[Byte], s: Int, e: Int): Long = {
+      var v = 0L
+      var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | u8(b, i); i += 1 }
+      v
+    }
+
+    private def floatAt(b: Array[Byte], s: Int, e: Int): Option[Double] = (e - s) match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(be32(b, s).toInt).toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(be64(b, s)))
+      case _ => None
+    }
+
+    /** (format, width, height, nFrames, durationMs), or None. */
+    def parse(b: Array[Byte]): Option[(String, Int, Int, Int, Long)] = {
+      // EBML header 0x1A45DFA3, then the Segment 0x18538067
+      val (hId, hs, he) = children(b, 0, b.length).headOption.getOrElse(return None)
+      if (hId != 0x1A45DFA3L) return None
+      val fmt = children(b, hs, he).collectFirst {
+        case (0x4282L, ds, de) => new String(b, ds, de - ds, "ISO-8859-1")
+      } match {
+        case Some("webm") => "webm"
+        case _            => "mkv"
+      }
+      val (ss, se) = children(b, he, b.length).collectFirst {
+        case (0x18538067L, s, e) => (s, e)
+      }.getOrElse(return None)
+      val seg = children(b, ss, se)
+      var scale = 1000000L // ns per timestamp unit, spec default
+      var durUnits = 0.0
+      seg.collectFirst { case (0x1549A966L, is, ie) => (is, ie) }.foreach { case (is, ie) =>
+        children(b, is, ie).foreach {
+          case (0x2AD7B1L, s, e) => scale = uintAt(b, s, e)
+          case (0x4489L, s, e)   => floatAt(b, s, e).foreach(durUnits = _)
+          case _                 =>
+        }
+      }
+      // first TrackEntry whose TrackType is video (1): dims + number
+      var vw = 0
+      var vh = 0
+      var vTrack = -1L
+      seg.collectFirst { case (0x1654AE6BL, ts, te) => (ts, te) }.foreach { case (ts, te) =>
+        children(b, ts, te).foreach {
+          case (0xAEL, es, ee) if vTrack < 0 =>
+            var tpe = -1L
+            var num = -1L
+            var w = 0
+            var h = 0
+            children(b, es, ee).foreach {
+              case (0x83L, s, e) => tpe = uintAt(b, s, e)
+              case (0xD7L, s, e) => num = uintAt(b, s, e)
+              case (0xE0L, vs, ve) =>
+                children(b, vs, ve).foreach {
+                  case (0xB0L, s, e) => w = uintAt(b, s, e).toInt
+                  case (0xBAL, s, e) => h = uintAt(b, s, e).toInt
+                  case _             =>
+                }
+              case _ =>
+            }
+            if (tpe == 1L && w > 0 && h > 0) { vw = w; vh = h; vTrack = num }
+          case _ =>
+        }
+      }
+      if (vTrack < 0) return None
+      // SimpleBlocks addressed to the video track, across all Clusters
+      var frames = 0
+      seg.foreach {
+        case (0x1F43B675L, cs, ce) =>
+          children(b, cs, ce).foreach {
+            case (0xA3L, bs, be) =>
+              readSize(b, bs).foreach { case (tn, _) => if (tn == vTrack) frames += 1 }
+            case _ =>
+          }
+        case _ =>
+      }
+      val durMs =
+        if (durUnits > 0 && scale > 0) math.floor(durUnits * scale / 1000000.0).toLong else 0L
+      Some((fmt, vw, vh, math.max(frames, 1), durMs))
+    }
+  }
+
   /** STUB decoder: deterministic fake metadata from raw bytes, the
     * fallback for payloads [[ImageHeader]] doesn't recognize (a real
     * deployment swaps this body for its audio/video codec call; the
@@ -535,6 +682,10 @@ object Multimodal {
         }.orElse {
           Mp4Header.parse(bytes).map { case (w, h, durMs, frames) =>
             Row(id, bytes.length.toLong, "mp4", w, h, frames, durMs)
+          }
+        }.orElse {
+          MkvHeader.parse(bytes).map { case (fmt, w, h, frames, durMs) =>
+            Row(id, bytes.length.toLong, fmt, w, h, frames, durMs)
           }
         }.getOrElse(FakeDecoder.decode(id, bytes))
     }

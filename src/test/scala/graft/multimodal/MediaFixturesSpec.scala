@@ -19,14 +19,15 @@ class MediaFixturesSpec extends AnyFunSuite {
     }
   }
 
-  test("the corpus covers all nine real containers plus the fallback, unique ids") {
+  test("the corpus covers all eleven real containers plus the fallback, unique ids") {
     val fs = MediaFixtures.fixtures
     assert(fs.map(_.mediaId).distinct.size == fs.size)
-    // kinds 0-8 are real containers; kind 9 reuses image format names
+    // kinds 0-9 are real containers; kind 10 reuses image format names
     // through the fallback formula, so count by construction slot
-    val realFormats = fs.zipWithIndex.collect { case (f, i) if i % 10 < 9 => f.format }.toSet
+    val realFormats = fs.zipWithIndex.collect { case (f, i) if i % 11 < 10 => f.format }.toSet
     assert(realFormats ==
-      Set("png", "jpeg", "gif", "webp", "wav", "mp4", "mp3", "flac", "vorbis", "opus"))
+      Set("png", "jpeg", "gif", "webp", "wav", "mp4", "mp3", "flac", "vorbis", "opus",
+        "webm", "mkv"))
     // real parses are distinguishable from the fallback: a png fixture's
     // dimensions come from the header, not the byte-length formula
     val p = fs.find(f => f.format == "png" && f.payload.length >= 8 &&
@@ -105,6 +106,44 @@ class MediaFixturesSpec extends AnyFunSuite {
     val row = Multimodal.decodeOne(32L, o)
     assert(row.getAs[String](2) == "opus" && row.get(3) == null && row.get(4) == null)
     assert(row.getAs[Int](5) == 48000 && row.getAs[Long](6) == 1000L)
+  }
+
+  test("MkvHeader: EBML walk, DocType dispatch, per-track block count, rejection rules") {
+    import Multimodal.MkvHeader
+    // 1e6 ns/unit, 2500.0 units = 2500 ms; 3 video SimpleBlocks (the
+    // builder adds one audio-track block that must NOT count)
+    val w = MediaFixtures.mkv("webm", 320, 240, 3, 1000000L, 2500.0)
+    assert(MkvHeader.parse(w) == Some(("webm", 320, 240, 3, 2500L)))
+    // a non-webm DocType reads as generic matroska
+    val m = MediaFixtures.mkv("matroska", 64, 48, 1, 500000L, 1000.0)
+    assert(MkvHeader.parse(m) == Some(("mkv", 64, 48, 1, 500L)))
+    // truncation keeps what was parsed up to the cut (never throws)
+    assert(MkvHeader.parse(w.take(10)).isEmpty) // cut inside the EBML header
+    // wrong magic / empty reject
+    assert(MkvHeader.parse("notanebml000".getBytes("ISO-8859-1")).isEmpty)
+    assert(MkvHeader.parse(Array.emptyByteArray).isEmpty)
+    // an audio-only segment (no video track) falls back
+    val audioOnly = w.clone()
+    // clobber the video TrackEntry's TrackType value (1 -> 2): the
+    // type uint sits right after the 0x83 id + 2-byte size
+    val idx = {
+      var k = -1
+      var i = 0
+      while (k < 0 && i < audioOnly.length - 3) {
+        if ((audioOnly(i) & 0xff) == 0x83 && (audioOnly(i + 1) & 0xff) == 0x40 &&
+          audioOnly(i + 2) == 1 && audioOnly(i + 3) == 1) k = i + 3
+        i += 1
+      }
+      k
+    }
+    assert(idx > 0)
+    audioOnly(idx) = 2
+    assert(MkvHeader.parse(audioOnly).isEmpty)
+    // dispatch: decodeOne reports webm with real dims
+    val row = Multimodal.decodeOne(41L, w)
+    assert(row.getAs[String](2) == "webm")
+    assert(row.getAs[Int](3) == 320 && row.getAs[Int](4) == 240)
+    assert(row.getAs[Int](5) == 3 && row.getAs[Long](6) == 2500L)
   }
 
   test("the oracle VALUES literal carries one row per fixture with NULLs for audio") {
