@@ -59,11 +59,20 @@ object GraphRank {
         .select(col("dst").as("node"), expr("score_e9 div deg").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("inflow"))
+      // (d * x) div 100 computed as d*(x div 100) + (d*(x mod 100)) div 100
+      // — the same value for every non-negative x (x = 100q + r gives
+      // d·x div 100 = d·q + d·r div 100 exactly), but never forms the
+      // d*x product, which would overflow Long once a hub's inflow
+      // passes Long.MaxValue/d (~1e17 e9-units, reachable on a
+      // web-scale host graph). The oracle keeps the plain form — the
+      // identity guarantees equal digits at oracle scale.
       scores = nodes
         .join(contrib, Seq("node"), "left")
         .select(
           col("node"),
-          (lit(teleport) + expr(s"($dampE2 * coalesce(inflow, 0L)) div 100")).as("score_e9"))
+          (lit(teleport) + expr(
+            s"$dampE2 * (coalesce(inflow, 0L) div 100) + ($dampE2 * (coalesce(inflow, 0L) % 100)) div 100"))
+            .as("score_e9"))
         .localCheckpoint()
     }
     scores

@@ -59,6 +59,38 @@ object Quantize {
   private def l2sq(a: Column, b: Column): Column =
     dt(a, a) + dt(b, b) - lit(2.0) * dt(a, b)
 
+  /** The per-query codeword distance table (query_id, sub, cid,
+    * dq_e5): integer 1e-5 L2² of each query subvector against each
+    * codeword. ONE copy of the serving arithmetic — [[pqAdcTopK]] and
+    * [[ivfPqTopK]] must stay bit-identical (the spec pins their
+    * nCoarse = 1 equality), so the unit, rounding and queryMod
+    * convention live here only. */
+  private def queryDistTable(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, subDim: Int, nCent: Int, queryMod: Int): DataFrame = {
+    val qsubs = subvectors(emb.filter(col(idCol) % queryMod === 0), idCol, vecCol, nSub, subDim)
+      .select(col(idCol).as("query_id"), col("sub"), col("sv"))
+    val cents = subvectors(emb.filter(col(idCol) < nCent), idCol, vecCol, nSub, subDim)
+      .select(col(idCol).as("cid"), col("sub"), col("sv").as("cv"))
+    qsubs.join(cents, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(l2sq(col("sv"), col("cv")) * 100000.0, 0).cast("long").as("dq_e5"))
+  }
+
+  /** The ADC ranking tail over (query_id, cand_id, …, dq_e5) rows:
+    * self-match exclusion, order-free long sum per pair, (adc asc,
+    * cand_id asc) top-k. Shared by both ADC entry points for the same
+    * reason as [[queryDistTable]]. */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("dq_e5")).as("adc_e5"))
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("adc_e5").asc, col("cand_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+
   /** Product-quantization encoding — the ANN memory-compression step
     * scalar int8 ([[int8Long]]) doesn't cover: each vector splits into
     * `nSub` subvectors of `subDim` dims, each assigned to its nearest
@@ -106,22 +138,11 @@ object Quantize {
       k: Int): DataFrame = {
     val codes = pqEncode(emb, idCol, vecCol, nSub, subDim, nCent)
       .select(col(idCol).as("cand_id"), col("sub"), col("code"))
-    val qsubs = subvectors(emb.filter(col(idCol) % queryMod === 0), idCol, vecCol, nSub, subDim)
-      .select(col(idCol).as("query_id"), col("sub"), col("sv"))
-    val cents = subvectors(emb.filter(col(idCol) < nCent), idCol, vecCol, nSub, subDim)
-      .select(col(idCol).as("cid"), col("sub"), col("sv").as("cv"))
-    val qtab = qsubs.join(cents, Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cid"),
-        round(l2sq(col("sv"), col("cv")) * 100000.0, 0).cast("long").as("dq_e5"))
-    codes.join(broadcast(qtab),
-        codes("sub") === qtab("sub") && codes("code") === qtab("cid"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("dq_e5")).as("adc_e5"))
-      .withColumn("rk",
-        row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("adc_e5").asc, col("cand_id").asc)).cast("long"))
-      .filter(col("rk") <= k)
+    val qtab = queryDistTable(emb, idCol, vecCol, nSub, subDim, nCent, queryMod)
+    adcRank(
+      codes.join(broadcast(qtab),
+        codes("sub") === qtab("sub") && codes("code") === qtab("cid")),
+      k)
   }
 
   /** IVF+PQ composed search — the two halves of the serving
@@ -178,22 +199,11 @@ object Quantize {
         1, nProbe).as("top"))
       .select(col("id").as("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), (-col("t.nc")).as("cluster"))
-    val qsubs = subvectors(emb.filter(col(idCol) % queryMod === 0), idCol, vecCol, nSub, subDim)
-      .select(col(idCol).as("query_id"), col("sub"), col("sv"))
-    val cents = subvectors(emb.filter(col(idCol) < nCent), idCol, vecCol, nSub, subDim)
-      .select(col(idCol).as("cid"), col("sub"), col("sv").as("cv"))
-    val qtab = qsubs.join(cents, Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cid"),
-        round(l2sq(col("sv"), col("cv")) * 100000.0, 0).cast("long").as("dq_e5"))
-    probes.join(cellCodes, Seq("cluster"))
-      .filter(col("cand_id") =!= col("query_id"))
-      .join(broadcast(qtab), Seq("query_id", "sub"))
-      .filter(col("code") === col("cid"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("dq_e5")).as("adc_e5"))
-      .withColumn("rk",
-        row_number().over(
-          Window.partitionBy(col("query_id")).orderBy(col("adc_e5").asc, col("cand_id").asc)).cast("long"))
-      .filter(col("rk") <= k)
+    val qtab = queryDistTable(emb, idCol, vecCol, nSub, subDim, nCent, queryMod)
+    adcRank(
+      probes.join(cellCodes, Seq("cluster"))
+        .join(broadcast(qtab), Seq("query_id", "sub"))
+        .filter(col("code") === col("cid")),
+      k)
   }
 }

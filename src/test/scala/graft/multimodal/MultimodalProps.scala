@@ -43,6 +43,7 @@ class MultimodalProps extends AnyFunSuite {
       Multimodal.FlacHeader.parse(mutant)
       Multimodal.OggHeader.parse(mutant)
       Multimodal.Mp4Header.parse(mutant)
+      Multimodal.MkvHeader.parse(mutant)
       // and the dispatch always yields a complete row with the id and
       // true byte length regardless of what the payload claims
       val row = Multimodal.decodeOne(77L, mutant)
