@@ -38,6 +38,21 @@ class GraphRankSpec extends SparkSpec {
     assert(r.map(_._2).sum <= r.length * 1000000000L)
   }
 
+  test("the overflow-safe damping identity matches the plain product form") {
+    // d*(x div 100) + (d*(x mod 100)) div 100 == (d*x) div 100 for all
+    // x >= 0 — the rewrite that avoids forming d*x (which wraps Long
+    // past Long.MaxValue/d). Checked on small values against the plain
+    // form and on near-overflow values against BigInt.
+    val rnd = new scala.util.Random(7)
+    for (d <- Seq(0, 15, 85, 100); _ <- 0 until 200) {
+      val small = rnd.nextLong(1000000000000L)
+      assert(d * (small / 100) + (d * (small % 100)) / 100 == (d * small) / 100)
+      val huge = Long.MaxValue - rnd.nextLong(1000000L) // d * huge overflows
+      val safe = d * (huge / 100) + (d * (huge % 100)) / 100
+      assert(BigInt(safe) == (BigInt(d) * BigInt(huge)) / 100)
+    }
+  }
+
   test("disconnected components do not leak mass into each other") {
     val edges = Seq((1L, 2L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
     val whole = GraphRank.pageRank(edges, 2).as[(Long, Long)].collect().toMap
