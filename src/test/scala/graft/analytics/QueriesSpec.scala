@@ -25,4 +25,8 @@ class QueriesSpec extends SparkSpec {
     assert(names.distinct.size == names.size)
     assert(graft.SparkEntry.oracleSql.keySet.subsetOf(graft.SparkEntry.queries.keySet))
   }
+
+  test("the driver's entry contract returns rows (the flagship smoke)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
 }
