@@ -657,6 +657,29 @@ object Queries {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin)
     ),
     QueryDef(
+      "q34_kmv_distinct",
+      // approximate distinct counting that CAN cross the oracle gate
+      // ([[Packing.kmvDistinct]]): q22 pins the HLL built-in (engine-
+      // specific registers, rows-only check); KMV's estimate depends
+      // only on the k-th smallest md5 of the distinct ids, which both
+      // engines compute identically — the full sketch → estimate path
+      // hash-matches. Estimates distinct users per event_type, k = 16.
+      (s, d) =>
+        Packing.kmvDistinct(Tables.events(s, d), "user_id", "event_type", seed = 23, k = 16),
+      Some(s"""WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+              |t AS (SELECT event_type, user_id,
+              |${Hashing.md5LongSql("concat('cap:', CAST(user_id AS VARCHAR))", 23)} AS h FROM pairs),
+              |capped AS (SELECT * FROM t
+              |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) <= 16),
+              |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k
+              |  FROM capped GROUP BY 1)
+              |SELECT event_type, n_kept,
+              |CASE WHEN n_kept < 16 THEN n_kept
+              |ELSE CAST(floor(15 * 1152921504606846976.0 / h_k) AS BIGINT) END AS est_distinct
+              |FROM sk""".stripMargin)
+    ),
+
+    QueryDef(
       "g01_graph_rank",
       // link-graph importance ([[GraphRank.pageRank]]): integer
       // PageRank, 3 fixed iterations, over the undirected

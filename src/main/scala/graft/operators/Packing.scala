@@ -213,4 +213,37 @@ object Packing {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch — the approximate
+    * counting shape that, unlike HLL (q22's engine-specific registers),
+    * is EXACTLY reproducible in any engine: the estimate depends only
+    * on the k-th smallest md5 of the distinct ids,
+    * `est = floor((k-1) · 2⁶⁰ / h_k)`, and both engines compute the
+    * same hashes, the same k-th minimum, and the same
+    * correctly-rounded double division. A group with fewer than k
+    * distinct ids reports its exact count (the sketch IS the set).
+    *
+    * Scale shape: one distinct on (group, id) — the only corpus-sized
+    * shuffle — then [[stratifiedCap]]'s hash-threshold prefilter keeps
+    * the per-group rank window O(strata × k), never a corpus sort; the
+    * estimate is one map-side-combinable (count, max) aggregation over
+    * strata × k rows. The 2⁶⁰ numerator and k−1 factor are exactly
+    * representable doubles, h_k converts with one IEEE rounding, the
+    * division rounds once — bit-identical cross-engine (the t21 sqrt
+    * argument, division edition). */
+  def kmvDistinct(df: DataFrame, idCol: String, groupCol: String, seed: Int, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val pairs = df.select(col(groupCol), col(idCol)).distinct()
+    val capped = stratifiedCap(pairs, idCol, groupCol, seed, k)
+      .withColumn("h",
+        graft.functions.Hashing.md5Long(concat(lit("cap:"), col(idCol).cast("string")), seed))
+    capped.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+      .select(
+        col(groupCol),
+        col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_k) AS BIGINT)"))
+          .as("est_distinct"))
+  }
 }

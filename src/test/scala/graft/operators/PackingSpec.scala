@@ -81,6 +81,28 @@ class PackingSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("kmvDistinct is exact under k and a sane estimator above it") {
+    // group 'small' has 9 distinct ids (< k = 16): the sketch IS the
+    // set, the answer is exact; 'big' has 4000: the KMV estimate from
+    // the 16th-smallest hash must land within the sketch's error bar
+    // (sigma ~ n/sqrt(k-2) ~ 27%; assert a loose 2x band)
+    val docs = spark.range(4009)
+      .select($"id".as("uid"), when($"id" < 9, "small").otherwise("big").as("grp"))
+    val out = Packing.kmvDistinct(docs, "uid", "grp", seed = 5, k = 16)
+      .select("grp", "n_kept", "est_distinct").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("small") == ((9L, 9L)))
+    val (kept, est) = out("big")
+    assert(kept == 16L)
+    assert(est > 2000 && est < 8000, s"estimate $est implausible for 4000 distinct")
+    // duplicate observations of the same id change nothing (distinct first)
+    val doubled = docs.union(docs)
+    val again = Packing.kmvDistinct(doubled, "uid", "grp", seed = 5, k = 16)
+      .select("grp", "n_kept", "est_distinct").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == out)
+  }
+
   test("weightedSample rejects rates outside [0, 1e6]") {
     intercept[IllegalArgumentException] {
       Packing.weightedSample(spark.range(1).toDF("doc_id").withColumn("g", lit("x")),
