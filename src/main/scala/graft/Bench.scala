@@ -88,6 +88,77 @@ object Bench {
   private[graft] def slowVsPrior(median: Double, prior: Double): Boolean =
     median > prior * PriorJumpFactor + PriorJumpFloorSec
 
+  /** Hard ceiling on the stdout summary line. The driver keeps only the
+    * last ~2000 chars of stdout and parses the JSON line out of that
+    * tail; r04's 5.7 KB line and r11's 96-query line both overflowed it
+    * and the round recorded `"parsed": null`. 1500 leaves headroom for
+    * whatever the driver prints after us. */
+  val SummaryMaxChars = 1500
+  /** How many per-query medians the stdout summary carries — the worst
+    * N by median, the rows a reader triages first. The FULL map lives in
+    * `bench_detail.json` / `bench_summary` is this same line. */
+  val SummaryWorstN = 10
+
+  /** The single stdout line, guaranteed `<= SummaryMaxChars`. Carries
+    * the total, the contention telemetry, the (bounded) warning, and
+    * the worst-[[SummaryWorstN]] query medians at 1 decimal; `queries_
+    * shown`/`queries_total` make the partiality explicit. Degrades in
+    * order: trim the warning (the only unbounded field — it names
+    * queries), then shrink the worst-N list. Pure, so the length bound
+    * is unit-testable at any inventory size. */
+  private[graft] def summaryLine(
+      total: Double, load1End: Double, load1Start: Double, waitedSec: Double,
+      retries: Int, warnParts: List[String], medians: Seq[(String, Double)],
+      sf: String): String = {
+    val byWorst = medians.sortBy { case (n, s) => (-s, n) }
+    def build(n: Int, warnEsc: String): String = {
+      val queries = byWorst.take(n)
+        .map { case (name, s) => "\"" + name + f"""\":$s%.1f""" }
+        .mkString("{", ",", "}")
+      val w = if (warnEsc.nonEmpty) s""","warning":"$warnEsc"""" else ""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
+    }
+    val warnEsc = warnParts.mkString("; ")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val full = build(SummaryWorstN, warnEsc)
+    if (full.length <= SummaryMaxChars) full
+    else {
+      val noWarn = build(SummaryWorstN, "")
+      val budget = SummaryMaxChars - noWarn.length - 13 - 3 // ,"warning":"" + "..."
+      val trimmed =
+        if (budget > 0) {
+          // never cut mid-escape: a trailing lone backslash breaks the JSON
+          val t = warnEsc.take(budget).reverse.dropWhile(_ == '\\').reverse
+          build(SummaryWorstN, t + "...")
+        } else noWarn
+      if (trimmed.length <= SummaryMaxChars) trimmed
+      else // absurdly long query names: shrink the worst-N list
+        (SummaryWorstN - 1 to 0 by -1).iterator.map(build(_, ""))
+          .find(_.length <= SummaryMaxChars).getOrElse(build(0, ""))
+    }
+  }
+
+  /** Demoted sidecars (partial/contended) go under target/ so iteration
+    * and contended runs never litter the repo root with files that
+    * could be mistaken for (or committed as) round evidence. */
+  private[graft] def demotedPath(path: String, suffix: String): String =
+    java.nio.file.Paths.get("target")
+      .resolve(path.stripSuffix(".json") + s".$suffix.json").toString
+
+  /** Where an artifact write lands — the sidecar-protection policy as a
+    * pure function (r09's contended artifact overwrote a clean r08
+    * sidecar and cost a round of forensics; this routing is the guard):
+    * a BENCH_ONLY-restricted run is always demoted to `*.partial.json`
+    * (it must never replace the full-inventory round artifact), a
+    * contended run is demoted to `*.contended.json` when the existing
+    * file is clean (self-reported no-warning), and otherwise the write
+    * goes through — clean run, or both contended: fresher wins. */
+  private[graft] def artifactDest(path: String, restrictedRun: Boolean,
+      contendedRun: Boolean, existingClean: Boolean): String =
+    if (restrictedRun) demotedPath(path, "partial")
+    else if (contendedRun && existingClean) demotedPath(path, "contended")
+    else path
+
   /** Extracts the per-query median map from a bench_detail.json line.
     * The format is this file's own output (flat `"queries":{...}` of
     * name → seconds), so a two-regex parse is exact; anything
@@ -336,22 +407,26 @@ object Bench {
       else None).flatten
     val warning =
       if (warnParts.nonEmpty) s""","warning":"${warnParts.mkString("; ")}"""" else ""
-    def line(dec: Int) =
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal$warning,"queries":${fmt(_._2, dec)},"sf":"$sfDir"}"""
     // The driver keeps only the last ~2000 chars of stdout and parses the
-    // JSON line out of that tail — r04's line (median+min+max+shuffle maps,
-    // 5.7 KB) overflowed the buffer and the round recorded "parsed": null.
-    // Keep stdout to ONE compact line (drop to 2-decimal values if the
-    // inventory ever grows past the buffer) and put the full detail in a
-    // sidecar file next to the repo's bench artifacts. The summary line
-    // is ALSO written to bench_summary.json so the round artifact is
-    // recoverable even if stdout scraping fails again.
-    val compact = Iterator(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1))
+    // JSON line out of that tail — r04's line (median+min+max+shuffle
+    // maps, 5.7 KB) overflowed it, and r11's full 96-query median map
+    // did again even at 1 decimal. stdout therefore carries a BOUNDED
+    // line (total + telemetry + warning + worst-10 medians, see
+    // summaryLine); the full per-query maps live only in
+    // bench_detail.json. The summary line is ALSO written to
+    // bench_summary.json so the round artifact is recoverable even if
+    // stdout scraping fails again.
+    val compact = summaryLine(total, load1End, load1Start, waitedSec,
+      retriesTotal, warnParts, results.map(r => (r._1, r._2)), sfDir)
     val detail =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
-    def writeJson(path: String, s: String): Unit = java.nio.file.Files.write(
-      java.nio.file.Paths.get(path),
-      (s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def writeJson(path: String, s: String): Unit = {
+      val p = java.nio.file.Paths.get(path)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
     // (3) sidecar protection: a contended run must not destroy cleaner
     // evidence — r09's contended artifact overwrote a clean r08 sidecar
     // and cost a round of forensics. "Contended" covers BOTH a hot
@@ -359,29 +434,19 @@ object Bench {
     // existing artifact's own self-reported warning decides, so a run
     // that started quiet but got burst-hit mid-run still can't replace
     // a fully clean one. Absent or unparsable reads as "replaceable".
+    // The routing policy itself is the pure artifactDest, unit-tested.
     def existingIsClean(path: String): Boolean = {
       val p = java.nio.file.Paths.get(path)
       java.nio.file.Files.exists(p) &&
         !new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8).contains("\"warning\"")
     }
-    // demoted sidecars (partial/contended) go under target/ so iteration
-    // and contended runs never litter the repo root with files that
-    // could be mistaken for (or committed as) round evidence
-    def demotedPath(path: String, suffix: String): String = {
-      val dir = java.nio.file.Paths.get("target")
-      java.nio.file.Files.createDirectories(dir)
-      dir.resolve(path.stripSuffix(".json") + s".$suffix.json").toString
-    }
     def protectedWrite(path: String, s: String): Unit = {
-      // a BENCH_ONLY-restricted iteration run must never replace the
-      // full-inventory round artifact, contended or not
-      if (only.isDefined) { writeJson(demotedPath(path, "partial"), s); return }
-      if (contended && existingIsClean(path)) {
-        System.err.println(s"[bench] contended run; keeping clean $path, " +
-          s"writing ${demotedPath(path, "contended")}")
-        writeJson(demotedPath(path, "contended"), s)
-      } else writeJson(path, s) // clean run, or both contended: fresher wins
+      val dest = artifactDest(path, only.isDefined, contended, existingIsClean(path))
+      if (dest != path)
+        System.err.println(s"[bench] ${if (only.isDefined) "restricted" else "contended"} " +
+          s"run; keeping $path, writing $dest")
+      writeJson(dest, s)
     }
     protectedWrite("bench_detail.json", detail)
     protectedWrite("bench_summary.json", compact)

@@ -29,6 +29,71 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseQueryMedians("""{"metric":"total_query_sec","value":1.0}""").isEmpty)
   }
 
+  private def line(n: Int, warn: List[String] = Nil,
+      names: Int => String = i => f"q$i%03d_synthetic_operator_name") =
+    Bench.summaryLine(total = 1234.567, load1End = 4.9, load1Start = 0.4,
+      waitedSec = 20, retries = 2, warnParts = warn,
+      medians = (1 to n).map(i => names(i) -> i * 0.137), sf = "/root/testdata/sf0.1")
+
+  test("summaryLine stays under the cap at 200 synthetic queries") {
+    // the r04/r11 failure mode: the driver collector keeps ~2000 chars of
+    // stdout tail; the line must stay bounded at ANY inventory size
+    for (n <- Seq(0, 1, 10, 96, 200)) {
+      val s = line(n)
+      assert(s.length <= Bench.SummaryMaxChars, s"n=$n len=${s.length}")
+      assert(s.startsWith("{") && s.endsWith("}"))
+    }
+  }
+
+  test("summaryLine carries the worst-N medians and the full count") {
+    val s = line(200)
+    // worst query (largest median) present, best absent
+    assert(s.contains("\"q200_synthetic_operator_name\":27.4"))
+    assert(!s.contains("q001_synthetic_operator_name"))
+    assert(s.contains(s""""queries_shown":${Bench.SummaryWorstN}"""))
+    assert(s.contains("\"queries_total\":200"))
+    assert(s.contains("\"value\":1234.567"))
+    val shown = """"q\d+_synthetic_operator_name":""".r.findAllIn(s).size
+    assert(shown == Bench.SummaryWorstN)
+  }
+
+  test("summaryLine trims an unbounded warning to fit, keeping it valid") {
+    val warn = List("slow vs prior clean median: " +
+      (1 to 200).map(i => f"q$i%03d_name $i.00s vs prior 0.10s").mkString(", "))
+    val s = line(96, warn)
+    assert(s.length <= Bench.SummaryMaxChars)
+    assert(s.contains("\"warning\":\"slow vs prior"))
+    assert(s.contains("...\""))
+    // still exactly one JSON object: quotes balance
+    assert(s.count(_ == '"') % 2 == 0)
+  }
+
+  test("summaryLine shrinks the query list under absurd name lengths") {
+    val s = line(50, names = i => s"q$i" + "_x" * 200)
+    assert(s.length <= Bench.SummaryMaxChars)
+    assert(s.contains("\"queries_total\":50"))
+  }
+
+  test("artifactDest routes restricted and contended runs away from clean sidecars") {
+    val p = "bench_detail.json"
+    // clean full run replaces whatever is there
+    assert(Bench.artifactDest(p, restrictedRun = false, contendedRun = false,
+      existingClean = true) == p)
+    assert(Bench.artifactDest(p, restrictedRun = false, contendedRun = false,
+      existingClean = false) == p)
+    // contended run never clobbers a clean sidecar...
+    assert(Bench.artifactDest(p, restrictedRun = false, contendedRun = true,
+      existingClean = true) == "target/bench_detail.contended.json")
+    // ...but may replace an already-contended one (fresher wins)
+    assert(Bench.artifactDest(p, restrictedRun = false, contendedRun = true,
+      existingClean = false) == p)
+    // a BENCH_ONLY run is always demoted, even when clean
+    assert(Bench.artifactDest(p, restrictedRun = true, contendedRun = false,
+      existingClean = false) == "target/bench_detail.partial.json")
+    assert(Bench.artifactDest(p, restrictedRun = true, contendedRun = true,
+      existingClean = true) == "target/bench_detail.partial.json")
+  }
+
   test("slowVsPrior flags the r10 d01 shape and tolerates normal drift") {
     // the real case: 6.8 s official vs 1.57 s prior clean median
     assert(Bench.slowVsPrior(6.8, prior = 1.571))
