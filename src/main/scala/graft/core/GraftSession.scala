@@ -28,6 +28,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Driver testdata stores naive timestamps; read as instants (UTC)
+      // so timestamp arithmetic type-checks — see [[Tables.apply]].
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
     configure(SparkSession.builder().master(master))

@@ -1,0 +1,63 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-cut policy for the engine's iterative operators (PageRank,
+  * min-label cluster propagation, k-means training).
+  *
+  * Each round of an iterative operator materializes its working set and
+  * cuts lineage — otherwise round k's job re-derives rounds 1..k-1 and
+  * the plan grows without bound. HOW the cut stores its blocks is a
+  * fault-tolerance choice, not a semantics choice:
+  *
+  *   - `localCheckpoint()` keeps blocks on executors. Fast (no
+  *     filesystem round trip), right for `local[*]` and short-lived
+  *     jobs — but lineage is GONE, so on a real cluster one lost
+  *     executor after round k kills the whole job unrecoverably.
+  *   - reliable `checkpoint()` writes blocks to the checkpoint
+  *     directory (HDFS/S3 on a cluster). A lost executor re-reads the
+  *     checkpoint files and the job continues — the recovery contract a
+  *     1000-executor, hours-long iteration needs (the reference's
+  *     checkpoint/resume capability, crime_etl.py:132-168, applied at
+  *     the operator level).
+  *
+  * The knob is the session conf [[Reliability.CheckpointDirKey]]: unset
+  * (the default) → executor-local cut; set to a directory → reliable
+  * cut through that directory. Both paths produce a `LogicalRDD` that
+  * preserves the physical plan's output partitioning, so the
+  * partitioning-reuse optimizations around these cuts (e.g. the
+  * pre-partitioned edge list in `Dedup.dedupClusters`) hold identically
+  * under either policy, and results are bit-for-bit the same — the
+  * reliable path is spec-gated on exactly that equality.
+  */
+object Reliability {
+
+  /** Session conf: directory for reliable checkpoints. Unset → cuts are
+    * executor-local (`localCheckpoint`). */
+  val CheckpointDirKey = "spark.graft.checkpoint.dir"
+
+  /** Session conf stamp: the base dir last applied to the context via
+    * `setCheckpointDir` — lets a session re-point the dir mid-life
+    * without minting a fresh UUID subdirectory on every cut. */
+  private val AppliedKey = "spark.graft.checkpoint.dir.applied"
+
+  /** Materialize `df` and cut its lineage under the session's
+    * checkpoint policy (see object doc). Eager in both modes — the
+    * iterative callers all reuse the cut result at least twice per
+    * round, so deferred materialization only moves the cost. */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirKey) match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = spark.sparkContext
+        // setCheckpointDir mints a fresh UUID subdirectory per call —
+        // apply it once per configured base, not once per round
+        if (!spark.conf.getOption(AppliedKey).contains(dir)) {
+          sc.setCheckpointDir(dir)
+          spark.conf.set(AppliedKey, dir)
+        }
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+  }
+}

@@ -10,8 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned datasets — nothing here assumes single-file layout.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver-generated parquet stores naive timestamps
+    // (isAdjustedToUTC=false), which Spark 4 would otherwise infer as
+    // TIMESTAMP_NTZ — breaking timestamp arithmetic (`unix_micros`,
+    // RANGE frames, stream-stream interval joins) that requires the
+    // instant type. Read them as instants: the session timezone is
+    // pinned to UTC (GraftSession), so the wall-clock values are
+    // identical to what DuckDB's naive TIMESTAMP oracle sees.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** The events table is written with TIMESTAMP(NANOS) parquet type,
     * which Spark 4 refuses to map to TimestampType; read it as a long

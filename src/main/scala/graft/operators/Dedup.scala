@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.Par
+import graft.core.{Par, Reliability}
 import graft.functions.{Hashing, Text, VectorExpressions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -561,9 +561,10 @@ object Dedup {
     * min-agg shuffle per round, converging in O(graph diameter) rounds
     * — near-dup clusters are dense cliques with tiny diameters
     * (typically ≤ 3–4 hops), so the loop is short in practice and
-    * capped by `maxIter`. Lineage is cut per round with
-    * `localCheckpoint` (a cluster deployment would use reliable
-    * checkpointing); labels are ids only — the shuffled rows are two
+    * capped by `maxIter`. Lineage is cut per round under
+    * the session checkpoint policy ([[graft.core.Reliability]]:
+    * executor-local by default, reliable-storage when
+    * `spark.graft.checkpoint.dir` is set); labels are ids only — the shuffled rows are two
     * longs regardless of document width. Deterministic: the fixpoint
     * (min reachable id) is independent of partitioning and iteration
     * order. */
@@ -576,7 +577,7 @@ object Dedup {
       // edges⋈labels join reshuffles only the (small) label side — the
       // edge set crosses the wire once, not once per round
       .repartition(col("dst"))
-      .localCheckpoint() // computed once, reused every round
+      .transform(Reliability.cut) // computed once, reused every round
     var labels = sym.select(col("src").as("id")).distinct().withColumn("label", col("id"))
     var converged = false
     var i = 0
@@ -590,7 +591,7 @@ object Dedup {
       val step = labels
         .join(neigh, Seq("id"), "left")
         .select(col("id"), col("label").as("old"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+        .transform(Reliability.cut)
       converged = step.filter(col("label") =!= col("old")).isEmpty
       labels = step.select(col("id"), col("label"))
       i += 1

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Reliability
+
 /** Link-graph importance scoring — PageRank with every number in
   * exact integer micro-units, so the iterative signal crosses the
   * oracle gate bit-for-bit.
@@ -41,15 +43,15 @@ object GraphRank {
   def pageRank(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 1 && dampE2 >= 0 && dampE2 <= 100)
     // the edge list, degrees and node set are loop INVARIANTS —
-    // materialize them once (a cluster deployment would persist to
-    // reliable storage) or every iteration's job re-derives the whole
+    // materialize them once (set spark.graft.checkpoint.dir to store
+    // the cuts reliably) or every iteration's job re-derives the whole
     // edge build from source; measured 3x on the g01 bench
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+      .transform(Reliability.cut)
+    val deg = Reliability.cut(und.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nodes = Reliability.cut(und.select(col("src").as("node")).distinct())
     val teleport = 1000000000L * (100 - dampE2) / 100
     var scores = nodes.withColumn("score_e9", lit(1000000000L))
     for (_ <- 1 to iters) {
@@ -73,7 +75,7 @@ object GraphRank {
           (lit(teleport) + expr(
             s"$dampE2 * (coalesce(inflow, 0L) div 100) + ($dampE2 * (coalesce(inflow, 0L) % 100)) div 100"))
             .as("score_e9"))
-        .localCheckpoint()
+        .transform(Reliability.cut)
     }
     scores
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.Par
+import graft.core.{Par, Reliability}
 import graft.functions.VectorExpressions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -77,7 +77,8 @@ object Similarity {
     * linear corpus scan, the same map-side `max_by` argmax as the
     * search path (N×k scored rows collapse to N before any shuffle),
     * then a posexplode + avg keyed on (cid, dim) — k·dim result rows.
-    * Lineage is cut per round; k and iters are small constants. */
+    * Lineage is cut per round under the session checkpoint policy
+    * ([[graft.core.Reliability]]); k and iters are small constants. */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 5): DataFrame = {
     val base = Par.widen(emb).select(
       col(idCol).as("id"),
@@ -91,7 +92,7 @@ object Similarity {
         (row_number().over(Window.orderBy(col("id"))) - 1).cast("long").as("cid"),
         col("vec").as("cvec"),
         col("nrm").as("cnrm"))
-      .localCheckpoint()
+      .transform(Reliability.cut)
     (0 until iters).foreach { _ =>
       val assigned = base
         .crossJoin(broadcast(cents))
@@ -110,7 +111,7 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))), s => s.getField("m").cast("float")).as("cvec"))
       cents = mean
         .select(col("cid"), col("cvec"), VectorExpressions.normF(col("cvec")).as("cnrm"))
-        .localCheckpoint()
+        .transform(Reliability.cut)
     }
     cents
   }

@@ -38,6 +38,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object NearDupStream {
 
   case class BandRow(chunk: Int, key: Long, id: Long, simhash: Long)
+  case class TimedBandRow(chunk: Int, key: Long, id: Long, simhash: Long, ts: java.sql.Timestamp)
   case class DupPair(id_a: Long, id_b: Long, hamming: Long)
 
   /** 60-bit md5 hash — the Scala twin of [[graft.functions.Hashing
@@ -116,6 +117,94 @@ object NearDupStream {
           }
           state.update(seen)
           out.result().iterator
+        })
+  }
+
+  /** Bounded-state variant of [[simhashDupPairs]] — the production mode
+    * for an INFINITE stream, where the unbounded variant's band state
+    * would grow forever.
+    *
+    * Contract (the `dropDuplicatesWithinWatermark` shape, applied to
+    * near-dup pairs): a hamming-&le;-`maxHamming` pair whose members'
+    * event times (`tsCol`) lie within `horizonMs` of each other is
+    * emitted exactly as in the unbounded variant; pairs further apart
+    * in event time are out of scope by declaration — a band entry is
+    * dropped once the stream's watermark (event-time max minus
+    * `horizonMs`) passes its timestamp, and a whole band's state is
+    * removed via event-time timeout once no in-horizon entry remains.
+    * State is therefore bounded by the documents arriving within one
+    * horizon, not by the stream's lifetime.
+    *
+    * Eviction is enforced at every group invocation (entries older
+    * than the current watermark never pair), so the in-horizon
+    * guarantee is deterministic; between invocations an idle group
+    * holds its entries until the timeout fires, which only affects
+    * best-effort emission of already-out-of-scope pairs.
+    *
+    * On a batch DataFrame the same code path runs with no watermark:
+    * eviction and timeouts are inert and the result equals
+    * [[simhashDupPairs]] exactly (the d02 semantics).
+    */
+  def simhashDupPairsWithin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      maxHamming: Int,
+      horizonMs: Long): Dataset[DupPair] = {
+    require(maxHamming <= Dedup.simhashChunks - 1,
+      "4-chunk pigeonhole guarantees recall only for hamming <= 3")
+    require(horizonMs > 0, "horizon must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val streaming = docs.isStreaming
+    val banded = docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        col(textCol).as("text"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .flatMap { case (id, text, ts) =>
+        sketch(text).toSeq.flatMap { sh =>
+          (0 until Dedup.simhashChunks).map(c => TimedBandRow(c, chunkKey(sh, c), id, sh, ts))
+        }
+      }
+      // the watermark must attach AFTER the object flatMap — an
+      // event-time tag on the input column would not survive the
+      // serializer boundary
+      .withWatermark("ts", s"$horizonMs milliseconds")
+    banded
+      .groupByKey(b => (b.chunk, b.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), rows: Iterator[TimedBandRow], state: GroupState[Seq[(Long, Long, Long)]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val chunk = key._1
+            val wm = if (streaming) state.getCurrentWatermarkMs() else 0L
+            var seen = state.getOption.getOrElse(Seq.empty).filter(_._3 >= wm)
+            val out = Seq.newBuilder[DupPair]
+            rows.toSeq.sortBy(_.id).foreach { r =>
+              seen.foreach { case (pid, psh, _) =>
+                if (pid != r.id) {
+                  val ham = java.lang.Long.bitCount(psh ^ r.simhash)
+                  if (ham <= maxHamming && firstSharedChunk(psh, r.simhash) == chunk)
+                    out += DupPair(math.min(pid, r.id), math.max(pid, r.id), ham.toLong)
+                }
+              }
+              seen = seen :+ ((r.id, r.simhash, r.ts.getTime))
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(seen)
+              // evict the whole band once the watermark passes its
+              // newest entry + horizon; entries survive eviction only
+              // with ts >= wm, so this timestamp is always > wm
+              if (streaming) state.setTimeoutTimestamp(seen.map(_._3).max + horizonMs)
+            }
+            out.result().iterator
+          }
         })
   }
 }

@@ -57,4 +57,58 @@ class NearDupStreamSpec extends SparkSpec {
     // memory sink preserves duplicates, so compare with count
     assert(spark.table("neardup_pairs").count() == streamed.size)
   }
+
+  test("TTL mode: in-horizon pairs exact, out-of-horizon state evicted, state bounded") {
+    import java.sql.Timestamp
+    val horizonMs = 1000L
+    // file 1: A plus fillers around t=1s; file 2: fillers at t=10s that
+    // advance the watermark far past A; file 3 (t=10.4-10.6s): B copies
+    // A (pair now out of horizon — must NOT emit), C/C' and D/D' are
+    // in-horizon copies (one in-batch, one cross-batch vs file 2's D'')
+    // disjoint vocabularies per doc family: SimHash is a token-set
+    // signature, so only EXACT text copies may pair here (independent
+    // 60-bit sketches are ~30 bits apart)
+    val aText = "a1 a2 a3 a4 a5 a6"
+    val cText = "c1 c2 c3 c4 c5 c6"
+    val dText = "d1 d2 d3 d4 d5 d6"
+    val file1 = Seq((1L, aText, 1000L), (2L, "f1 f2 f3 f4 f5 f6", 1100L))
+    val file2 = Seq((10L, dText, 10000L), (11L, "g1 g2 g3 g4 g5 g6", 10050L))
+    val file3 = Seq(
+      (20L, aText, 10400L), // B: copy of A, beyond horizon — no pair
+      (21L, cText, 10450L), (22L, cText, 10500L), // C/C': in-batch pair
+      (23L, dText, 10600L)) // D': cross-batch pair with 10 (600ms apart)
+    val dir = java.nio.file.Files.createTempDirectory("neardup-ttl").toString + "/in"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    Seq(file1, file2, file3).foreach { slice =>
+      slice.map { case (id, t, ms) => (id, t, new Timestamp(ms)) }
+        .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStream.runToMemory(
+      NearDupStream.simhashDupPairsWithin(stream, "doc_id", "text", "ts", 3, horizonMs).toDF(),
+      "neardup_ttl_pairs", "append")
+    q.awaitTermination(60000)
+    val streamed = spark.table("neardup_ttl_pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    // exact texts → hamming-0 pairs; A-B (1,20) is beyond horizon and
+    // its state was evicted before file 3 processed
+    assert(streamed == Set((21L, 22L, 0L), (10L, 23L, 0L)))
+    // state stays bounded: after the last batch only in-horizon docs
+    // (file 2+3, ≤ 6 docs × 4 chunks = 24 band entries) may hold state;
+    // the unbounded variant would keep every group ever touched. The
+    // progress log reports state-store rows = live groups.
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.head.numRowsTotal
+    assert(lastState <= 24, s"state rows $lastState — eviction not engaging")
+    // batch mode: TTL inert, equals the unbounded variant (d02 semantics)
+    val batchDocs = (file1 ++ file2 ++ file3)
+      .map { case (id, t, ms) => (id, t, new Timestamp(ms)) }.toDF("doc_id", "text", "ts")
+    val ttlBatch = NearDupStream.simhashDupPairsWithin(batchDocs, "doc_id", "text", "ts", 3, horizonMs)
+      .as[(Long, Long, Long)].collect().toSet
+    val unbounded = NearDupStream.simhashDupPairs(batchDocs, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ttlBatch == unbounded && ttlBatch.contains((1L, 20L, 0L)))
+  }
 }
