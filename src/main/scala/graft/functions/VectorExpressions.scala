@@ -75,6 +75,56 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Element-wise difference of two array<float> vectors (length = the
+    * shorter input) — the residual step of IVF-PQ encoding. Float
+    * subtraction is correctly rounded IEEE, identical in any engine. */
+  case class SubFloat(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def isFloatArray(t: DataType): Boolean = t match {
+        case ArrayType(FloatType, _) => true
+        case _                       => false
+      }
+      if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      } else {
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sub expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+      }
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        out(i) = x.getFloat(i) - y.getFloat(i)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |float[] $out = new float[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $a.getFloat($i) - $b.getFloat($i);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** SRP-LSH bucket code of an array<float> vector: bit p is set iff
     * sum_i(±v[i]) > 0, where the sign of (plane p, dim i) is +1 when
     * md5("p:i") has an odd last byte. Signs are data-free deterministic
@@ -159,6 +209,9 @@ object VectorExpressions {
   def dotF(a: Column, b: Column): Column = asCol(DotFloat(asExpr(a), asExpr(b)))
 
   def normF(a: Column): Column = org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** Codegen'd float-array element-wise difference (see [[SubFloat]]). */
+  def subF(a: Column, b: Column): Column = asCol(SubFloat(asExpr(a), asExpr(b)))
 
   /** Codegen'd SRP bucket code (see [[SrpBucket]]). */
   def srpBucket(v: Column, numPlanes: Int, dim: Int): Column =

@@ -91,11 +91,34 @@ object Retrieval {
       .filter(col("rk") <= k)
   }
 
+  /** The fusion-agnostic hybrid retriever: ANY dense (query_id,
+    * cand_id, rk) ranking — brute force, [[Similarity.ivfTopKIndexed]]
+    * against a stored index, a PQ/ADC ranking — fused with the lexical
+    * tower by RRF. This is the production serving shape: the dense
+    * tower is computed (or served from an index) once and handed in;
+    * the fusion never touches the corpus again. */
+  def hybridTopKWith(
+      denseRanking: DataFrame,
+      docs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      nQueries: Int,
+      kEach: Int,
+      k0: Int,
+      k: Int,
+      maxDfPermille: Int = 1000): DataFrame = {
+    val dense = denseRanking.select(col("query_id"), col("cand_id"), col("rk"))
+    val lex = lexicalTopK(docs, docIdCol, textCol, nQueries, kEach, maxDfPermille)
+      .select(col("query_id"), col("cand_id"), col("rk"))
+    rrfFuse(dense, lex, k0, k)
+  }
+
   /** The composed hybrid retriever: dense cosine top-`kEach` (exact
-    * brute force — swap in an IVF/PQ index in production, the fusion
-    * is ranking-agnostic) fused with lexical top-`kEach` by RRF,
-    * serving the final top-`k`. Queries are ids < `nQueries` on BOTH
-    * towers (documents and embeddings share the id space). */
+    * brute force — swap in an IVF/PQ index via [[hybridTopKWith]] in
+    * production, the fusion is ranking-agnostic) fused with lexical
+    * top-`kEach` by RRF, serving the final top-`k`. Queries are ids <
+    * `nQueries` on BOTH towers (documents and embeddings share the id
+    * space). */
   def hybridTopK(
       docs: DataFrame,
       emb: DataFrame,
@@ -107,11 +130,8 @@ object Retrieval {
       kEach: Int,
       k0: Int,
       k: Int,
-      maxDfPermille: Int = 1000): DataFrame = {
-    val dense = Similarity.bruteForceTopK(emb, vecIdCol, vecCol, nQueries, kEach)
-      .select(col("query_id"), col("cand_id"), col("rk"))
-    val lex = lexicalTopK(docs, docIdCol, textCol, nQueries, kEach, maxDfPermille)
-      .select(col("query_id"), col("cand_id"), col("rk"))
-    rrfFuse(dense, lex, k0, k)
-  }
+      maxDfPermille: Int = 1000): DataFrame =
+    hybridTopKWith(
+      Similarity.bruteForceTopK(emb, vecIdCol, vecCol, nQueries, kEach),
+      docs, docIdCol, textCol, nQueries, kEach, k0, k, maxDfPermille)
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** The residual IVF-PQ recall gate (the s09 harness shape): at EQUAL
+  * code budget, residual-encoded ADC must match or beat the
+  * raw-codebook variant against the exact brute-force truth on the
+  * fixture corpus. This is the honest contract for an approximate
+  * index — a hash oracle can't gate a float pipeline, a recall floor
+  * can. */
+class ResidualPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val (nCoarse, nSub, subDim, nCent, nProbe, queryMod, k) =
+    (8, 4, 16, 20, 4, 25, 10)
+
+  private def recallAt10(approx: org.apache.spark.sql.DataFrame,
+      truth: org.apache.spark.sql.DataFrame): Double = {
+    val hits = approx.select("query_id", "cand_id")
+      .join(truth.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_semi")
+      .count().toDouble
+    hits / truth.count().toDouble
+  }
+
+  test("residual encoding recalls >= the raw codebook at equal code budget") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id")).as[Long].collect().sorted
+    assert(queries.length >= 10, "fixture corpus must supply a real query sample")
+    // exact truth per query: brute-force cosine is the s01/s09 truth
+    // side; restrict to the sampled queries via the id convention
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        nQueries = Int.MaxValue, k = k)
+      .join(queries.toSeq.toDF("query_id"), Seq("query_id"), "left_semi")
+    val raw = Quantize.ivfPqTopK(emb, "vec_id", "embedding",
+      nCoarse, nSub, subDim, nCent, nProbe, queryMod, k)
+    val res = Quantize.ivfPqResidualTopK(emb, "vec_id", "embedding",
+      nCoarse, nSub, subDim, nCent, nProbe, queryMod, k)
+    val rRaw = recallAt10(raw, truth)
+    val rRes = recallAt10(res, truth)
+    info(f"recall@10 raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes >= rRaw,
+      f"residual recall $rRes%.3f fell below raw-codebook recall $rRaw%.3f")
+    // and the residual index is not degenerate: it must beat random
+    // (deterministic arithmetic — measured 0.220 vs raw 0.120 on this
+    // corpus; the floor is slack for cross-platform FP variation only)
+    assert(rRes > 0.15, f"residual recall $rRes%.3f is no better than noise")
+  }
+
+  test("residual and raw ADC agree on the candidate pool shape") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = Quantize.ivfPqResidualTopK(emb, "vec_id", "embedding",
+      nCoarse, nSub, subDim, nCent, nProbe, queryMod, k)
+    // one rank list per query, ranks contiguous from 1, no self-matches
+    val byQuery = res.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, n, lo, hi) =>
+      assert(lo == 1L && hi == n && n <= k, s"query $q rank list malformed")
+    }
+    assert(res.filter(col("query_id") === col("cand_id")).count() == 0)
+  }
+}

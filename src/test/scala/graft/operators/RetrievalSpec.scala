@@ -77,4 +77,35 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head._1 == 5L) // both towers -> highest fused score
     assert(out.map(_._1).toSet.intersect(Set(6L, 7L)) == Set(6L, 7L)) // single-tower hits present
   }
+
+  test("hybridTopKWith serves the dense tower from an IVF index, fusion unchanged") {
+    // an exhaustive index probe (nProbe = nCentroids) is exact, so the
+    // indexed dense tower must reproduce hybridTopK's brute-force
+    // fusion bit-for-bit — the fusion-agnostic claim, proved on the
+    // production serving path
+    val docs = Seq(
+      (0L, "quark boson lepton"),
+      (5L, "quark boson lepton"),
+      (6L, "quark boson lepton"),
+      (7L, "x y z"),
+      (8L, "p q r")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (6L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (7L, Array(0.9f, 0.0f, 0.1f, 0.0f)),
+      (8L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val index = Similarity.prepareIvfIndex(emb, "vec_id", "embedding", nCentroids = 3)
+    val dense = Similarity.ivfTopKIndexed(
+      emb.filter($"vec_id" < 1), "vec_id", "embedding", index, nProbe = 3, k = 3)
+    val indexed = Retrieval.hybridTopKWith(dense, docs, "doc_id", "text",
+        nQueries = 1, kEach = 3, k0 = 60, k = 4)
+      .select("cand_id", "rrf_e9", "rk").as[(Long, Long, Long)].collect().sortBy(_._3)
+    val brute = Retrieval.hybridTopK(docs, emb, "doc_id", "text", "vec_id", "embedding",
+        nQueries = 1, kEach = 3, k0 = 60, k = 4)
+      .select("cand_id", "rrf_e9", "rk").as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(indexed.toSeq == brute.toSeq)
+  }
 }
