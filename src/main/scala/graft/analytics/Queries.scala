@@ -1752,6 +1752,26 @@ object Queries {
           .toDF(),
       Some(simhashPairsSql(3))
     ),
+    QueryDef(
+      "st06_stream_neardup_ttl",
+      // the BOUNDED-STATE streaming near-dup path (event-time TTL,
+      // [[graft.streaming.NearDupStream.simhashDupPairsWithin]]) run in
+      // batch mode, where the TTL contract makes eviction inert: the
+      // result must equal d02/st05 exactly, so the oracle gates the TTL
+      // variant's band/pair logic the same way st05 gates the unbounded
+      // one. The streaming-only parts (watermark eviction, timeout
+      // removal, state plateau) are NearDupStreamSpec-pinned. Event
+      // time is a deterministic function of doc_id — in batch its value
+      // is irrelevant by the inertness contract, which this row proves.
+      (s, d) =>
+        graft.streaming.NearDupStream
+          .simhashDupPairsWithin(
+            Tables.documents(s, d)
+              .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)")),
+            "doc_id", "text", "ts", 3, horizonMs = 3600000L)
+          .toDF(),
+      Some(simhashPairsSql(3))
+    ),
 
     // ==================== SQL/temp-view layer (J4) ========================
     QueryDef(
