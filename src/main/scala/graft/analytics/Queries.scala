@@ -884,29 +884,22 @@ object Queries {
       Quantize.pqAdcTopK(
         graft.core.Par.widen(Tables.embeddings(s, d)).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", nSub = 4, subDim = 16, nCent = 8, queryMod = 13, k = 5),
-      Some {
-        def dot(a: String, b: String) = Vectors.dotSql(a, b)
-        s"""WITH sv AS (SELECT vec_id, CAST(m AS BIGINT) AS sub,
-           |  list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
-           |  FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS m) g),
-           |cents AS (SELECT vec_id AS cid, sub, sv AS cv FROM sv WHERE vec_id < 8),
-           |scored AS (SELECT s.vec_id, s.sub, c.cid,
-           |  round(${dot("s.sv", "s.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("s.sv", "c.cv")}, 5) AS dist
-           |  FROM sv s JOIN cents c ON s.sub = c.sub),
-           |codes AS (SELECT vec_id AS cand_id, sub, cid AS code FROM
-           |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM scored)
-           |  WHERE rn = 1),
-           |q AS (SELECT vec_id AS query_id, sub, sv FROM sv WHERE vec_id % 13 = 0),
-           |qtab AS (SELECT query_id, c.sub, c.cid,
-           |  CAST(round((${dot("q.sv", "q.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("q.sv", "c.cv")}) * 100000, 0) AS BIGINT) AS dq_e5
-           |  FROM q JOIN cents c ON q.sub = c.sub),
-           |adc AS (SELECT query_id, cand_id, CAST(sum(dq_e5) AS BIGINT) AS adc_e5
-           |  FROM codes JOIN qtab ON codes.sub = qtab.sub AND codes.code = qtab.cid
-           |  WHERE cand_id != query_id GROUP BY 1, 2)
-           |SELECT query_id, cand_id, adc_e5, rk FROM
-           |(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_e5 ASC, cand_id ASC) AS BIGINT) AS rk FROM adc)
-           |WHERE rk <= 5""".stripMargin
-      }),
+      Some(pqAdcServeSql)),
+
+    QueryDef("s14_pq_adc_indexed", (s, d) => {
+      // ADC served from the stored [[Quantize.PqIndex]] — the corpus
+      // encoded ONCE into the persistable (codebook, codes) artifact,
+      // query batches served without re-reading or re-encoding it (the
+      // s08 serving story, PQ edition). Identical serving arithmetic
+      // to s11 by construction, so the s11 oracle gates the indexed
+      // path — the st05/st06 convention applied to PQ.
+      val emb = graft.core.Par.widen(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"))
+      val idx = Quantize.preparePqIndex(emb, "vec_id", "embedding",
+        nSub = 4, subDim = 16, nCent = 8)
+      Quantize.pqAdcTopKIndexed(
+        emb.filter(col("vec_id") % 13 === 0), "vec_id", "embedding", idx, k = 5)
+    }, Some(pqAdcServeSql)),
 
     QueryDef("s12_ivf_pq", (s, d) =>
       // the composed serving architecture ([[Quantize.ivfPqTopK]]):
@@ -2169,6 +2162,34 @@ object Queries {
 
   /** DuckDB twin of [[Dedup.simhashPairs]]: per-doc 60-bit simhash from
     * 60-bit md5 token hashes, 4×15-bit pigeonhole banding, exact hamming. */
+  /** DuckDB twin of the ADC serving path — shared by s11 (inline
+    * search) and s14 (served from the stored PqIndex): the two Spark
+    * programs are the same arithmetic by construction, so one oracle
+    * gates both. */
+  private def pqAdcServeSql: String = {
+    def dot(a: String, b: String) = Vectors.dotSql(a, b)
+    s"""WITH sv AS (SELECT vec_id, CAST(m AS BIGINT) AS sub,
+       |  list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
+       |  FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS m) g),
+       |cents AS (SELECT vec_id AS cid, sub, sv AS cv FROM sv WHERE vec_id < 8),
+       |scored AS (SELECT s.vec_id, s.sub, c.cid,
+       |  round(${dot("s.sv", "s.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("s.sv", "c.cv")}, 5) AS dist
+       |  FROM sv s JOIN cents c ON s.sub = c.sub),
+       |codes AS (SELECT vec_id AS cand_id, sub, cid AS code FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, sub, sv FROM sv WHERE vec_id % 13 = 0),
+       |qtab AS (SELECT query_id, c.sub, c.cid,
+       |  CAST(round((${dot("q.sv", "q.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("q.sv", "c.cv")}) * 100000, 0) AS BIGINT) AS dq_e5
+       |  FROM q JOIN cents c ON q.sub = c.sub),
+       |adc AS (SELECT query_id, cand_id, CAST(sum(dq_e5) AS BIGINT) AS adc_e5
+       |  FROM codes JOIN qtab ON codes.sub = qtab.sub AND codes.code = qtab.cid
+       |  WHERE cand_id != query_id GROUP BY 1, 2)
+       |SELECT query_id, cand_id, adc_e5, rk FROM
+       |(SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_e5 ASC, cand_id ASC) AS BIGINT) AS rk FROM adc)
+       |WHERE rk <= 5""".stripMargin
+  }
+
   private def simhashPairsSql(maxHamming: Int): String = {
     val bitTerms = (0 until Text.simhashBits).map { i =>
       s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) > len(hs) THEN ${1L << i} ELSE 0 END)"

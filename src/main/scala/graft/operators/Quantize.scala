@@ -116,6 +116,49 @@ object Quantize {
       .select(col(idCol), col("sub"), col("st.cid").as("code"), col("st.dist").as("dist"))
   }
 
+  /** The persistable PQ serving artifact — the [[Similarity.IvfIndex]]
+    * story for product quantization: `codebook` (sub, cid, cv) is the
+    * trained/sampled codeword table (nSub × nCent rows, broadcast at
+    * serve time), `codes` (cand_id, sub, code) is the encoded corpus —
+    * the ONLY corpus-sized table, and the one a deployment writes to
+    * storage. `nSub`/`subDim` ride along so a query batch can be
+    * sliced identically to the encode pass. */
+  final case class PqIndex(codebook: DataFrame, codes: DataFrame, nSub: Int, subDim: Int)
+
+  /** Build a [[PqIndex]] with the data-point codebook (subvectors of
+    * the first `nCent` ids — the s10/s11 determinism contract): one
+    * corpus scan encodes every vector; nothing else is retained. */
+  def preparePqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, subDim: Int, nCent: Int): PqIndex = {
+    val cents = subvectors(emb, idCol, vecCol, nSub, subDim)
+      .filter(col(idCol) < nCent)
+      .select(col(idCol).as("cid"), col("sub"), col("sv").as("cv"))
+    val codes = pqEncode(emb, idCol, vecCol, nSub, subDim, nCent)
+      .select(col(idCol).as("cand_id"), col("sub"), col("code"))
+    PqIndex(cents, codes, nSub, subDim)
+  }
+
+  /** Serve an ADC query batch from a stored [[PqIndex]]: queries build
+    * their codeword distance tables against the broadcast codebook
+    * (`queries × nSub × nCent` rows), candidates contribute only their
+    * stored (id, sub, code) triples — the corpus is never re-read or
+    * re-encoded at query time. Same integer 1e-5 units and
+    * (adc asc, cand_id asc) ranking as [[pqAdcTopK]]; a candidate
+    * with a query's own id is excluded, so corpus-drawn query sets
+    * never match themselves. */
+  def pqAdcTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+      index: PqIndex, k: Int): DataFrame = {
+    val qsubs = subvectors(queries, idCol, vecCol, index.nSub, index.subDim)
+      .select(col(idCol).as("query_id"), col("sub"), col("sv"))
+    val qtab = qsubs.join(broadcast(index.codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(l2sq(col("sv"), col("cv")) * 100000.0, 0).cast("long").as("dq_e5"))
+    adcRank(
+      index.codes.join(broadcast(qtab),
+        index.codes("sub") === qtab("sub") && col("code") === col("cid")),
+      k)
+  }
+
   /** Asymmetric-distance (ADC) top-k search over PQ codes — the
     * serving half of product quantization: each query precomputes its
     * distance table to every codeword (`queries × nSub × nCent` rows,

@@ -100,4 +100,26 @@ class QuantizeSpec extends SparkSpec {
     // a query's candidates must share its axis parity
     assert(out.forall { case (q, c) => q % 2 == c % 2 })
   }
+
+  test("the stored PqIndex serves ADC identically, including through parquet") {
+    val emb = (0 until 18).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (math.sin(i * 2.1 + d * 0.6) * 3).toFloat))).toDF("vec_id", "embedding")
+    val inline = Quantize.pqAdcTopK(emb, "vec_id", "embedding",
+        nSub = 2, subDim = 4, nCent = 5, queryMod = 7, k = 4)
+      .select("query_id", "cand_id", "adc_e5", "rk").as[(Long, Long, Long, Long)].collect().toSet
+    val idx = Quantize.preparePqIndex(emb, "vec_id", "embedding", nSub = 2, subDim = 4, nCent = 5)
+    val queries = emb.filter($"vec_id" % 7 === 0)
+    def served(i: Quantize.PqIndex) =
+      Quantize.pqAdcTopKIndexed(queries, "vec_id", "embedding", i, k = 4)
+        .select("query_id", "cand_id", "adc_e5", "rk").as[(Long, Long, Long, Long)].collect().toSet
+    assert(served(idx) == inline)
+    // the deployment shape: codebook + codes written to storage, read
+    // back cold, served — still bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("pq-index").toString
+    idx.codebook.write.parquet(s"$dir/codebook")
+    idx.codes.write.parquet(s"$dir/codes")
+    val cold = Quantize.PqIndex(
+      spark.read.parquet(s"$dir/codebook"), spark.read.parquet(s"$dir/codes"), 2, 4)
+    assert(served(cold) == inline)
+  }
 }
