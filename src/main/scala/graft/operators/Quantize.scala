@@ -277,7 +277,21 @@ object Quantize {
     * independent engine reproduces operator-by-operator); its gate is
     * the recall metric — the honest contract for an approximate
     * serving index. */
-  def ivfPqResidualTopK(
+  /** The persistable residual-IVF-PQ serving artifact: the trained
+    * coarse quantizer (ccid, ccv, ccn), the Lloyd-trained residual
+    * codebook (sub, cid, cv), and the encoded corpus keyed by coarse
+    * cell (cand_id, cluster, sub, code) — the only corpus-sized table,
+    * the one a deployment writes to storage. */
+  final case class ResidualPqIndex(
+      coarse: DataFrame, codebook: DataFrame, codes: DataFrame, nSub: Int, subDim: Int)
+
+  /** Train and encode the residual IVF-PQ index (see
+    * [[ivfPqResidualTopK]] for the design rationale): k-means coarse
+    * centroids (cell means — required for residuals to contract),
+    * per-subspace Lloyd-refined residual codebook, corpus encoded
+    * once. `coarseIters = 0` keeps the data-point coarse quantizer for
+    * comparison runs. */
+  def prepareResidualPqIndex(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
@@ -285,18 +299,14 @@ object Quantize {
       nSub: Int,
       subDim: Int,
       nCent: Int,
-      nProbe: Int,
-      queryMod: Int,
-      k: Int,
       lloydIters: Int = 3,
-      coarseIters: Int = 3): DataFrame = {
+      coarseIters: Int = 3): ResidualPqIndex = {
     import graft.functions.VectorExpressions.{normF, subF}
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"), normF(col(vecCol)).as("nrm"))
     // the coarse quantizer must be TRAINED (cell means) for residuals
     // to contract: subtracting a raw unit-norm data point widens the
     // residual shell (‖v − c‖ > ‖v‖ at ~90° separation); subtracting
-    // the cell MEAN provably shrinks it. coarseIters = 0 keeps the
-    // data-point quantizer for comparison runs.
+    // the cell MEAN provably shrinks it.
     val coarse =
       (if (coarseIters > 0)
         Similarity.trainCentroids(emb, idCol, vecCol, nCoarse, coarseIters)
@@ -304,11 +314,7 @@ object Quantize {
         base.filter(col("id") < nCoarse)
           .select(col("id").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm")))
         .select(col("cid").as("ccid"), col("cvec").as("ccv"), col("cnrm").as("ccn"))
-    val cscored = base.crossJoin(broadcast(coarse))
-      .withColumn("csim",
-        when(col("nrm") * col("ccn") === 0.0, lit(0.0))
-          .otherwise(dt(col("vec"), col("ccv")) / (col("nrm") * col("ccn"))))
-    val assigned = cscored
+    val assigned = scoreAgainstCoarse(base, coarse)
       .groupBy(col("id"))
       .agg(max_by(col("ccid"), struct(col("csim"), (-col("ccid")).as("nc"))).as("cluster"))
     // corpus residuals: vec − assigned centroid (one broadcast join on
@@ -346,14 +352,42 @@ object Quantize {
         .select(col("sub"), col("cid"), coalesce(col("cv1"), col("cv")).as("cv"))
         .transform(graft.core.Reliability.cut)
     }
-    val cellCodes = rsubs.join(broadcast(cents), Seq("sub"))
+    val codes = rsubs.join(broadcast(cents), Seq("sub"))
       .withColumn("dist", round(l2sq(col("sv"), col("cv")), 5))
       .groupBy(col("id"), col("sub"))
       .agg(min(struct(col("dist"), col("cid"))).as("st"))
       .select(col("id").as("cand_id"), col("sub"), col("st.cid").as("code"))
       .join(residuals.select(col("id").as("cand_id"), col("cluster")), Seq("cand_id"))
-    // probe cells per query, by coarse cosine — identical to ivfPqTopK
-    val probes = cscored.filter(col("id") % queryMod === 0)
+    ResidualPqIndex(coarse, cents, codes, nSub, subDim)
+  }
+
+  /** queries × broadcast coarse centroids with the shared cosine —
+    * one copy of the assignment/probe scoring arithmetic. */
+  private def scoreAgainstCoarse(base: DataFrame, coarse: DataFrame): DataFrame =
+    base.crossJoin(broadcast(coarse))
+      .withColumn("csim",
+        when(col("nrm") * col("ccn") === 0.0, lit(0.0))
+          .otherwise(dt(col("vec"), col("ccv")) / (col("nrm") * col("ccn"))))
+
+  /** Serve a query batch from a stored [[ResidualPqIndex]]: queries
+    * probe their `nProbe` closest coarse cells, build one residual
+    * distance table PER PROBED CELL (the query's residual vs that
+    * cell's centroid, scored against the broadcast codebook —
+    * `queries × nProbe × nSub × nCent` rows), and candidates
+    * contribute only their stored (cand_id, cluster, sub, code) rows —
+    * the corpus is never re-read, re-assigned or re-encoded at query
+    * time. */
+  def ivfPqResidualTopKIndexed(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: ResidualPqIndex,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.{normF, subF}
+    val q = queries.select(
+      col(idCol).as("id"), col(vecCol).as("vec"), normF(col(vecCol)).as("nrm"))
+    val probes = scoreAgainstCoarse(q, index.coarse)
       .groupBy(col("id"))
       .agg(slice(
         sort_array(collect_list(struct(col("csim"), (-col("ccid")).as("nc"))), asc = false),
@@ -363,20 +397,39 @@ object Quantize {
     // per-(query, probed cell) distance table: the query's residual
     // against THAT cell's centroid, scored against every codeword
     val qres = probes
-      .join(base.select(col("id").as("query_id"), col("vec")), Seq("query_id"))
-      .join(broadcast(coarse.select(col("ccid").as("cluster"), col("ccv"))), Seq("cluster"))
+      .join(q.select(col("id").as("query_id"), col("vec")), Seq("query_id"))
+      .join(broadcast(index.coarse.select(col("ccid").as("cluster"), col("ccv"))), Seq("cluster"))
       .select(col("query_id"), col("cluster"), subF(col("vec"), col("ccv")).as("qrvec"))
     val qtab = subvectors(qres.withColumn("qid_cell", struct(col("query_id"), col("cluster"))),
-        "qid_cell", "qrvec", nSub, subDim)
+        "qid_cell", "qrvec", index.nSub, index.subDim)
       .select(col("qid_cell.query_id").as("query_id"), col("qid_cell.cluster").as("cluster"),
         col("sub"), col("sv"))
-      .join(broadcast(cents), Seq("sub"))
+      .join(broadcast(index.codebook), Seq("sub"))
       .select(col("query_id"), col("cluster"), col("sub"), col("cid"),
         round(l2sq(col("sv"), col("cv")) * 100000.0, 0).cast("long").as("dq_e5"))
     adcRank(
-      cellCodes.join(probes, Seq("cluster"))
+      index.codes.join(probes, Seq("cluster"))
         .join(broadcast(qtab), Seq("query_id", "cluster", "sub"))
         .filter(col("code") === col("cid")),
       k)
+  }
+
+  def ivfPqResidualTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCoarse: Int,
+      nSub: Int,
+      subDim: Int,
+      nCent: Int,
+      nProbe: Int,
+      queryMod: Int,
+      k: Int,
+      lloydIters: Int = 3,
+      coarseIters: Int = 3): DataFrame = {
+    val index = prepareResidualPqIndex(
+      emb, idCol, vecCol, nCoarse, nSub, subDim, nCent, lloydIters, coarseIters)
+    ivfPqResidualTopKIndexed(
+      emb.filter(col(idCol) % queryMod === 0), idCol, vecCol, index, nProbe, k)
   }
 }

@@ -49,6 +49,32 @@ class ResidualPqSpec extends SparkSpec {
     assert(rRes > 0.15, f"residual recall $rRes%.3f is no better than noise")
   }
 
+  test("the stored ResidualPqIndex serves identically, including through parquet") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val inline = Quantize.ivfPqResidualTopK(emb, "vec_id", "embedding",
+        nCoarse, nSub, subDim, nCent, nProbe, queryMod, k)
+      .select("query_id", "cand_id", "adc_e5", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val idx = Quantize.prepareResidualPqIndex(emb, "vec_id", "embedding",
+      nCoarse, nSub, subDim, nCent)
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+    // deployment shape: all three index tables written to storage,
+    // read back cold, served — must equal the inline search
+    val dir = java.nio.file.Files.createTempDirectory("rpq-index").toString
+    idx.coarse.write.parquet(s"$dir/coarse")
+    idx.codebook.write.parquet(s"$dir/codebook")
+    idx.codes.write.parquet(s"$dir/codes")
+    val cold = Quantize.ResidualPqIndex(
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"), nSub, subDim)
+    val served = Quantize.ivfPqResidualTopKIndexed(
+        queries, "vec_id", "embedding", cold, nProbe, k)
+      .select("query_id", "cand_id", "adc_e5", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served == inline)
+  }
+
   test("residual and raw ADC agree on the candidate pool shape") {
     val emb = Tables.embeddings(spark, sf0001)
     val res = Quantize.ivfPqResidualTopK(emb, "vec_id", "embedding",
