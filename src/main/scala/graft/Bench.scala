@@ -107,7 +107,8 @@ object Bench {
     * queries), then shrink the worst-N list. Pure, so the length bound
     * is unit-testable at any inventory size. */
   private[graft] def summaryLine(
-      total: Double, load1End: Double, load1Start: Double, waitedSec: Double,
+      total: Double, load1End: Double, load1Start: Double, load15Start: Double,
+      waitedSec: Double,
       retries: Int, warnParts: List[String], medians: Seq[(String, Double)],
       sf: String): String = {
     val byWorst = medians.sortBy { case (n, s) => (-s, n) }
@@ -116,7 +117,7 @@ object Bench {
         .map { case (name, s) => "\"" + name + f"""\":$s%.1f""" }
         .mkString("{", ",", "}")
       val w = if (warnEsc.nonEmpty) s""","warning":"$warnEsc"""" else ""
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
     }
     val warnEsc = warnParts.mkString("; ")
       .replace("\\", "\\\\").replace("\"", "\\\"")
@@ -192,6 +193,29 @@ object Bench {
 
   private def load1(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** (load1, load5, load15) from /proc/loadavg — load15 is the
+    * recent-history signal the r13 post-mortem showed matters: a run
+    * can start with load1 back under the quiet bar while the 15-minute
+    * average still shows the heavy work that just ended, and THAT run
+    * recorded a uniform ~1.2× inflation with every other counter clean
+    * (BASELINE.md r13). JMX 1-minute fallback off-Linux. */
+  private def loadAvgs(): (Double, Double, Double) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        (f(0).toDouble, f(1).toDouble, f(2).toDouble)
+      } finally src.close()
+    } catch { case _: Throwable => (load1(), -1.0, -1.0) }
+
+  /** load15 at or above this at start marks the run contended: the
+    * machine was heavily busy within the last quarter hour, and the
+    * measured blind spot (uniform sub-2× inflation, no spread, clean
+    * CPU counters) has exactly this signature. 2.0 clears the bench's
+    * own JVM startup (~1.3 observed after a long settle) but catches
+    * a recently-hot machine. */
+  val MaxLoad15Start = 2.0
 
   /** Total busy jiffies across all cores (user+nice+system+irq+softirq+
     * steal) from Linux /proc/stat; -1 where unavailable. Together with
@@ -278,8 +302,10 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // Snapshot load AFTER the quiet wait, BEFORE any work — a still-hot
-    // value here is the signal that flagged every bad artifact.
-    val load1Start = load1()
+    // value here is the signal that flagged every bad artifact. load15
+    // looks further back: heavy work that ENDED minutes ago still
+    // inflates medians ~1.2× uniformly (the r13 blind-spot case).
+    val (load1Start, _, load15Start) = loadAvgs()
 
     // warm-up: shuffle + codegen machinery
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
@@ -394,8 +420,8 @@ object Bench {
     // persistent prior jump marks the run contended so sidecar
     // protection keeps the clean prior; a real regression is accepted
     // deliberately via SPARK_GRAFT_BENCH_NO_PRIOR=1, never by default.
-    val contended = load1Start > 2 * QuietLoad1 || contendedQueries.nonEmpty ||
-      slowVsPriorQueries.nonEmpty
+    val contended = load1Start > 2 * QuietLoad1 || load15Start >= MaxLoad15Start ||
+      contendedQueries.nonEmpty || slowVsPriorQueries.nonEmpty
     val warnParts = List(
       if (contendedQueries.nonEmpty)
         Some(s"contended queries (no 3 clean runs): ${contendedQueries.reverse.mkString(",")}")
@@ -404,6 +430,9 @@ object Bench {
         Some(s"slow vs prior clean median: ${slowVsPriorQueries.reverse.mkString(", ")}")
       else None,
       if (load1Start > 2 * QuietLoad1) Some(f"contended: load1=$load1Start%.1f at start")
+      else None,
+      if (load15Start >= MaxLoad15Start)
+        Some(f"recently-hot machine: load15=$load15Start%.1f at start — medians may be uniformly inflated")
       else None).flatten
     val warning =
       if (warnParts.nonEmpty) s""","warning":"${warnParts.mkString("; ")}"""" else ""
@@ -416,10 +445,10 @@ object Bench {
     // bench_detail.json. The summary line is ALSO written to
     // bench_summary.json so the round artifact is recoverable even if
     // stdout scraping fails again.
-    val compact = summaryLine(total, load1End, load1Start, waitedSec,
+    val compact = summaryLine(total, load1End, load1Start, load15Start, waitedSec,
       retriesTotal, warnParts, results.map(r => (r._1, r._2)), sfDir)
     val detail =
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
     def writeJson(path: String, s: String): Unit = {
       val p = java.nio.file.Paths.get(path)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

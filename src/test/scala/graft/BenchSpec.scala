@@ -32,7 +32,7 @@ class BenchSpec extends AnyFunSuite {
   private def line(n: Int, warn: List[String] = Nil,
       names: Int => String = i => f"q$i%03d_synthetic_operator_name") =
     Bench.summaryLine(total = 1234.567, load1End = 4.9, load1Start = 0.4,
-      waitedSec = 20, retries = 2, warnParts = warn,
+      load15Start = 0.7, waitedSec = 20, retries = 2, warnParts = warn,
       medians = (1 to n).map(i => names(i) -> i * 0.137), sf = "/root/testdata/sf0.1")
 
   test("summaryLine stays under the cap at 200 synthetic queries") {
