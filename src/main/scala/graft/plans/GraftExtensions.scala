@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Registered functions:
   *  - `graft_dot(a, b)` — codegen'd float-array dot product;
+  *  - `graft_sub(a, b)` — codegen'd float-array element-wise difference;
   *  - `graft_srp_bucket(vec, numPlanes, dim)` — SRP-LSH bucket code;
   *  - `graft_shingles(tokens, n)` — distinct word n-grams.
   */
@@ -41,6 +42,11 @@ object GraftExtensions {
       "graft_dot",
       new ExpressionInfo(VectorExpressions.DotFloat.getClass.getName, "graft_dot"),
       (args: Seq[Expression]) => VectorExpressions.DotFloat(args(0), args(1))
+    ),
+    (
+      "graft_sub",
+      new ExpressionInfo(VectorExpressions.SubFloat.getClass.getName, "graft_sub"),
+      (args: Seq[Expression]) => VectorExpressions.SubFloat(args(0), args(1))
     ),
     (
       "graft_srp_bucket",
