@@ -1403,6 +1403,41 @@ object Queries {
            |FROM sp GROUP BY doc_id, span_idx""".stripMargin
       }
     ),
+    QueryDef(
+      "t22_contaminated_spans",
+      // span-level decontamination ([[Decontaminate.contaminatedSpans]]):
+      // the exact token ranges of TRAIN docs covered by 5-grams
+      // occurring anywhere in the held-out eval set (doc_id % 19 == 0,
+      // the t12 convention) — what a surgical curation pass cuts
+      // instead of dropping the whole document. Same span-merge
+      // machinery as t18, seeded by eval overlap instead of corpus
+      // duplication; eval grams broadcast, train side never shuffled
+      // by gram.
+      (s, d) => Decontaminate.contaminatedSpans(
+        Tables.documents(s, d), "doc_id", "text",
+        isEval = col("doc_id") % 19 === 0, k = 5, seed = 3),
+      Some {
+        val tk = toksSql("lower(text)")
+        val parts = (0 until 5).map(j => s"t[i+$j]").mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, $tk AS t FROM documents),
+           |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           |  ${Hashing.md5LongSql("concat_ws(' ', " + parts + ")", 3)} AS gh
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM tk)),
+           |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 19 = 0),
+           |seeds AS (SELECT doc_id, pos FROM g
+           |  WHERE doc_id % 19 != 0 AND gh IN (SELECT gh FROM ev)),
+           |flag AS (SELECT doc_id, pos,
+           |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS new_span
+           |  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |sp AS (SELECT doc_id, pos,
+           |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx
+           |  FROM flag)
+           |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+           |CAST(min(pos) AS BIGINT) AS start_tok, CAST(max(pos) + 5 AS BIGINT) AS end_tok,
+           |CAST(max(pos) + 5 - min(pos) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_seeds
+           |FROM sp GROUP BY doc_id, span_idx""".stripMargin
+      }
+    ),
 
     QueryDef(
       "t17_stratified_cap",

@@ -127,4 +127,62 @@ object Decontaminate {
         round(col("max_cos_raw"), 5).as("max_cos"),
         when(col("max_cos_raw") >= threshold, lit(1)).otherwise(lit(0)).as("contaminated"))
   }
+
+  /** Span-level decontamination — the surgical form of the doc-level
+    * flag ([[ngramContamination]]): the exact token ranges of a
+    * training document covered by k-grams that occur ANYWHERE in the
+    * held-out eval set. The Lee et al. ExactSubstr machinery
+    * ([[Dedup.duplicatedSpans]]) pointed at eval overlap instead of
+    * corpus duplication: a curation pass CUTS these ranges (or
+    * down-weights the doc) rather than dropping the whole document —
+    * the difference between losing a long document over one quoted
+    * benchmark question and removing the quote.
+    *
+    * A train-doc token position is a SEED when its k-gram hash appears
+    * in the eval gram set; overlapping or back-to-back seeds
+    * (next ≤ prev + k) merge into maximal spans, one row per
+    * (doc, span) with its [start_tok, end_tok) range, length and seed
+    * count.
+    *
+    * Scale shape: positional grams are one per token (codegen'd
+    * [[Text.positionalGrams]]); the eval gram set is DISTINCT hashes of
+    * a benchmark — small by construction, so it broadcasts and the
+    * train side is never shuffled by gram (the [[ngramContamination]]
+    * argument); the span merge is one per-doc window over SEED
+    * positions only. Linear in corpus tokens. Both engines hash with
+    * [[Hashing.md5Long]]; NULL `isEval` counts as train-side, same
+    * contract as the doc-level operators. */
+  def contaminatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isEval: Column,
+      k: Int,
+      seed: Int = 0): DataFrame = {
+    require(k >= 2, "eval gram length must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing
+    val grams = Par.widen(
+        docs.select(col(idCol), coalesce(isEval, lit(false)).as("is_eval"),
+          Text.tokens(lower(col(textCol))).as("tk")))
+      .select(col(idCol), col("is_eval"),
+        posexplode(Text.positionalGrams(col("tk"), k)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("is_eval"), col("pos").cast("long").as("pos"),
+        Hashing.md5Long(col("gram"), seed).as("gh"))
+    val evalGrams = grams.filter(col("is_eval")).select("gh").distinct()
+    val seeds = grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    seeds
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") > col("prev") + k, lit(1L)).otherwise(lit(0L)))
+      .withColumn("span_idx", sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("span_idx"))
+      .agg(
+        min(col("pos")).as("start_tok"),
+        (max(col("pos")) + k).as("end_tok"),
+        (max(col("pos")) + k - min(col("pos"))).as("n_tokens"),
+        count(lit(1)).as("n_seeds"))
+  }
 }

@@ -133,4 +133,28 @@ class DecontaminateSpec extends SparkSpec {
         isEval = when(col("sid").isin("v0", "v4"), lit(true)), threshold = 0.9)
     assert(withNull.count() == 5)
   }
+
+  test("contaminatedSpans finds the quoted eval range and merges adjacent seeds") {
+    // doc 0 is eval: "the quick brown fox jumps over the lazy dog".
+    // doc 1 quotes 6 tokens of it mid-document: 3-gram seeds at quote
+    // positions 3,4,5,6 (of the 6-token quote) merge into ONE span;
+    // doc 2 shares no 3-gram.
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "alpha beta gamma quick brown fox jumps over delta epsilon"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.contaminatedSpans(
+        docs, "doc_id", "text", isEval = col("doc_id") === 0, k = 3)
+      .select("doc_id", "start_tok", "end_tok", "n_tokens", "n_seeds")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc 1 tokens: alpha(0) beta(1) gamma(2) quick(3) brown(4) fox(5)
+    // jumps(6) over(7) delta(8) epsilon(9); eval 3-grams hit at
+    // positions 3..6 ("quick brown fox" … "jumps over delta"? no —
+    // "fox jumps over" ends at 5; "jumps over delta" is not eval) →
+    // seeds {3,4,5}, one span [3, 8) of 5 tokens
+    assert(out.toSeq == Seq((1L, 3L, 8L, 5L, 3L)))
+    // a doc quoting nothing yields no rows; eval docs are excluded
+    assert(!out.exists(r => r._1 == 0L || r._1 == 2L))
+  }
 }
