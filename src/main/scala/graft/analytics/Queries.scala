@@ -718,6 +718,43 @@ object Queries {
       }
     ),
     QueryDef(
+      "g02_graph_rank_weighted",
+      // weighted PageRank ([[GraphRank.pageRankWeighted]]): the same
+      // customer—supplier graph with edge weight = TRANSACTION COUNT
+      // (parallel orders strengthen the link, the real link-graph
+      // shape — Common Crawl-style centrality weights by link
+      // multiplicity). Mass distributes (score·w) div wsum, computed
+      // through the overflow-safe split identity; the oracle keeps the
+      // plain product form — the identity guarantees equal digits.
+      (s, d) => {
+        val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(
+            Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        GraphRank.pageRankWeighted(e, iters = 3).withColumnRenamed("node", "node_id")
+      },
+      Some {
+        def iter(k: Int) =
+          s"""i$k AS (SELECT u.dst AS node, CAST(sum((r.score_e9 * u.w) // n.wsum) AS BIGINT) AS inflow
+             |  FROM und u JOIN r${k - 1} r ON r.node = u.src JOIN ws n ON n.src = u.src GROUP BY 1),
+             |r$k AS (SELECT n.node, 150000000 + (85 * coalesce(i.inflow, 0)) // 100 AS score_e9
+             |  FROM nodes n LEFT JOIN i$k i ON i.node = n.node)""".stripMargin
+        s"""WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, count(*) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+           |und AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM
+           |  (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0) GROUP BY 1, 2),
+           |ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM und GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS node FROM und),
+           |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS score_e9 FROM nodes),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT node AS node_id, CAST(score_e9 AS BIGINT) AS score_e9 FROM r3""".stripMargin
+      }
+    ),
+    QueryDef(
       "q22_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d).agg(

@@ -79,4 +79,48 @@ object GraphRank {
     }
     scores
   }
+
+  /** Weighted integer PageRank over the UNDIRECTED view of `edges`
+    * (columns `src`, `dst`, `w` — positive long weights; both
+    * directions are added and parallel edges SUM their weights). A
+    * node distributes `(score_e9 * w_edge) div w_total` to each
+    * neighbor — computed as `w*(s div W) + (w*(s mod W)) div W`, the
+    * exact same value (s = Wq + r gives s·w div W = w·q + w·r div W
+    * exactly) without forming `s*w`, which would overflow Long once a
+    * hub's score passes Long.MaxValue / w_max. The damping step reuses
+    * the unweighted identity. With all weights 1 this IS [[pageRank]]
+    * (w_total = degree, the remainder term vanishes) — spec-pinned.
+    *
+    * Same scale shape as [[pageRank]]: weights ride the one edge-list
+    * shuffle; per iteration one equi-join + one map-side-combinable
+    * aggregation; lineage cut under the session checkpoint policy. */
+  def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
+    require(iters >= 1 && dampE2 >= 0 && dampE2 <= 100)
+    val und = edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .transform(Reliability.cut)
+    val ws = und.groupBy("src").agg(sum(col("w")).as("wsum")).transform(Reliability.cut)
+    val nodes = Reliability.cut(und.select(col("src").as("node")).distinct())
+    val teleport = 1000000000L * (100 - dampE2) / 100
+    var scores = nodes.withColumn("score_e9", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .join(ws, "src")
+        .select(col("dst").as("node"),
+          expr("w * (score_e9 div wsum) + (w * (score_e9 % wsum)) div wsum").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("inflow"))
+      scores = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(teleport) + expr(
+            s"$dampE2 * (coalesce(inflow, 0L) div 100) + ($dampE2 * (coalesce(inflow, 0L) % 100)) div 100"))
+            .as("score_e9"))
+        .transform(Reliability.cut)
+    }
+    scores
+  }
 }

@@ -60,4 +60,36 @@ class GraphRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(whole(1L) == solo(1L) && whole(2L) == solo(2L))
   }
+
+  test("unit weights reduce pageRankWeighted to pageRank exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (10L, 11L))
+    val flat = GraphRank.pageRank(edges.toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    val weighted = GraphRank.pageRankWeighted(
+        edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(weighted == flat)
+    // parallel edges sum into a weight — (1,2)x2 equals w=2 on (1,2)
+    val dup = GraphRank.pageRankWeighted(
+        Seq((1L, 2L, 1L), (1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w"), 2)
+      .as[(Long, Long)].collect().toMap
+    val merged = GraphRank.pageRankWeighted(
+        Seq((1L, 2L, 2L), (2L, 3L, 1L)).toDF("src", "dst", "w"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(dup == merged)
+  }
+
+  test("a heavier edge pulls proportionally more mass") {
+    // star: center 1 sends to 2 (w=9) and 3 (w=1): after one round the
+    // heavy neighbor holds 9x the center-inflow of the light one
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = GraphRank.pageRankWeighted(edges, 1).as[(Long, Long)].collect().toMap
+    // center wsum = 10: node 2 inflow = 9e8 (from 1) + ... node 2 also
+    // sends back (its whole mass, single edge). Hand computation:
+    // in(2) = (1e9*9) div 10 = 9e8 -> 15e7 + 85*9e8 div 100 = 915e6
+    // in(3) = (1e9*1) div 10 = 1e8 -> 15e7 + 85*1e8 div 100 = 235e6
+    // in(1) = 1e9 (from 2) + 1e9 (from 3) -> 15e7 + 85*2e9 div 100
+    assert(r(2L) == 915000000L && r(3L) == 235000000L && r(1L) == 1850000000L)
+    assert(r(2L) > r(3L))
+  }
 }
