@@ -125,25 +125,32 @@ object NearDupStream {
     * would grow forever.
     *
     * Contract (the `dropDuplicatesWithinWatermark` shape, applied to
-    * near-dup pairs): a hamming-&le;-`maxHamming` pair whose members'
-    * event times (`tsCol`) lie within `horizonMs` of each other is
-    * emitted exactly as in the unbounded variant; pairs further apart
-    * in event time are out of scope by declaration — a band entry is
-    * dropped once the stream's watermark (event-time max minus
-    * `horizonMs`) passes its timestamp, and a whole band's state is
-    * removed via event-time timeout once no in-horizon entry remains.
-    * State is therefore bounded by the documents arriving within one
-    * horizon, not by the stream's lifetime.
+    * near-dup pairs), both directions exact:
+    *   - NEVER out of horizon: a pair is emitted only when its members'
+    *     event times (`tsCol`) lie within `horizonMs` of each other —
+    *     enforced by an explicit per-pair check at emission, so the
+    *     result set is independent of micro-batch boundaries;
+    *   - ALWAYS in horizon, up to lateness: an in-horizon pair is
+    *     emitted exactly as in the unbounded variant PROVIDED each
+    *     member arrives before the stream's watermark (event-time max
+    *     minus `horizonMs + allowedLatenessMs`) passes its event time —
+    *     the standard watermark caveat. Event-time disorder wider than
+    *     `allowedLatenessMs` can evict a doc before its in-horizon
+    *     partner arrives and silently drop that pair; size
+    *     `allowedLatenessMs` to the source's observed disorder.
     *
-    * Eviction is enforced at every group invocation (entries older
-    * than the current watermark never pair), so the in-horizon
-    * guarantee is deterministic; between invocations an idle group
-    * holds its entries until the timeout fires, which only affects
-    * best-effort emission of already-out-of-scope pairs.
+    * A band entry is dropped once the watermark passes its timestamp
+    * (enforced at every group invocation — an evicted entry never
+    * pairs), and a whole band's state is removed via event-time timeout
+    * once no retained entry remains. State is therefore bounded by the
+    * documents arriving within one horizon-plus-lateness window, not by
+    * the stream's lifetime.
     *
     * On a batch DataFrame the same code path runs with no watermark:
-    * eviction and timeouts are inert and the result equals
-    * [[simhashDupPairs]] exactly (the d02 semantics).
+    * eviction and timeouts are inert (any event time, including
+    * pre-epoch, survives) and the result equals [[simhashDupPairs]]
+    * filtered to in-horizon pairs — the deterministic batch twin the
+    * st06 oracle checks.
     */
   def simhashDupPairsWithin(
       docs: DataFrame,
@@ -151,10 +158,12 @@ object NearDupStream {
       textCol: String,
       tsCol: String,
       maxHamming: Int,
-      horizonMs: Long): Dataset[DupPair] = {
+      horizonMs: Long,
+      allowedLatenessMs: Long = 0L): Dataset[DupPair] = {
     require(maxHamming <= Dedup.simhashChunks - 1,
       "4-chunk pigeonhole guarantees recall only for hamming <= 3")
     require(horizonMs > 0, "horizon must be positive")
+    require(allowedLatenessMs >= 0, "lateness must be non-negative")
     val spark = docs.sparkSession
     import spark.implicits._
     val streaming = docs.isStreaming
@@ -172,7 +181,7 @@ object NearDupStream {
       // the watermark must attach AFTER the object flatMap — an
       // event-time tag on the input column would not survive the
       // serializer boundary
-      .withWatermark("ts", s"$horizonMs milliseconds")
+      .withWatermark("ts", s"${horizonMs + allowedLatenessMs} milliseconds")
     banded
       .groupByKey(b => (b.chunk, b.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -182,14 +191,21 @@ object NearDupStream {
             Iterator.empty
           } else {
             val chunk = key._1
-            val wm = if (streaming) state.getCurrentWatermarkMs() else 0L
+            // batch sentinel is Long.MinValue, NOT 0: eviction must be
+            // inert for pre-epoch event times too (ts.getTime < 0)
+            val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
             var seen = state.getOption.getOrElse(Seq.empty).filter(_._3 >= wm)
             val out = Seq.newBuilder[DupPair]
             rows.toSeq.sortBy(_.id).foreach { r =>
-              seen.foreach { case (pid, psh, _) =>
+              seen.foreach { case (pid, psh, pts) =>
                 if (pid != r.id) {
                   val ham = java.lang.Long.bitCount(psh ^ r.simhash)
-                  if (ham <= maxHamming && firstSharedChunk(psh, r.simhash) == chunk)
+                  // the per-pair horizon check makes the out-of-horizon
+                  // direction exact: same-batch entries further apart
+                  // than the horizon never pair, regardless of where
+                  // the micro-batch boundaries fell
+                  if (ham <= maxHamming && firstSharedChunk(psh, r.simhash) == chunk &&
+                      math.abs(pts - r.ts.getTime) <= horizonMs)
                     out += DupPair(math.min(pid, r.id), math.max(pid, r.id), ham.toLong)
                 }
               }
@@ -199,9 +215,10 @@ object NearDupStream {
             else {
               state.update(seen)
               // evict the whole band once the watermark passes its
-              // newest entry + horizon; entries survive eviction only
-              // with ts >= wm, so this timestamp is always > wm
-              if (streaming) state.setTimeoutTimestamp(seen.map(_._3).max + horizonMs)
+              // newest entry + the eviction window; entries survive
+              // eviction only with ts >= wm, so this is always > wm
+              if (streaming)
+                state.setTimeoutTimestamp(seen.map(_._3).max + horizonMs + allowedLatenessMs)
             }
             out.result().iterator
           }

@@ -102,13 +102,65 @@ class NearDupStreamSpec extends SparkSpec {
     val lastState = q.recentProgress.reverse
       .find(_.stateOperators.nonEmpty).get.stateOperators.head.numRowsTotal
     assert(lastState <= 24, s"state rows $lastState — eviction not engaging")
-    // batch mode: TTL inert, equals the unbounded variant (d02 semantics)
+    // batch mode: eviction inert, result = unbounded pairs RESTRICTED
+    // to in-horizon pairs (the per-pair check is exact in batch too, so
+    // batch and stream agree on this input: A-B out of horizon in BOTH)
     val batchDocs = (file1 ++ file2 ++ file3)
       .map { case (id, t, ms) => (id, t, new Timestamp(ms)) }.toDF("doc_id", "text", "ts")
     val ttlBatch = NearDupStream.simhashDupPairsWithin(batchDocs, "doc_id", "text", "ts", 3, horizonMs)
       .as[(Long, Long, Long)].collect().toSet
     val unbounded = NearDupStream.simhashDupPairs(batchDocs, "doc_id", "text", 3)
       .as[(Long, Long, Long)].collect().toSet
-    assert(ttlBatch == unbounded && ttlBatch.contains((1L, 20L, 0L)))
+    assert(unbounded.contains((1L, 20L, 0L))) // unbounded DOES pair A-B
+    assert(ttlBatch == streamed) // batch twin == stream result, exactly
+    assert(ttlBatch == Set((21L, 22L, 0L), (10L, 23L, 0L)))
+  }
+
+  test("TTL batch mode is inert for pre-epoch event times (sentinel is MinValue, not 0)") {
+    import java.sql.Timestamp
+    // two exact copies 500 ms apart, both BEFORE the epoch: a 0L batch
+    // watermark sentinel would evict them (ts < 0) and drop the pair
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4 p5 p6", new Timestamp(-5000L)),
+      (2L, "p1 p2 p3 p4 p5 p6", new Timestamp(-4500L)),
+      (3L, "q1 q2 q3 q4 q5 q6", new Timestamp(-900000L))) // out of horizon vs both
+      .toDF("doc_id", "text", "ts")
+    val pairs = NearDupStream.simhashDupPairsWithin(docs, "doc_id", "text", "ts", 3, 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)))
+  }
+
+  test("allowedLatenessMs widens eviction but never the pair horizon") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.types._
+    val horizonMs = 1000L
+    // same shape as the eviction test, but with lateness = 10s the
+    // watermark (max - horizon - lateness) never passes A before its
+    // out-of-horizon copy B arrives — B still must NOT pair (per-pair
+    // check), while the in-horizon cross-batch pair still emits
+    val aText = "a1 a2 a3 a4 a5 a6"
+    val dText = "d1 d2 d3 d4 d5 d6"
+    val file1 = Seq((1L, aText, 1000L), (2L, "f1 f2 f3 f4 f5 f6", 1100L))
+    val file2 = Seq((10L, dText, 10000L), (11L, "g1 g2 g3 g4 g5 g6", 10050L))
+    val file3 = Seq((20L, aText, 10400L), (23L, dText, 10600L))
+    val dir = java.nio.file.Files.createTempDirectory("neardup-late").toString + "/in"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    Seq(file1, file2, file3).foreach { slice =>
+      slice.map { case (id, t, ms) => (id, t, new Timestamp(ms)) }
+        .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStream.runToMemory(
+      NearDupStream.simhashDupPairsWithin(
+        stream, "doc_id", "text", "ts", 3, horizonMs, allowedLatenessMs = 10000L).toDF(),
+      "neardup_late_pairs", "append")
+    q.awaitTermination(60000)
+    val streamed = spark.table("neardup_late_pairs")
+      .as[(Long, Long, Long)].collect().toSet
+    // A survived eviction (lateness holds it) yet A-B stays unpaired:
+    // out-of-horizon emission is blocked by the check, not by eviction
+    assert(streamed == Set((10L, 23L, 0L)))
   }
 }
