@@ -90,17 +90,43 @@ object GraphRank {
     * hub's score passes Long.MaxValue / w_max. The damping step reuses
     * the unweighted identity. With all weights 1 this IS [[pageRank]]
     * (w_total = degree, the remainder term vanishes) — spec-pinned.
+    * The equivalence assumes the SAME effective edge list both sides:
+    * [[pageRank]] `distinct()`s the doubled list where the weighted
+    * form SUMS it, so a unit-weight input with duplicate, reversed, or
+    * parallel edges merges them into weights > 1 instead (spec-pinned
+    * too) — feed a deduplicated single-direction list when the
+    * unweighted scores are the goal.
+    *
+    * Weight contract, enforced: every `w` must be > 0 (a codegen'd
+    * per-row check fails the build of the edge list otherwise — a zero
+    * wsum would turn `div` into NULL and silently vanish from the
+    * inflow sum); and max(wsum) must stay below sqrt(2⁶³) ≈ 3.037e9,
+    * `require`-checked from the materialized wsum table, because the
+    * split identity's intermediate `w*(s mod W)` is bounded by W² (and
+    * the first term by s itself — see the g01 margin note). Hub pages
+    * past ~3e9 total incident weight (e.g. byte-volume weights) need a
+    * rescale (divide all weights by a constant) — documented, not
+    * silent wraparound.
     *
     * Same scale shape as [[pageRank]]: weights ride the one edge-list
     * shuffle; per iteration one equi-join + one map-side-combinable
     * aggregation; lineage cut under the session checkpoint policy. */
   def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 1 && dampE2 >= 0 && dampE2 <= 100)
-    val und = edges.select(col("src"), col("dst"), col("w"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val checkedW = expr(
+      "CASE WHEN w > 0 THEN w ELSE raise_error(" +
+        "concat('pageRankWeighted: edge weight must be > 0, got ', CAST(w AS STRING))) END")
+    val und = edges.select(col("src"), col("dst"), checkedW.cast("long").as("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w").cast("long")))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .transform(Reliability.cut)
     val ws = und.groupBy("src").agg(sum(col("w")).as("wsum")).transform(Reliability.cut)
+    // sqrt(2^63) bound on the split identity's W² intermediate; one
+    // scalar fetch off the already-materialized (cut) wsum table
+    val wsumMax = ws.agg(coalesce(max(col("wsum")), lit(0L))).head.getLong(0)
+    require(wsumMax <= 3037000499L,
+      s"pageRankWeighted: max total incident weight $wsumMax exceeds sqrt(2^63) ~ 3.037e9 — " +
+        "w*(score mod wsum) could overflow Long; rescale weights (divide by a constant) first")
     val nodes = Reliability.cut(und.select(col("src").as("node")).distinct())
     val teleport = 1000000000L * (100 - dampE2) / 100
     var scores = nodes.withColumn("score_e9", lit(1000000000L))

@@ -79,6 +79,26 @@ class GraphRankSpec extends SparkSpec {
     assert(dup == merged)
   }
 
+  test("non-positive weights fail fast instead of NULLing out of the inflow sum") {
+    for (bad <- Seq(0L, -3L)) {
+      val e = Seq((1L, 2L, 5L), (2L, 3L, bad)).toDF("src", "dst", "w")
+      val ex = intercept[Exception](GraphRank.pageRankWeighted(e, 1).collect())
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(ex).exists(_.contains("edge weight must be > 0")), s"w=$bad: $ex")
+    }
+  }
+
+  test("total incident weight past sqrt(2^63) is rejected, at the documented bound") {
+    // one hub edge carrying the whole budget: wsum = w. Just under the
+    // bound runs; just over raises the documented rescale message.
+    val ok = Seq((1L, 2L, 3037000499L)).toDF("src", "dst", "w")
+    assert(GraphRank.pageRankWeighted(ok, 1).count() == 2)
+    val over = Seq((1L, 2L, 3037000500L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException](GraphRank.pageRankWeighted(over, 1))
+    assert(ex.getMessage.contains("rescale weights"))
+  }
+
   test("a heavier edge pulls proportionally more mass") {
     // star: center 1 sends to 2 (w=9) and 3 (w=1): after one round the
     // heavy neighbor holds 9x the center-inflow of the light one
