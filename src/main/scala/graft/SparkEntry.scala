@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the relational surface Q01–Q22 plus dedup (d*), similarity (s*),
   * text analysis (t*), multimodal (m*), streaming batch-twins (st*) and
   * pipeline operators (p*). `oracleSql` carries the DuckDB twin for
-  * every query whose semantics are ANSI-SQL-expressible (all but the
-  * HLL sketch q22).
+  * every query in the inventory (q22's engine-specific HLL registers
+  * are gated behind a checkable relative-error contract).
   */
 object SparkEntry {
 

@@ -659,8 +659,9 @@ object Queries {
     QueryDef(
       "q34_kmv_distinct",
       // approximate distinct counting that CAN cross the oracle gate
-      // ([[Packing.kmvDistinct]]): q22 pins the HLL built-in (engine-
-      // specific registers, rows-only check); KMV's estimate depends
+      // ([[Packing.kmvDistinct]]): q22 gates the HLL built-in behind a
+      // relative-error bound (its registers are engine-specific, so
+      // only the CONTRACT is checkable); KMV's estimate depends
       // only on the k-th smallest md5 of the distinct ids, which both
       // engines compute identically — the full sketch → estimate path
       // hash-matches. Estimates distinct users per event_type, k = 16.
@@ -756,13 +757,27 @@ object Queries {
     ),
     QueryDef(
       "q22_approx_distinct",
+      // HLL register values are engine-specific, so the raw estimates
+      // can never hash-match a DuckDB oracle — but the CONTRACT can:
+      // the query emits the exact counts plus booleans asserting each
+      // HLL estimate lands within 5% relative error of its exact
+      // count (HLL++ at default rsd 0.05 is well inside that on 1e5+
+      // distinct keys). The oracle pins the exact counts and expects
+      // the booleans literally TRUE, so a drifting sketch turns this
+      // row red instead of hiding behind a rows-only check.
       (s, d) =>
         Tables.lineitem(s, d).agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_partkey")).as("exact_parts")
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            <= countDistinct(col("l_partkey")) * 0.05).as("parts_within_5pct"),
+          (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
+            <= countDistinct(col("l_orderkey")) * 0.05).as("orders_within_5pct")
         ),
-      None // HLL sketches are engine-specific; rows-only check
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+             |count(DISTINCT l_orderkey) AS exact_orders,
+             |TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+             |FROM lineitem""".stripMargin)
     ),
 
     // ============================ dedup suite =============================
@@ -1821,21 +1836,23 @@ object Queries {
       "st06_stream_neardup_ttl",
       // the BOUNDED-STATE streaming near-dup path (event-time TTL,
       // [[graft.streaming.NearDupStream.simhashDupPairsWithin]]) run in
-      // batch mode, where the TTL contract makes eviction inert: the
-      // result must equal d02/st05 exactly, so the oracle gates the TTL
-      // variant's band/pair logic the same way st05 gates the unbounded
-      // one. The streaming-only parts (watermark eviction, timeout
-      // removal, state plateau) are NearDupStreamSpec-pinned. Event
-      // time is a deterministic function of doc_id — in batch its value
-      // is irrelevant by the inertness contract, which this row proves.
+      // batch mode, where eviction is inert and the contract reduces to
+      // its deterministic core: the d02/st05 pair set RESTRICTED to
+      // pairs whose event times lie within the horizon (the per-pair
+      // check, exact in batch and stream alike). Event time is doc_id
+      // seconds and the 200 s horizon splits the sf0.01 pair set
+      // (14 in-horizon of 25), so this row exercises BOTH sides of the
+      // restriction. The streaming-only parts (watermark eviction,
+      // timeout removal, state plateau, lateness) are
+      // NearDupStreamSpec-pinned.
       (s, d) =>
         graft.streaming.NearDupStream
           .simhashDupPairsWithin(
             Tables.documents(s, d)
               .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)")),
-            "doc_id", "text", "ts", 3, horizonMs = 3600000L)
+            "doc_id", "text", "ts", 3, horizonMs = 200000L)
           .toDF(),
-      Some(simhashPairsSql(3))
+      Some(simhashPairsSql(3, maxIdGap = Some(200L)))
     ),
 
     // ==================== SQL/temp-view layer (J4) ========================
@@ -2232,8 +2249,6 @@ object Queries {
        |SELECT doc_id, $bitTerms AS simhash FROM hsx""".stripMargin
   }
 
-  /** DuckDB twin of [[Dedup.simhashPairs]]: per-doc 60-bit simhash from
-    * 60-bit md5 token hashes, 4×15-bit pigeonhole banding, exact hamming. */
   /** DuckDB twin of the ADC serving path — shared by s11 (inline
     * search) and s14 (served from the stored PqIndex): the two Spark
     * programs are the same arithmetic by construction, so one oracle
@@ -2262,13 +2277,18 @@ object Queries {
        |WHERE rk <= 5""".stripMargin
   }
 
-  private def simhashPairsSql(maxHamming: Int): String = {
+  /** DuckDB twin of [[Dedup.simhashPairs]]: per-doc 60-bit simhash from
+    * 60-bit md5 token hashes, 4×15-bit pigeonhole banding, exact hamming.
+    * `maxIdGap` adds the st06 TTL restriction — pairs no further apart
+    * than the gap in doc_id units (= seconds of event time there). */
+  private def simhashPairsSql(maxHamming: Int, maxIdGap: Option[Long] = None): String = {
     val bitTerms = (0 until Text.simhashBits).map { i =>
       s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) > len(hs) THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
     val cb = Dedup.simhashChunkBits
     val mask = (1L << cb) - 1
     val chunkIdx = (0 until Dedup.simhashChunks).mkString("[", ", ", "]")
+    val gap = maxIdGap.fold("")(g => s"\nAND abs(a.doc_id - b.doc_id) <= $g")
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
        |hsx AS (SELECT doc_id, list_transform(tk, t -> ${Hashing.md5LongSql("t", 11)}) AS hs
        |  FROM toks WHERE len(tk) > 0),
@@ -2278,7 +2298,7 @@ object Queries {
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming$gap""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.embeddingNearDup]]: same SRP-LSH banding
