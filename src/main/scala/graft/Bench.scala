@@ -100,16 +100,19 @@ object Bench {
   val SummaryWorstN = 10
 
   /** The single stdout line, guaranteed `<= SummaryMaxChars`. Carries
-    * the total, the contention telemetry, the (bounded) warning, and
-    * the worst-[[SummaryWorstN]] query medians at 1 decimal; `queries_
-    * shown`/`queries_total` make the partiality explicit. Degrades in
-    * order: trim the warning (the only unbounded field — it names
-    * queries), then shrink the worst-N list. Pure, so the length bound
-    * is unit-testable at any inventory size. */
+    * the total, the contention telemetry, the explicit self-adjudicated
+    * `contended` verdict (r13's lesson: the driver records whatever
+    * this line says, so the line itself must say whether to trust it),
+    * the (bounded) warning, and the worst-[[SummaryWorstN]] query
+    * medians at 1 decimal; `queries_shown`/`queries_total` make the
+    * partiality explicit. Degrades in order: trim the warning (the only
+    * unbounded field — it names queries), then shrink the worst-N list.
+    * Pure, so the length bound is unit-testable at any inventory size. */
   private[graft] def summaryLine(
       total: Double, load1End: Double, load1Start: Double, load15Start: Double,
       waitedSec: Double,
-      retries: Int, warnParts: List[String], medians: Seq[(String, Double)],
+      retries: Int, contended: Boolean, warnParts: List[String],
+      medians: Seq[(String, Double)],
       sf: String): String = {
     val byWorst = medians.sortBy { case (n, s) => (-s, n) }
     def build(n: Int, warnEsc: String): String = {
@@ -117,7 +120,7 @@ object Bench {
         .map { case (name, s) => "\"" + name + f"""\":$s%.1f""" }
         .mkString("{", ",", "}")
       val w = if (warnEsc.nonEmpty) s""","warning":"$warnEsc"""" else ""
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries,"contended":$contended$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
     }
     val warnEsc = warnParts.mkString("; ")
       .replace("\\", "\\\\").replace("\"", "\\\"")
@@ -187,7 +190,8 @@ object Bench {
         else {
           val s = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
-          if (s.contains("\"warning\"")) Map.empty else parseQueryMedians(s)
+          if (s.contains("\"warning\"") || s.contains("\"contended\":true")) Map.empty
+          else parseQueryMedians(s)
         }
       } catch { case _: Throwable => Map.empty }
 
@@ -210,12 +214,13 @@ object Bench {
     } catch { case _: Throwable => (load1(), -1.0, -1.0) }
 
   /** load15 at or above this at start marks the run contended: the
-    * machine was heavily busy within the last quarter hour, and the
-    * measured blind spot (uniform sub-2× inflation, no spread, clean
-    * CPU counters) has exactly this signature. 2.0 clears the bench's
-    * own JVM startup (~1.3 observed after a long settle) but catches
-    * a recently-hot machine. */
-  val MaxLoad15Start = 2.0
+    * machine was busy within the last quarter hour, and the measured
+    * blind spot (uniform sub-2× inflation, no spread, clean CPU
+    * counters) has exactly this signature. 1.0 (r14, down from 2.0) is
+    * the bar the r13 verdict set — the wait loop now blocks on load15
+    * too, so a run that still starts above it is genuinely contended,
+    * not just following its own sbt compile. */
+  val QuietLoad15 = 1.0
 
   /** Total busy jiffies across all cores (user+nice+system+irq+softirq+
     * steal) from Linux /proc/stat; -1 where unavailable. Together with
@@ -273,14 +278,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    // (1) wait-for-quiet: a minute of settling is cheaper than a round
-    // of forensics on a 3x-inflated artifact. Budget-bounded so a
-    // persistently busy host still produces a (flagged) number.
+    // (1) wait-for-quiet: minutes of settling are cheaper than a round
+    // of forensics on an inflated artifact. Since r14 the loop blocks
+    // on load15 too (r11–r13 all recorded contended official artifacts
+    // because load1 cleared while the 15-minute average still carried
+    // the heavy work that just ended — the uniform-inflation blind
+    // spot), with the budget raised to 10 min: load15 decays with a
+    // 15-minute time constant, so 2.0 → 1.0 alone takes ~10 min of
+    // true idle. Budget-bounded so a persistently busy host still
+    // produces a number — explicitly flagged "contended":true.
     val quietBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_QUIET_SEC").flatMap(s =>
-      scala.util.Try(s.trim.toInt).toOption).getOrElse(240)
+      scala.util.Try(s.trim.toInt).toOption).getOrElse(600)
     val deadline = System.nanoTime() + quietBudgetSec * 1000000000L
     var waitedSec = 0.0
-    while (load1() > QuietLoad1 && System.nanoTime() < deadline) {
+    while ({ val (l1, _, l15) = loadAvgs(); l1 > QuietLoad1 || l15 >= QuietLoad15 } &&
+        System.nanoTime() < deadline) {
       Thread.sleep(5000)
       waitedSec += 5.0
     }
@@ -420,7 +432,7 @@ object Bench {
     // persistent prior jump marks the run contended so sidecar
     // protection keeps the clean prior; a real regression is accepted
     // deliberately via SPARK_GRAFT_BENCH_NO_PRIOR=1, never by default.
-    val contended = load1Start > 2 * QuietLoad1 || load15Start >= MaxLoad15Start ||
+    val contended = load1Start > 2 * QuietLoad1 || load15Start >= QuietLoad15 ||
       contendedQueries.nonEmpty || slowVsPriorQueries.nonEmpty
     val warnParts = List(
       if (contendedQueries.nonEmpty)
@@ -431,7 +443,7 @@ object Bench {
       else None,
       if (load1Start > 2 * QuietLoad1) Some(f"contended: load1=$load1Start%.1f at start")
       else None,
-      if (load15Start >= MaxLoad15Start)
+      if (load15Start >= QuietLoad15)
         Some(f"recently-hot machine: load15=$load15Start%.1f at start — medians may be uniformly inflated")
       else None).flatten
     val warning =
@@ -446,9 +458,9 @@ object Bench {
     // bench_summary.json so the round artifact is recoverable even if
     // stdout scraping fails again.
     val compact = summaryLine(total, load1End, load1Start, load15Start, waitedSec,
-      retriesTotal, warnParts, results.map(r => (r._1, r._2)), sfDir)
+      retriesTotal, contended, warnParts, results.map(r => (r._1, r._2)), sfDir)
     val detail =
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal,"contended":$contended$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
     def writeJson(path: String, s: String): Unit = {
       val p = java.nio.file.Paths.get(path)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
@@ -466,9 +478,12 @@ object Bench {
     // The routing policy itself is the pure artifactDest, unit-tested.
     def existingIsClean(path: String): Boolean = {
       val p = java.nio.file.Paths.get(path)
-      java.nio.file.Files.exists(p) &&
-        !new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8).contains("\"warning\"")
+      if (!java.nio.file.Files.exists(p)) false
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        !s.contains("\"warning\"") && !s.contains("\"contended\":true")
+      }
     }
     def protectedWrite(path: String, s: String): Unit = {
       val dest = artifactDest(path, only.isDefined, contended, existingIsClean(path))

@@ -31,6 +31,14 @@ object GraftSession {
       // Driver testdata stores naive timestamps; read as instants (UTC)
       // so timestamp arithmetic type-checks — see [[Tables.apply]].
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // When [[Reliability]] runs in reliable mode, superseded rounds'
+      // checkpoint files are GC'd as their RDDs fall out of scope —
+      // without this an hours-long iterative job accumulates a full
+      // working-set snapshot per round for the app's lifetime. MUST be
+      // set at context start (ContextCleaner reads it once); sessions
+      // not built here need it in their own submit conf — see
+      // [[Reliability]].
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
 
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
     configure(SparkSession.builder().master(master))

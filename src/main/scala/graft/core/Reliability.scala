@@ -33,7 +33,18 @@ import org.apache.spark.sql.DataFrame
 object Reliability {
 
   /** Session conf: directory for reliable checkpoints. Unset → cuts are
-    * executor-local (`localCheckpoint`). */
+    * executor-local (`localCheckpoint`).
+    *
+    * Storage lifecycle: each round of an iterative operator writes a
+    * working-set snapshot under this directory, so superseded rounds
+    * must be garbage-collected or a long job accumulates unbounded
+    * checkpoint storage. [[GraftSession]] enables
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` (Spark's
+    * ContextCleaner then deletes a round's files once its RDD is
+    * unreachable); that flag is read ONCE at SparkContext start, so a
+    * deployment building its own session must set it in the submit
+    * conf — or point the dir at storage with an external TTL/lifecycle
+    * rule. */
   val CheckpointDirKey = "spark.graft.checkpoint.dir"
 
   /** Session conf stamp: the base dir last applied to the context via

@@ -30,10 +30,19 @@ class BenchSpec extends AnyFunSuite {
   }
 
   private def line(n: Int, warn: List[String] = Nil,
-      names: Int => String = i => f"q$i%03d_synthetic_operator_name") =
+      names: Int => String = i => f"q$i%03d_synthetic_operator_name",
+      contended: Boolean = false) =
     Bench.summaryLine(total = 1234.567, load1End = 4.9, load1Start = 0.4,
-      load15Start = 0.7, waitedSec = 20, retries = 2, warnParts = warn,
+      load15Start = 0.7, waitedSec = 20, retries = 2, contended = contended,
+      warnParts = warn,
       medians = (1 to n).map(i => names(i) -> i * 0.137), sf = "/root/testdata/sf0.1")
+
+  test("summaryLine stamps the self-adjudicated contended verdict explicitly") {
+    // r13 lesson: the driver records whatever this line says, so the
+    // line itself must carry the trust verdict — both values, always
+    assert(line(5).contains("\"contended\":false"))
+    assert(line(5, contended = true).contains("\"contended\":true"))
+  }
 
   test("summaryLine stays under the cap at 200 synthetic queries") {
     // the r04/r11 failure mode: the driver collector keeps ~2000 chars of
