@@ -16,6 +16,23 @@ class ResidualPqSpec extends SparkSpec {
   private val (nCoarse, nSub, subDim, nCent, nProbe, queryMod, k) =
     (8, 4, 16, 20, 4, 25, 10)
 
+  /** The measured recall@10 at THIS spec's configuration, read from the
+    * committed RECALL_CURVE.json (graft.RecallCurve's output — its
+    * format is closed, so a two-regex parse is exact). The curve is the
+    * deployment-facing artifact; the spec floors against its measured
+    * operating point instead of a hand-pinned constant, so regenerating
+    * the curve after an index change re-derives the gate. */
+  private def curveOperatingPoint: Double = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("RECALL_CURVE.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val point = ("""\{"n_sub":""" + nSub + ""","n_probe":""" + nProbe +
+      ""","all_cells":\w+,"recall10_residual":([0-9.]+)""").r
+    point.findFirstMatchIn(s)
+      .getOrElse(fail(s"RECALL_CURVE.json has no (n_sub=$nSub, n_probe=$nProbe) point"))
+      .group(1).toDouble
+  }
+
   private def recallAt10(approx: org.apache.spark.sql.DataFrame,
       truth: org.apache.spark.sql.DataFrame): Double = {
     val hits = approx.select("query_id", "cand_id")
@@ -40,13 +57,17 @@ class ResidualPqSpec extends SparkSpec {
       nCoarse, nSub, subDim, nCent, nProbe, queryMod, k)
     val rRaw = recallAt10(raw, truth)
     val rRes = recallAt10(res, truth)
-    info(f"recall@10 raw=$rRaw%.3f residual=$rRes%.3f")
+    // floor = the curve's measured value at this exact configuration,
+    // minus slack for cross-platform IEEE variation only — the
+    // arithmetic is deterministic, so a real index regression (bad
+    // codebooks, broken residuals) undershoots by far more than 0.05
+    val measured = curveOperatingPoint
+    info(f"recall@10 raw=$rRaw%.3f residual=$rRes%.3f curve-floor=$measured%.3f")
     assert(rRes >= rRaw,
       f"residual recall $rRes%.3f fell below raw-codebook recall $rRaw%.3f")
-    // and the residual index is not degenerate: it must beat random
-    // (deterministic arithmetic — measured 0.220 vs raw 0.120 on this
-    // corpus; the floor is slack for cross-platform FP variation only)
-    assert(rRes > 0.15, f"residual recall $rRes%.3f is no better than noise")
+    assert(rRes >= measured - 0.05,
+      f"residual recall $rRes%.3f fell below the committed curve's $measured%.3f " +
+        "(RECALL_CURVE.json) — regenerate via graft.RecallCurve if the index changed deliberately")
   }
 
   test("the stored ResidualPqIndex serves identically, including through parquet") {
