@@ -312,6 +312,13 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CHECKPOINT_DIR flips the iterative operators
+    // (PageRank, cluster propagation, k-means) to RELIABLE checkpoint
+    // cuts through the given directory — the knob behind the measured
+    // local-vs-reliable overhead in BASELINE.md. The driver never sets
+    // it, so official artifacts always measure the local default.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set(graft.core.Reliability.CheckpointDirKey, d))
 
     // Snapshot load AFTER the quiet wait, BEFORE any work — a still-hot
     // value here is the signal that flagged every bad artifact. load15
