@@ -221,6 +221,14 @@ object Bench {
     * too, so a run that still starts above it is genuinely contended,
     * not just following its own sbt compile. */
   val QuietLoad15 = 1.0
+  /** The wait loop's load15 release target — BELOW the flag bar, with
+    * headroom for the session's own startup (sbt fork + JVM spin-up
+    * run between loop exit and the telemetry snapshot and measurably
+    * bump load15 back up: the first two r14 runs released at 0.99 and
+    * snapshotted at exactly 1.0, self-flagging a genuinely settled
+    * machine). Waiting to 0.8 costs ~3 extra minutes of decay and
+    * makes the flag mean what it says. */
+  val WaitLoad15 = 0.8
 
   /** Total busy jiffies across all cores (user+nice+system+irq+softirq+
     * steal) from Linux /proc/stat; -1 where unavailable. Together with
@@ -291,7 +299,7 @@ object Bench {
       scala.util.Try(s.trim.toInt).toOption).getOrElse(600)
     val deadline = System.nanoTime() + quietBudgetSec * 1000000000L
     var waitedSec = 0.0
-    while ({ val (l1, _, l15) = loadAvgs(); l1 > QuietLoad1 || l15 >= QuietLoad15 } &&
+    while ({ val (l1, _, l15) = loadAvgs(); l1 > QuietLoad1 || l15 >= WaitLoad15 } &&
         System.nanoTime() < deadline) {
       Thread.sleep(5000)
       waitedSec += 5.0

@@ -37,6 +37,15 @@ class BenchSpec extends AnyFunSuite {
       warnParts = warn,
       medians = (1 to n).map(i => names(i) -> i * 0.137), sf = "/root/testdata/sf0.1")
 
+  test("the wait target sits below the flag bar (startup-bump hysteresis)") {
+    // the first two r14 runs released at load15 0.99 and snapshotted at
+    // exactly 1.0 (sbt fork + JVM spin-up bump the average between loop
+    // exit and telemetry) — the release target must leave headroom or
+    // every run self-flags on a genuinely settled machine
+    assert(Bench.WaitLoad15 <= Bench.QuietLoad15 - 0.15)
+    assert(Bench.QuietLoad1 <= Bench.QuietLoad15)
+  }
+
   test("summaryLine stamps the self-adjudicated contended verdict explicitly") {
     // r13 lesson: the driver records whatever this line says, so the
     // line itself must carry the trust verdict — both values, always
