@@ -817,6 +817,15 @@ object Queries {
         docs.filter(col("doc_id") % 7 =!= 0),
         "doc_id", "text", 0.5)
     }, Some(minhashIncrementalSql(7, 0.5))),
+    QueryDef("d08_canonical_docs", (s, d) => {
+      // quality-aware representative selection ([[Dedup.canonicalDocs]]):
+      // the d05 clusters decide WHAT is duplicated, the t02 quality
+      // signal decides WHICH copy survives — keep the richest
+      // high-quality member per cluster instead of naive min-id
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalDocs(docs, "doc_id", "text",
+        Dedup.dedupClusters(Dedup.minhashLsh(docs, "doc_id", "text", 0.5)))
+    }, Some(canonicalDocsSql(0.5))),
 
     // ============== embedding aggregation (training-data ops) =============
     QueryDef(
@@ -2206,6 +2215,27 @@ object Queries {
        |  UNION
        |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
        |SELECT id AS doc_id, min(label) AS canonical_id FROM reach GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of [[Dedup.canonicalDocs]] over the d05 clusters:
+    * same (quality desc, n_tokens desc, doc_id asc) argmax, expressed
+    * as a rank window at oracle scale. */
+  private def canonicalDocsSql(threshold: Double): String = {
+    val tk = toksSql("lower(text)")
+    val stop = Text.stopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH c AS (SELECT doc_id, canonical_id AS cluster_id FROM (${dedupClustersSql(threshold)})),
+       |q AS (SELECT doc_id,
+       |  CAST(CASE WHEN len($tk) >= 20 AND 20 * len(list_filter($tk, t -> t IN ($stop))) >= len($tk) THEN 2
+       |  WHEN len($tk) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS quality,
+       |  CAST(len($tk) AS BIGINT) AS n_tokens FROM documents),
+       |k AS (SELECT cluster_id, doc_id AS kept_id FROM
+       |  (SELECT c.cluster_id, q.doc_id,
+       |   row_number() OVER (PARTITION BY c.cluster_id
+       |     ORDER BY q.quality DESC, q.n_tokens DESC, q.doc_id ASC) AS rn
+       |   FROM c JOIN q ON c.doc_id = q.doc_id)
+       |  WHERE rn = 1)
+       |SELECT c.doc_id, c.cluster_id, k.kept_id, c.doc_id = k.kept_id AS keep
+       |FROM c JOIN k ON c.cluster_id = k.cluster_id""".stripMargin
+  }
 
   /** DuckDB twin of [[Dedup.ngramJaccard]] — the exact quadratic
     * baseline, bounded to the query subset (id % sampleMod == 0). */

@@ -602,6 +602,58 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Canonical-representative selection — the decision step a curation
+    * pipeline actually ships after [[dedupClusters]]: within each
+    * duplicate cluster keep exactly ONE document, the best one, and
+    * mark the rest for dropping. "Best" is (quality bucket desc,
+    * token count desc, doc_id asc) — prefer the richest high-quality
+    * copy, deterministic under ties — using the same
+    * [[graft.functions.Text.qualityBucket]] signal as t02, so the
+    * kept set is reproducible in the oracle.
+    *
+    * Naive dedup keeps `min(doc_id)` per cluster (the [[exact]]
+    * convention); on near-dup clusters that throws away the best copy
+    * whenever a truncated or boilerplate-wrapped variant happens to
+    * have the smaller id. This operator is the quality-aware
+    * replacement: the near-dup graph decides WHAT is duplicated, the
+    * quality signal decides WHICH copy survives.
+    *
+    * Output: one row per clustered doc —
+    * (doc_id, cluster_id, kept_id, keep). Docs in no cluster are not
+    * emitted (they trivially keep themselves; a pipeline anti-joins
+    * the dropped set, t07-style, rather than materializing identity
+    * rows for the whole corpus).
+    *
+    * Scale shape: `clusters` is bounded by docs that HAVE a near-dup
+    * (small vs the corpus); the metric join is one equi-join on
+    * doc_id, and the per-cluster argmax is a map-side-combinable
+    * `max(struct(...))` — no window over the corpus, no second pass.
+    * The negated-id trick keeps the tie-break inside one ordered
+    * struct, so the whole selection is a single aggregation. */
+  def canonicalDocs(docs: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame): DataFrame = {
+    val toks = Text.tokens(lower(col(textCol)))
+    val nToks = size(toks)
+    val nStop = size(filter(toks, t => t.isInCollection(Text.stopwords)))
+    val metrics = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      Text.qualityBucket(nToks, nStop).cast("long").as("quality"),
+      nToks.cast("long").as("n_tokens"))
+    val scored = clusters.select(col("doc_id"), col("canonical_id").as("cluster_id"))
+      .join(metrics, "doc_id")
+    // argmax(quality, n_tokens, -doc_id) per cluster as ONE combinable
+    // aggregate: struct comparison is lexicographic, so maximizing the
+    // negated id IS the min-id tie-break (ids are non-negative longs)
+    val kept = scored
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality"), col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("kept_id"))
+    scored.select(col("doc_id"), col("cluster_id"))
+      .join(kept, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("kept_id"),
+        (col("doc_id") === col("kept_id")).as("keep"))
+  }
+
   /** Exact-substring duplicated-span finder — the sub-document shape of
     * the Lee et al. "Deduplicating Training Data Makes Language Models
     * Better" ExactSubstr pass (arXiv:2107.06499), seeded with k-token

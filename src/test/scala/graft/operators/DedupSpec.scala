@@ -105,6 +105,45 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupClusters(empty).isEmpty)
   }
 
+  test("canonicalDocs keeps the best-quality copy per cluster, not the min id") {
+    // cluster {1,2,3}: doc 1 is a junk-short copy (quality 0), doc 2 the
+    // rich copy (>= 20 tokens, stopword-heavy -> quality 2), doc 3 ok
+    // (quality 1). Naive min-id dedup keeps 1; quality-aware keeps 2.
+    // cluster {10,11}: equal quality and length -> tie breaks to min id.
+    // doc 99 is clusterless and must not be emitted.
+    val corpus = Seq(
+      (1L, "the fox"),
+      (2L, "the quick brown fox jumps over the lazy dog and it is happy to nap in the warm sun all day"),
+      (3L, "quick brown fox jumps lazy"),
+      (10L, "same words in a line"),
+      (11L, "same words in a line"),
+      (99L, "unrelated singleton document")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "canonical_id")
+    val out = Dedup.canonicalDocs(corpus, "doc_id", "text", clusters)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (10L, 10L, 10L, true), (11L, 10L, 10L, false)))
+    // exactly one keeper per cluster, always a member of its cluster
+    val keepers = out.filter(_._4).map(r => r._2 -> r._1).toMap
+    assert(keepers.keySet == Set(1L, 10L) && keepers.values.toSet == Set(2L, 10L))
+  }
+
+  test("canonicalDocs longer copy wins within the same quality bucket") {
+    // both quality 1 (5-19 tokens, few stopwords): 21 beats 20 on length
+    // even though 20 has the smaller id
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta epsilon"),
+      (21L, "alpha beta gamma delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val clusters = Seq((20L, 20L), (21L, 20L)).toDF("doc_id", "canonical_id")
+    val out = Dedup.canonicalDocs(corpus, "doc_id", "text", clusters)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set((20L, 20L, 21L, false), (21L, 20L, 21L, true)))
+  }
+
   test("simhash of identical docs is identical; pairs found within hamming 3") {
     val sh = Dedup.simhashTable(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
