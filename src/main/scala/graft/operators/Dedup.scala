@@ -639,8 +639,12 @@ object Dedup {
       col(idCol).cast("long").as("doc_id"),
       Text.qualityBucket(nToks, nStop).cast("long").as("quality"),
       nToks.cast("long").as("n_tokens"))
+    // scored is consumed twice (argmax + final join) and is bounded by
+    // the CLUSTERED docs, not the corpus — materialize it once so the
+    // corpus text scan runs once, not once per consumer
     val scored = clusters.select(col("doc_id"), col("canonical_id").as("cluster_id"))
       .join(metrics, "doc_id")
+      .transform(Reliability.cut)
     // argmax(quality, n_tokens, -doc_id) per cluster as ONE combinable
     // aggregate: struct comparison is lexicographic, so maximizing the
     // negated id IS the min-id tie-break (ids are non-negative longs)
