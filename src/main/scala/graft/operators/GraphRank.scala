@@ -38,18 +38,33 @@ import graft.core.Reliability
 object GraphRank {
 
   /** Integer PageRank over the UNDIRECTED view of `edges` (columns
-    * `src`, `dst`; both directions are added, then deduplicated).
-    * Returns (node, score_e9) for every node incident to an edge. */
+    * `src`, `dst`, both non-null; both directions are added, then
+    * deduplicated). Returns (node, score_e9) for every node incident
+    * to an edge.
+    *
+    * Edge-build shape: deduplication runs on the CANONICAL pair
+    * (least, greatest) — |E| rows through the distinct instead of the
+    * doubled 2|E| — and the cut materializes the canonical list, so
+    * doubling back to both directions is a narrow two-scan union of
+    * the in-memory blocks, re-derived cheaply wherever the undirected
+    * list is consumed. (The score-side joins broadcast at any node
+    * count where scores fit an executor — the edge list itself only
+    * crosses the wire in the per-iteration inflow aggregation, which
+    * is map-side combined.) */
   def pageRank(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 1 && dampE2 >= 0 && dampE2 <= 100)
     // the edge list, degrees and node set are loop INVARIANTS —
     // materialize them once (set spark.graft.checkpoint.dir to store
     // the cuts reliably) or every iteration's job re-derives the whole
     // edge build from source; measured 3x on the g01 bench
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .transform(Reliability.cut)
+    // a self-loop canonicalizes to (a, a): emitting its swap would
+    // double it where the doubled-list distinct kept exactly one row
+    val und = canon.select(col("a").as("src"), col("b").as("dst"))
+      .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst")))
     val deg = Reliability.cut(und.groupBy("src").agg(count(lit(1)).as("deg")))
     val nodes = Reliability.cut(und.select(col("src").as("node")).distinct())
     val teleport = 1000000000L * (100 - dampE2) / 100
@@ -116,10 +131,20 @@ object GraphRank {
     val checkedW = expr(
       "CASE WHEN w > 0 THEN w ELSE raise_error(" +
         "concat('pageRankWeighted: edge weight must be > 0, got ', CAST(w AS STRING))) END")
-    val und = edges.select(col("src"), col("dst"), checkedW.cast("long").as("w"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w").cast("long")))
-      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    // weight merge on the CANONICAL pair — |E| rows through the one
+    // aggregation instead of the doubled 2|E| — cut there, then both
+    // directions re-derived narrowly from the materialized blocks; a
+    // self-loop's doubled copies would have summed to twice its
+    // canonical weight, so its single emitted row carries 2w (see
+    // [[pageRank]] for the build-shape rationale).
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"),
+        checkedW.cast("long").as("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
       .transform(Reliability.cut)
+    val und = canon.select(col("a").as("src"), col("b").as("dst"),
+        when(col("a") === col("b"), col("w") * 2).otherwise(col("w")).as("w"))
+      .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst"), col("w")))
     val ws = und.groupBy("src").agg(sum(col("w")).as("wsum")).transform(Reliability.cut)
     // sqrt(2^63) bound on the split identity's W² intermediate; one
     // scalar fetch off the already-materialized (cut) wsum table
