@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, GraphRank, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Skew, Upsert}
+import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, GraphRank, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Sketch, Skew, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -826,6 +826,30 @@ object Queries {
       Dedup.canonicalDocs(docs, "doc_id", "text",
         Dedup.dedupClusters(Dedup.minhashLsh(docs, "doc_id", "text", 0.5)))
     }, Some(canonicalDocsSql(0.5))),
+    QueryDef("d09_corpus_overlap", (s, d) => {
+      // cross-corpus overlap from MERGEABLE KMV sketches ([[Sketch]]):
+      // the "how much of corpus B is already in A" question a mixing
+      // decision asks, answered from two k-row sketches instead of a
+      // corpus-sized distinct per comparison. Corpora: source pools
+      // src0–src9 (A) vs src10–src19 (B), elements: 3-gram shingles.
+      // The exact side rides along as the small-SF validation twin —
+      // at scale only the sketch path runs (sketch once, compare many).
+      val docs = Tables.documents(s, d)
+      val grams = docs.select(
+        when(expr("CAST(substring(source, 4) AS INT) < 10"), lit("A"))
+          .otherwise(lit("B")).as("corp"),
+        explode(Text.shingles(Text.tokens(lower(col("text"))), 3)).as("gram"))
+      val sk = Sketch.kmvMinima(grams, "gram", "corp", seed = 29, k = 256)
+      val est = Sketch.kmvOverlap(sk, "corp", "A", "B", k = 256)
+      val flags = grams.distinct().groupBy("gram").agg(
+        max(when(col("corp") === "A", 1L).otherwise(0L)).as("ia"),
+        max(when(col("corp") === "B", 1L).otherwise(0L)).as("ib"))
+      val exact = flags.agg(
+        sum(expr("ia * ib")).as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+      est.crossJoin(exact)
+        .withColumn("exact_jaccard_e6", expr("(exact_inter * 1000000L) div exact_union"))
+    }, Some(corpusOverlapSql(29, 256))),
 
     // ============== embedding aggregation (training-data ops) =============
     QueryDef(
@@ -2235,6 +2259,49 @@ object Queries {
        |  WHERE rn = 1)
        |SELECT c.doc_id, c.cluster_id, k.kept_id, c.doc_id = k.kept_id AS keep
        |FROM c JOIN k ON c.cluster_id = k.cluster_id""".stripMargin
+  }
+
+  /** DuckDB twin of d09: [[graft.operators.Sketch.kmvMinima]] +
+    * [[graft.operators.Sketch.kmvOverlap]] over the source-pool corpora,
+    * plus the exact-overlap validation columns. The sketch hash and its
+    * tie-break mirror `Packing.stratifiedCap` (order by h, then element);
+    * the estimate is q34's `floor((k-1)·2⁶⁰ / h_k)`. */
+  private def corpusOverlapSql(seed: Int, k: Int): String = {
+    val tk = toksSql("lower(text)")
+    val sh = Text.shinglesSql("tk", 3)
+    val h = Hashing.md5LongSql("concat('cap:', gram)", seed)
+    def est(hk: String, n: String) =
+      s"CASE WHEN $n < $k THEN $n ELSE CAST(floor(${k - 1} * 1152921504606846976.0 / $hk) AS BIGINT) END"
+    s"""WITH tkx AS (SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'A' ELSE 'B' END AS corp,
+       |  $tk AS tk FROM documents),
+       |g AS (SELECT DISTINCT corp, gram FROM
+       |  (SELECT corp, unnest($sh) AS gram FROM tkx)),
+       |hx AS (SELECT corp, gram, $h AS h FROM g),
+       |sk AS (SELECT corp, h FROM (SELECT corp, h,
+       |    row_number() OVER (PARTITION BY corp ORDER BY h ASC, gram ASC) AS rn FROM hx)
+       |  WHERE rn <= $k),
+       |m AS (SELECT h, CAST(max(CASE WHEN corp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+       |  CAST(max(CASE WHEN corp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS in_b FROM sk GROUP BY h),
+       |kk AS (SELECT * FROM m ORDER BY h ASC LIMIT $k),
+       |e AS (SELECT CAST(count(*) AS BIGINT) AS n_k, CAST(sum(in_a * in_b) AS BIGINT) AS matches,
+       |  max(h) AS h_k FROM kk),
+       |pc AS (SELECT corp, ${est("max(h)", "count(*)")} AS d_c FROM sk GROUP BY corp),
+       |ex AS (SELECT CAST(sum(ia * ib) AS BIGINT) AS exact_inter,
+       |  CAST(count(*) AS BIGINT) AS exact_union FROM
+       |  (SELECT gram, max(CASE WHEN corp = 'A' THEN 1 ELSE 0 END) AS ia,
+       |     max(CASE WHEN corp = 'B' THEN 1 ELSE 0 END) AS ib FROM g GROUP BY gram)),
+       |fin AS (SELECT CAST($k AS BIGINT) AS k, n_k, matches,
+       |  matches * 1000000 // n_k AS jaccard_e6,
+       |  ${est("h_k", "n_k")} AS d_union FROM e),
+       |fin2 AS (SELECT *, (matches * d_union) // n_k AS inter_est,
+       |  (SELECT d_c FROM pc WHERE corp = 'A') AS d_a,
+       |  (SELECT d_c FROM pc WHERE corp = 'B') AS d_b FROM fin)
+       |SELECT k, n_k, matches, jaccard_e6, d_union, inter_est, d_a, d_b,
+       |  (inter_est * 1000000) // greatest(d_a, 1) AS contain_a_e6,
+       |  (inter_est * 1000000) // greatest(d_b, 1) AS contain_b_e6,
+       |  exact_inter, exact_union,
+       |  (exact_inter * 1000000) // exact_union AS exact_jaccard_e6
+       |FROM fin2, ex""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.ngramJaccard]] — the exact quadratic

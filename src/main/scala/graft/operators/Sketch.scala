@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Mergeable KMV sketches for cross-corpus overlap estimation.
+  *
+  * The dataset-comparison question a training-data pipeline asks before
+  * mixing two corpora — "how much of corpus B is already in corpus A?"
+  * — is a distinct-set overlap: Jaccard and containment of the corpora's
+  * shingle sets. Computing it exactly means a corpus-sized distinct on
+  * (corpus, gram) for EVERY comparison; the KMV sketch answer needs one
+  * linear pass per corpus, after which every pairwise comparison runs
+  * on k-row tables. The sketches are MERGEABLE — the k smallest hashes
+  * of a union are a subset of the union of the per-corpus k-minima — so
+  * per-partition sketches combine without revisiting data, the property
+  * that makes the estimate computable at 100 TB (sketch once, compare
+  * many).
+  *
+  * Everything is oracle-reproducible by the q34 argument: members are
+  * 60-bit md5 hashes both engines compute identically, the union
+  * estimate is `floor((k-1)·2⁶⁰ / h_k)` (exactly-representable
+  * numerator, one IEEE long→double rounding, one correctly-rounded
+  * division), and match counting is integer arithmetic over the k-row
+  * merged sketch.
+  *
+  * Estimator (Beyer et al., "On Synopses for Distinct-Value Estimation
+  * Under Multiset Operations", SIGMOD'07): with K = the k smallest
+  * hashes of S_A ∪ S_B (computable from the two sketches alone),
+  * J ≈ |{h ∈ K : h ∈ sketch_A ∧ h ∈ sketch_B}| / |K|, and
+  * |A ∩ B| ≈ J · D_union. Membership of h ∈ K in sketch_X is membership
+  * in X: h is no larger than the k-th minimum of the union, hence no
+  * larger than the k-th minimum of X.
+  */
+object Sketch {
+
+  /** Per-group KMV sketch: the `k` smallest 60-bit salted hashes of the
+    * DISTINCT `elemCol` values in each `groupCol` group, as rows
+    * (groupCol, h). Groups with fewer than k distinct elements keep all
+    * of them (the sketch IS the set; downstream estimators report
+    * exactly there).
+    *
+    * Scale shape: one distinct on (group, elem) — the only corpus-sized
+    * shuffle — then [[Packing.stratifiedCap]]'s hash-threshold
+    * prefilter bounds the per-group rank window at O(groups × k) rows,
+    * never a corpus sort. The hash (and its tie-break on the element
+    * value) is stratifiedCap's own, so the cap's selection IS the
+    * k-minima selection. */
+  def kmvMinima(
+      df: DataFrame,
+      elemCol: String,
+      groupCol: String,
+      seed: Int,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val pairs = df.select(col(groupCol), col(elemCol)).distinct()
+    Packing.stratifiedCap(pairs, elemCol, groupCol, seed, k)
+      .withColumn("h",
+        Hashing.md5Long(concat(lit("cap:"), col(elemCol).cast("string")), seed))
+      .select(col(groupCol), col("h"))
+  }
+
+  /** Overlap estimate between the `ga` and `gb` sketches of a
+    * [[kmvMinima]] table built with parameter `k`: one row with
+    *
+    *  - `k`, `n_k` (members of the merged k-minima K; < k only when the
+    *    union itself has fewer), `matches` (members of K present in
+    *    both sketches);
+    *  - `jaccard_e6` = matches·1e6 div n_k;
+    *  - `d_union`, `d_a`, `d_b` — KMV distinct estimates of A∪B, A, B
+    *    (exact counts below k);
+    *  - `inter_est` = (matches · d_union) div n_k — estimated |A ∩ B|;
+    *  - `contain_a_e6` / `contain_b_e6` — estimated |A∩B|/|A| and
+    *    |A∩B|/|B| in micro-units, the asymmetric "how much of X is
+    *    already in Y" a mixing decision reads.
+    *
+    * Runs entirely on the ≤ 2k sketch rows: a full-outer membership
+    * join, a TakeOrdered k-minimum (never a sort of anything
+    * corpus-sized), and one aggregation. */
+  def kmvOverlap(
+      sketch: DataFrame,
+      groupCol: String,
+      ga: String,
+      gb: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    def side(g: String, flag: String): DataFrame =
+      sketch.filter(col(groupCol) === lit(g)).select(col("h")).distinct()
+        .withColumn(flag, lit(1L))
+    val merged = side(ga, "in_a").join(side(gb, "in_b"), Seq("h"), "full_outer")
+      .select(col("h"),
+        coalesce(col("in_a"), lit(0L)).as("in_a"),
+        coalesce(col("in_b"), lit(0L)).as("in_b"))
+    val kMin = merged.orderBy(col("h").asc).limit(k)
+
+    val perCorpus = sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_c"), max(col("h")).as("h_c"))
+      .select(col(groupCol),
+        when(col("n_c") < k, col("n_c"))
+          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_c) AS BIGINT)"))
+          .as("d_c"))
+    val da = perCorpus.filter(col(groupCol) === lit(ga)).select(col("d_c").as("d_a"))
+    val db = perCorpus.filter(col(groupCol) === lit(gb)).select(col("d_c").as("d_b"))
+
+    kMin
+      .agg(count(lit(1)).as("n_k"),
+        sum(col("in_a") * col("in_b")).as("matches"),
+        max(col("h")).as("h_k"))
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_k"),
+        col("matches"),
+        expr("matches * 1000000L div n_k").as("jaccard_e6"),
+        when(col("n_k") < k, col("n_k"))
+          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_k) AS BIGINT)"))
+          .as("d_union"))
+      .withColumn("inter_est", expr("(matches * d_union) div n_k"))
+      .crossJoin(da).crossJoin(db)
+      .withColumn("contain_a_e6", expr("(inter_est * 1000000L) div greatest(d_a, 1L)"))
+      .withColumn("contain_b_e6", expr("(inter_est * 1000000L) div greatest(d_b, 1L)"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+
+/** [[Sketch]] — mergeable KMV sketches and the cross-corpus overlap
+  * estimator. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def elems(rows: (String, String)*) =
+    rows.toDF("corp", "gram")
+
+  test("kmvMinima keeps exactly the k smallest hashes per group") {
+    val df = elems((1 to 40).map(i => ("A", s"e$i")) ++ (1 to 3).map(i => ("B", s"x$i")): _*)
+    val sk = Sketch.kmvMinima(df, "gram", "corp", seed = 3, k = 5)
+    // brute-force truth: hash every distinct element, sort, take 5
+    val truth = (1 to 40).map(i => s"e$i").toDF("gram")
+      .select(Hashing.md5Long(concat(lit("cap:"), col("gram")), 3).as("h"))
+      .orderBy("h").limit(5).as[Long].collect().toSet
+    val got = sk.filter($"corp" === "A").select("h").as[Long].collect()
+    assert(got.toSet == truth && got.length == 5)
+    // B has fewer than k distinct elements: the sketch IS the set
+    assert(sk.filter($"corp" === "B").count() == 3)
+  }
+
+  test("a corpus overlapped with itself estimates Jaccard 1") {
+    val df = elems((1 to 30).flatMap(i => Seq(("A", s"e$i"), ("B", s"e$i"))): _*)
+    val sk = Sketch.kmvMinima(df, "gram", "corp", seed = 3, k = 16)
+    val r = Sketch.kmvOverlap(sk, "corp", "A", "B", 16).head()
+    assert(r.getAs[Long]("jaccard_e6") == 1000000L)
+    assert(r.getAs[Long]("matches") == r.getAs[Long]("n_k"))
+    assert(r.getAs[Long]("d_a") == r.getAs[Long]("d_b"))
+  }
+
+  test("disjoint corpora estimate Jaccard 0 and report exactly below k") {
+    val df = elems((1 to 10).map(i => ("A", s"a$i")) ++ (1 to 12).map(i => ("B", s"b$i")): _*)
+    val sk = Sketch.kmvMinima(df, "gram", "corp", seed = 5, k = 64)
+    val r = Sketch.kmvOverlap(sk, "corp", "A", "B", 64).head()
+    // everything below k: sketches are the sets, the estimate is exact
+    assert(r.getAs[Long]("matches") == 0L && r.getAs[Long]("jaccard_e6") == 0L)
+    assert(r.getAs[Long]("d_union") == 22L)
+    assert(r.getAs[Long]("d_a") == 10L && r.getAs[Long]("d_b") == 12L)
+    assert(r.getAs[Long]("inter_est") == 0L)
+  }
+
+  test("below k the overlap report is exact: half-shared corpora") {
+    // A = s1..s20 ∪ a1..a20, B = s1..s20 ∪ b1..b20: J = 20/60, C = 1/2
+    val df = elems(
+      (1 to 20).flatMap(i => Seq(("A", s"s$i"), ("B", s"s$i"))) ++
+        (1 to 20).map(i => ("A", s"a$i")) ++ (1 to 20).map(i => ("B", s"b$i")): _*)
+    val sk = Sketch.kmvMinima(df, "gram", "corp", seed = 7, k = 128)
+    val r = Sketch.kmvOverlap(sk, "corp", "A", "B", 128).head()
+    assert(r.getAs[Long]("n_k") == 60L && r.getAs[Long]("matches") == 20L)
+    assert(r.getAs[Long]("jaccard_e6") == 20L * 1000000L / 60L)
+    assert(r.getAs[Long]("inter_est") == 20L)
+    assert(r.getAs[Long]("contain_a_e6") == 500000L)
+    assert(r.getAs[Long]("contain_b_e6") == 500000L)
+  }
+
+  test("the sketch path approximates a large overlap within KMV error") {
+    // 2000 shared + 1000 per side unique: J = 0.5, C = 2/3
+    val df = elems(
+      (1 to 2000).flatMap(i => Seq(("A", s"s$i"), ("B", s"s$i"))) ++
+        (1 to 1000).map(i => ("A", s"a$i")) ++ (1 to 1000).map(i => ("B", s"b$i")): _*)
+    val k = 256
+    val sk = Sketch.kmvMinima(df, "gram", "corp", seed = 11, k = k)
+    val r = Sketch.kmvOverlap(sk, "corp", "A", "B", k).head()
+    val j = r.getAs[Long]("jaccard_e6") / 1e6
+    assert(math.abs(j - 0.5) < 0.15, s"jaccard estimate $j too far from 0.5")
+    val dU = r.getAs[Long]("d_union").toDouble
+    assert(math.abs(dU - 4000) / 4000 < 0.25, s"union estimate $dU too far from 4000")
+    val inter = r.getAs[Long]("inter_est").toDouble
+    assert(math.abs(inter - 2000) / 2000 < 0.35, s"intersection estimate $inter too far from 2000")
+  }
+}
