@@ -3,7 +3,7 @@ package graft.analytics
 import graft.core.{QueryDef, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, GraphRank, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Sketch, Skew, Upsert}
+import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, GraphRank, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Sketch, Skew, Tokenize, Upsert}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1523,6 +1523,19 @@ object Queries {
            |FROM sp GROUP BY doc_id, span_idx""".stripMargin
       }
     ),
+    QueryDef(
+      "t23_bpe_merges",
+      // distributed BPE merge training ([[Tokenize.bpeMerges]]): the
+      // tokenizer-construction pass — six pair merges learned over the
+      // corpus's word-frequency table. The corpus is crossed once
+      // (word counts); every round after runs on the vocab, with the
+      // argmax pair a bounded TakeOrdered(1) driver scalar. The oracle
+      // replays the identical six sequential rounds as a CTE chain —
+      // identical wrap encoding, identical leftmost-non-overlapping
+      // replace, identical (count desc, pair asc) tie-break.
+      (s, d) => Tokenize.bpeMerges(Tables.documents(s, d), "text", rounds = 6),
+      Some(bpeMergesSql(6))
+    ),
 
     QueryDef(
       "t17_stratified_cap",
@@ -2259,6 +2272,34 @@ object Queries {
        |  WHERE rn = 1)
        |SELECT c.doc_id, c.cluster_id, k.kept_id, c.doc_id = k.kept_id AS keep
        |FROM c JOIN k ON c.cluster_id = k.cluster_id""".stripMargin
+  }
+
+  /** DuckDB twin of t23 ([[graft.operators.Tokenize.bpeMerges]]): the
+    * same `rounds` sequential merge rounds as a CTE chain — wrap every
+    * char as chr(30)·c·chr(31), count adjacent symbol pairs weighted by
+    * word frequency, pick the (count desc, lhs asc, rhs asc) argmax,
+    * apply it with a leftmost-non-overlapping literal replace, repeat. */
+  private def bpeMergesSql(rounds: Int): String = {
+    val tk = toksSql("lower(text)")
+    val base =
+      s"""wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
+         |  (SELECT unnest($tk) AS w FROM documents)
+         |  WHERE NOT contains(w, chr(30)) AND NOT contains(w, chr(31)) GROUP BY w),
+         |w0 AS (SELECT f, regexp_replace(w, '(.)', chr(30) || '\\1' || chr(31), 'g') AS sym FROM wf)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      s"""sy$r AS (SELECT f, list_transform(list_filter(string_split(sym, chr(31)), x -> x != ''),
+         |    x -> x[2:]) AS a FROM w${r - 1}),
+         |pc$r AS (SELECT a[i] AS lhs, a[i + 1] AS rhs, CAST(sum(f) AS BIGINT) AS n
+         |  FROM (SELECT f, a, unnest(generate_series(1, len(a) - 1)) AS i FROM sy$r WHERE len(a) >= 2)
+         |  GROUP BY 1, 2),
+         |tp$r AS (SELECT lhs, rhs, n FROM pc$r ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+         |w$r AS (SELECT f, replace(sym, chr(30) || lhs || chr(31) || chr(30) || rhs || chr(31),
+         |    chr(30) || lhs || rhs || chr(31)) AS sym FROM w${r - 1}, tp$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, n AS pair_n FROM tp$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $base,\n$roundsSql\n$out"
   }
 
   /** DuckDB twin of d09: [[graft.operators.Sketch.kmvMinima]] +
