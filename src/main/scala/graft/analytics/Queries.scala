@@ -779,6 +779,44 @@ object Queries {
              |TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
              |FROM lineitem""".stripMargin)
     ),
+    QueryDef(
+      "q35_approx_quantile",
+      // the quantile-sketch twin of q22: approx_percentile (Spark's
+      // mergeable Greenwald-Khanna sketch — the map-side-combinable
+      // shape that profiles a 100 TB column in one pass, where exact
+      // q27 needs a per-group sort) gated behind its own checkable
+      // contract. The sketch's guarantee is on RANK: the returned
+      // value's exact rank interval [#{x<v}+1, #{x<=v}] must intersect
+      // q·n ± (n/accuracy + 1). The query computes that interval
+      // exactly in-engine and emits booleans; the oracle pins the
+      // exact group counts and expects TRUE — a drifting sketch turns
+      // the row red instead of hiding behind a rows-only check.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+        val ap = li.groupBy("flag").agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(x, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(x, 0.9, 1000)").as("ap90"))
+        def ok(q: Double, apCol: String, lt: String, le: String) =
+          (col(le) >= col("n") * q - (col("n") / 1000.0 + 1.0)) &&
+            (col(lt) + 1 <= col("n") * q + (col("n") / 1000.0 + 1.0))
+        li.join(ap, "flag")
+          .groupBy("flag")
+          .agg(
+            first(col("n")).as("n"),
+            sum(when(col("x") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+            sum(when(col("x") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+            sum(when(col("x") < col("ap90"), 1L).otherwise(0L)).as("lt90"),
+            sum(when(col("x") <= col("ap90"), 1L).otherwise(0L)).as("le90"))
+          .select(col("flag"), col("n"),
+            ok(0.5, "ap50", "lt50", "le50").as("p50_rank_ok"),
+            ok(0.9, "ap90", "lt90", "le90").as("p90_rank_ok"))
+      },
+      Some("""SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+             |TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
 
     // ============================ dedup suite =============================
     QueryDef("d01_minhash_lsh", (s, d) =>
