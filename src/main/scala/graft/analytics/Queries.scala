@@ -1576,6 +1576,45 @@ object Queries {
     ),
 
     QueryDef(
+      "t24_heavy_hitters",
+      // the one-pass dominant-token sketch ([[graft.functions.FreqSketch]],
+      // Misra–Gries with mergeable-summaries reduction): `capacity`
+      // counters of state per mapper where exact t19 shuffles one row
+      // per distinct token. MG counter values depend on merge order
+      // (which Spark does not fix), so the query emits the CONTRACT —
+      // booleans the guarantee makes true under EVERY order: each of
+      // the exact top-20 tokens (a) is present in the sketch whenever
+      // its exact count clears the n/(capacity+1) admission bound, and
+      // (b) any held estimate underestimates by at most that bound.
+      // The oracle pins the exact top-20 and TRUE/TRUE; the exact side
+      // is the small-SF validation harness, the sketch is the scale
+      // path.
+      (s, d) => {
+        val cap = 64
+        val toks = Tables.documents(s, d)
+          .select(explode(Text.tokens(lower(col("text")))).as("token"))
+        val items = toks
+          .agg(graft.functions.FreqSketchAgg.freqSketch(col("token"), cap).as("sk"))
+          .select(explode(col("sk")).as("it"))
+          .select(col("it.token").as("token"), col("it.est").as("est"))
+        val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        val n = exact.agg(sum(col("exact_n"))).first().getLong(0)
+        val bound = n / (cap + 1) // floor; integer counts make it exact (see spec)
+        exact.orderBy(col("exact_n").desc, col("token").asc).limit(20)
+          .join(items, Seq("token"), "left")
+          .select(col("token"), col("exact_n"),
+            (col("exact_n") <= lit(bound) || col("est").isNotNull).as("presence_ok"),
+            (col("est").isNull ||
+              (col("est") <= col("exact_n") && col("est") >= col("exact_n") - lit(bound)))
+              .as("bound_ok"))
+      },
+      Some(s"""WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM
+              |  (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents) GROUP BY 1)
+              |SELECT token, exact_n, TRUE AS presence_ok, TRUE AS bound_ok
+              |FROM c ORDER BY exact_n DESC, token ASC LIMIT 20""".stripMargin)
+    ),
+
+    QueryDef(
       "t17_stratified_cap",
       // per-domain quota capping ([[Packing.stratifiedCap]]): keep the
       // 10 docs with the smallest seeded md5(id) per source — an exact

@@ -83,6 +83,12 @@ object GraftExtensions {
       "graft_simhash_sig",
       new ExpressionInfo(classOf[graft.functions.SimHashSig].getName, "graft_simhash_sig"),
       (args: Seq[Expression]) => graft.functions.SimHashSig(args(0), graft.functions.Text.simhashBits)
+    ),
+    (
+      "graft_freq_sketch",
+      new ExpressionInfo(classOf[graft.functions.FreqSketch].getName, "graft_freq_sketch"),
+      (args: Seq[Expression]) =>
+        graft.functions.FreqSketch(args(0), intArg(args(1), "graft_freq_sketch", 1))
     )
   )
 
