@@ -76,9 +76,12 @@ object Sketch {
     *    |A∩B|/|B| in micro-units, the asymmetric "how much of X is
     *    already in Y" a mixing decision reads.
     *
-    * Runs entirely on the ≤ 2k sketch rows: a full-outer membership
-    * join, a TakeOrdered k-minimum (never a sort of anything
-    * corpus-sized), and one aggregation. */
+    * Runs entirely on the ≤ 2k sketch rows: the sketch is materialized
+    * ONCE (a lineage cut under the [[graft.core.Reliability]] policy —
+    * its four consumers below would otherwise each re-derive the
+    * corpus-sized sketch construction from source), then a full-outer
+    * membership join, a TakeOrdered k-minimum (never a sort of
+    * anything corpus-sized), and one aggregation. */
   def kmvOverlap(
       sketch: DataFrame,
       groupCol: String,
@@ -86,8 +89,9 @@ object Sketch {
       gb: String,
       k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
+    val sk = graft.core.Reliability.cut(sketch.select(col(groupCol), col("h")))
     def side(g: String, flag: String): DataFrame =
-      sketch.filter(col(groupCol) === lit(g)).select(col("h")).distinct()
+      sk.filter(col(groupCol) === lit(g)).select(col("h")).distinct()
         .withColumn(flag, lit(1L))
     val merged = side(ga, "in_a").join(side(gb, "in_b"), Seq("h"), "full_outer")
       .select(col("h"),
@@ -95,7 +99,7 @@ object Sketch {
         coalesce(col("in_b"), lit(0L)).as("in_b"))
     val kMin = merged.orderBy(col("h").asc).limit(k)
 
-    val perCorpus = sketch.groupBy(col(groupCol))
+    val perCorpus = sk.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_c"), max(col("h")).as("h_c"))
       .select(col(groupCol),
         when(col("n_c") < k, col("n_c"))
