@@ -926,6 +926,19 @@ object Queries {
     ),
 
     // ========================== similarity search =========================
+    QueryDef(
+      "s15_random_projection",
+      // sign-random-projection dim reduction ([[Similarity.srpProject]]):
+      // the real-valued JL projections the LSH path thresholds into
+      // bits, kept as a 16-d embedding — the compression pre-pass that
+      // lets downstream clustering/ANN run on 16 floats instead of 64.
+      // Pure per-row work (16 codegen'd dots against plan-literal sign
+      // rows, no shuffle); the md5-derived matrix is data-free, so the
+      // oracle re-renders the identical literals and folds each dot in
+      // the same index order.
+      (s, d) => Similarity.srpProject(Tables.embeddings(s, d), "vec_id", "embedding", m = 16, dim = 64),
+      Some(srpProjectSql(16, 64))
+    ),
     QueryDef("s01_ann_bruteforce", (s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", 50, 10)
         .withColumn("rk", col("rk").cast("long")),
@@ -2349,6 +2362,18 @@ object Queries {
        |  WHERE rn = 1)
        |SELECT c.doc_id, c.cluster_id, k.kept_id, c.doc_id = k.kept_id AS keep
        |FROM c JOIN k ON c.cluster_id = k.cluster_id""".stripMargin
+  }
+
+  /** DuckDB twin of s15 ([[graft.operators.Similarity.srpProject]]):
+    * the identical md5-derived ±1 sign rows rendered as list literals,
+    * each dot folded in index order ([[Vectors.dotSql]]). */
+  private def srpProjectSql(m: Int, dim: Int): String = {
+    val signs = graft.functions.VectorExpressions.SrpBucket.signMatrix(m, dim)
+    val cols = (0 until m).map { j =>
+      val lst = signs(j).map(b => if (b == 1) "1.0" else "-1.0").mkString("([", ", ", "])")
+      s"round(${Vectors.dotSql("embedding", lst)}, 5) AS p${"%02d".format(j)}"
+    }.mkString(",\n")
+    s"SELECT vec_id, $cols FROM embeddings"
   }
 
   /** DuckDB twin of t23 ([[graft.operators.Tokenize.bpeMerges]]): the

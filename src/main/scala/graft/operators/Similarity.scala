@@ -361,4 +361,30 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("cand_id"), round(col("cosine"), 5).as("cosine"), col("rk"))
   }
+
+  /** Sign-random-projection dimensionality reduction — the REAL-VALUED
+    * projections [[srpCode]] thresholds into bucket bits, kept as an
+    * `m`-dimensional embedding (the Johnson–Lindenstrauss shape with a
+    * ±1 matrix, Achlioptas '01): y_j = Σ_i sign(j,i)·x_i, with the
+    * sign matrix the SAME md5-derived data-free hyperplane family the
+    * LSH path uses. The compression pre-pass of a vector pipeline:
+    * angles are approximately preserved (error ~1/√m), so downstream
+    * clustering/ANN runs on m floats instead of `dim` — and because the
+    * matrix is deterministic and data-free, any engine reproduces it
+    * without shipping matrix state.
+    *
+    * Scale shape: a pure per-row projection (m codegen'd dot products
+    * against plan-literal sign rows) — no shuffle, pipelines inside
+    * the feeding scan. Outputs one wide row per vector: id, p00..pNN
+    * rounded to 5 (the s01 rule; both engines fold the dot in index
+    * order). */
+  def srpProject(emb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int): DataFrame = {
+    require(m >= 1 && m <= 99, "m in [1, 99] (column naming)")
+    val signs = VectorExpressions.SrpBucket.signMatrix(m, dim)
+    val cols = (0 until m).map { j =>
+      val sj = signs(j).map(_.toFloat).toSeq
+      round(VectorExpressions.dotF(col(vecCol), typedlit(sj)), 5).as(f"p$j%02d")
+    }
+    Par.widen(emb).select(col(idCol) +: cols: _*)
+  }
 }

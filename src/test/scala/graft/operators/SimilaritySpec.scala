@@ -29,6 +29,43 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == bf)
   }
 
+  test("srpProject computes the literal sign dots, row for row") {
+    val signs = graft.functions.VectorExpressions.SrpBucket.signMatrix(2, 4)
+    val out = Similarity.srpProject(emb, "vec_id", "embedding", m = 2, dim = 4)
+      .orderBy("vec_id").collect()
+    val vecs = emb.orderBy("vec_id").select("embedding").as[Array[Float]].collect()
+    out.zip(vecs).foreach { case (row, v) =>
+      (0 until 2).foreach { j =>
+        val expect = v.indices.map(i => v(i).toDouble * signs(j)(i)).sum
+        assert(math.abs(row.getDouble(1 + j) - BigDecimal(expect)
+          .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      }
+    }
+  }
+
+  test("projection quality improves with m: angle error shrinks on real embeddings") {
+    val e = graft.core.Tables.embeddings(spark, sf0001).filter(col("vec_id") < 24)
+    val orig = e.orderBy("vec_id").select("embedding").as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n == 0) 0.0 else d / n
+    }
+    def meanErr(m: Int): Double = {
+      val proj = Similarity.srpProject(e, "vec_id", "embedding", m, 64)
+        .orderBy("vec_id").collect()
+        .map(r => (1 to m).map(r.getDouble).toArray)
+      val errs = for {
+        i <- orig.indices; j <- orig.indices if i < j
+      } yield math.abs(cos(orig(i), orig(j)) - cos(proj(i), proj(j)))
+      errs.sum / errs.size
+    }
+    val (e8, e32) = (meanErr(8), meanErr(32))
+    assert(e32 < e8, s"JL error should shrink with m: m=8 -> $e8, m=32 -> $e32")
+    assert(e32 < 0.25, s"m=32 projection too lossy: mean angle error $e32")
+  }
+
   test("IVF recall@k is 1.0 when every cluster is probed (s09 identity)") {
     // probing all nClusters makes the IVF candidate set identical to
     // brute force, so recall must be exactly 1 — the invariant the s09

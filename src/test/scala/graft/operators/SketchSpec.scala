@@ -59,6 +59,19 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Long]("contain_b_e6") == 500000L)
   }
 
+  test("the sketch is a servable stored artifact: cold parquet round trip") {
+    val df = elems(
+      (1 to 200).flatMap(i => Seq(("A", s"s$i"), ("B", s"s$i"))) ++
+        (1 to 100).map(i => ("A", s"a$i")) ++ (1 to 100).map(i => ("B", s"b$i")): _*)
+    val sk = Sketch.kmvMinima(df, "gram", "corp", seed = 13, k = 32)
+    val dir = java.nio.file.Files.createTempDirectory("kmv_sketch").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val cold = spark.read.parquet(dir)
+    val live = Sketch.kmvOverlap(sk, "corp", "A", "B", 32).collect().toSeq
+    val served = Sketch.kmvOverlap(cold, "corp", "A", "B", 32).collect().toSeq
+    assert(live == served)
+  }
+
   test("the sketch path approximates a large overlap within KMV error") {
     // 2000 shared + 1000 per side unique: J = 0.5, C = 2/3
     val df = elems(
