@@ -125,4 +125,45 @@ object Sketch {
       .withColumn("contain_a_e6", expr("(inter_est * 1000000L) div greatest(d_a, 1L)"))
       .withColumn("contain_b_e6", expr("(inter_est * 1000000L) div greatest(d_b, 1L)"))
   }
+
+  // ---- heavy-hitter (Misra–Gries) sketch maintenance ----------------------
+
+  /** One batch's MG sketch as a (token, est) table — the
+    * [[graft.functions.FreqSketch]] aggregate exploded into rows, the
+    * form a maintained state table stores. ≤ `capacity` rows. */
+  def mgSketch(batch: DataFrame, tokenCol: String, capacity: Int): DataFrame =
+    batch
+      .agg(graft.functions.FreqSketchAgg.freqSketch(col(tokenCol), capacity).as("sk"))
+      .select(explode(col("sk")).as("it"))
+      .select(col("it.token").as("token"), col("it.est").as("est"))
+
+  /** Deterministic TABLE-LEVEL Misra–Gries reduction of two sketch
+    * tables — the maintenance fold of an ingest pipeline: the stored
+    * state is combined with each arriving batch's [[mgSketch]] without
+    * ever rescanning history (the [[IncrementalAgg]] shape, sketch
+    * edition). Sum common tokens, and if more than `capacity` survive,
+    * subtract the (capacity+1)-th largest counter from all and drop the
+    * non-positives (Agarwal et al. PODS'12 — the reduction is valid at
+    * every node of an arbitrary merge tree, so the fold preserves the
+    * whole-stream MG guarantee: estimates underestimate by at most
+    * n_total/(capacity+1), and every token above that bound survives).
+    * Unlike the intra-aggregate merge, this table-to-table form is
+    * deterministic in its inputs. The threshold fetch is a
+    * TakeOrdered(capacity+1) driver scalar — bounded by capacity, never
+    * by data. */
+  def mgCombine(a: DataFrame, b: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, "capacity >= 1")
+    val merged = a.select(col("token"), col("est"))
+      .unionByName(b.select(col("token"), col("est")))
+      .groupBy("token").agg(sum(col("est")).as("est"))
+    val top = merged
+      .orderBy(col("est").desc, col("token").asc)
+      .limit(capacity + 1)
+      .collect()
+    if (top.length <= capacity) merged
+    else {
+      val thr = top.last.getLong(1)
+      merged.select(col("token"), (col("est") - thr).as("est")).filter(col("est") > 0)
+    }
+  }
 }

@@ -72,6 +72,38 @@ class SketchSpec extends SparkSpec {
     assert(live == served)
   }
 
+  test("mg fold below capacity is exact and equals the one-shot sketch") {
+    val batches = Seq(Seq("a", "a", "b"), Seq("a", "c"), Seq("b", "b", "c"))
+    val folded = batches
+      .map(ts => Sketch.mgSketch(ts.toDF("token"), "token", 8))
+      .reduce((s, t) => Sketch.mgCombine(s, t, 8))
+      .as[(String, Long)].collect().toMap
+    assert(folded == Map("a" -> 3L, "b" -> 3L, "c" -> 2L))
+  }
+
+  test("the mg fold preserves the whole-stream guarantee across batches") {
+    // token i appears 31-i times, split round-robin into 4 ingest batches
+    val stream = (1 to 30).flatMap(i => Seq.fill(31 - i)(s"w$i"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val cap = 6
+    val bound = n / (cap + 1)
+    val batches = stream.zipWithIndex.groupBy(_._2 % 4).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val folded = batches
+      .map(ts => Sketch.mgSketch(ts.toDF("token"), "token", cap))
+      .reduce((s, t) => Sketch.mgCombine(s, t, cap))
+      .as[(String, Long)].collect().toMap
+    assert(folded.size <= cap)
+    exact.foreach { case (t, c) =>
+      if (c > bound) assert(folded.contains(t), s"heavy token $t (n=$c) missing after fold")
+      folded.get(t).foreach { est =>
+        assert(est <= c && est >= c - bound, s"$t estimate $est outside [${c - bound}, $c]")
+      }
+    }
+    assert(folded.keySet.subsetOf(exact.keySet))
+  }
+
   test("the sketch path approximates a large overlap within KMV error") {
     // 2000 shared + 1000 per side unique: J = 0.5, C = 2/3
     val df = elems(
