@@ -1990,6 +1990,25 @@ object Queries {
           .toDF(),
       Some(simhashPairsSql(3, maxIdGap = Some(200L)))
     ),
+    QueryDef(
+      "st07_stream_heavy_hitters",
+      // per-hour dominant users via the mergeable MG sketch keyed by
+      // tumbling window ([[graft.streaming.EventStream
+      // .windowHeavyHitterSketch]]): ONE (window, sketch) state row per
+      // hour regardless of user cardinality — the bounded-state form of
+      // per-window top-k. The same aggregation runs as a real streaming
+      // query (spec-driven, state-store-backed); this batch execution
+      // is its oracle gate, in the t24 contract form: exact top-5
+      // anchors per window + the two merge-order-invariant guarantee
+      // booleans.
+      (s, d) => graft.streaming.EventStream
+        .windowHeavyHitterReport(Tables.events(s, d), cap = 12, topN = 5),
+      Some("""WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, user_id FROM events),
+             |c AS (SELECT window_start, user_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY window_start ORDER BY n DESC, user_id ASC) AS rk FROM c)
+             |SELECT window_start, user_id, n, TRUE AS presence_ok, TRUE AS bound_ok
+             |FROM r WHERE rk <= 5""".stripMargin)
+    ),
 
     // ==================== SQL/temp-view layer (J4) ========================
     QueryDef(

@@ -189,6 +189,62 @@ object EventStream {
   def dedupStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-hour dominant-user sketch: the mergeable Misra–Gries
+    * aggregate ([[graft.functions.FreqSketch]]) keyed by tumbling
+    * window — runs identically as a streaming aggregation (the
+    * TypedImperativeAggregate's serialized buffer IS the state-store
+    * row, merged per micro-batch like any partial) and in batch, which
+    * is how st07's oracle row gates it. One (window, sketch) state row
+    * per hour regardless of user cardinality — the bounded-state form
+    * of a per-window top-k that would otherwise keep every (window,
+    * user) count alive. Output: one row per held counter
+    * (window_start, n_w, token, est); counter VALUES are merge-order
+    * dependent (see FreqSketch), so cross-engine checks go through
+    * [[windowHeavyHitterReport]]'s contract form. */
+  def windowHeavyHitterSketch(events: DataFrame, cap: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        graft.functions.FreqSketchAgg.freqSketch(col("user_id").cast("string"), cap).as("sk"),
+        count(lit(1)).as("n_w"))
+      .select(col("window.start").as("window_start"), col("n_w"), explode(col("sk")).as("it"))
+      .select(col("window_start"), col("n_w"),
+        col("it.token").as("token"), col("it.est").as("est"))
+
+  /** The t24 contract form per window (batch; the st07 oracle row):
+    * exact top-`topN` users per hour anchored deterministically, LEFT
+    * joined with the sketch's held counters, and the two MG-guarantee
+    * booleans that hold under every merge order — presence above the
+    * n_w/(cap+1) admission bound, estimates under-shooting by at most
+    * that bound. */
+  def windowHeavyHitterReport(events: DataFrame, cap: Int, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = windowHeavyHitterSketch(events, cap)
+      .select(col("window_start").as("ws"), col("token"), col("est"))
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+    // window totals from the exact side, NOT the sketch: a window whose
+    // users all tie below the admission bound legitimately empties its
+    // MG sketch (the reduction subtracts the (cap+1)-th largest from
+    // all — correct: nothing is guaranteed presence there), and its
+    // anchors must still report, with presence_ok true via n <= bound
+    val totals = Window.partitionBy(col("window_start"))
+    val w = Window.partitionBy(col("window_start")).orderBy(col("n").desc, col("user_id").asc)
+    exact
+      .withColumn("n_w", sum(col("n")).over(totals))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= topN).drop("rk")
+      .join(sk,
+        col("window_start") === sk("ws") && col("token") === col("user_id").cast("string"),
+        "left")
+      .withColumn("bound", expr(s"n_w div ${cap + 1}"))
+      .select(col("window_start"), col("user_id"), col("n"),
+        (col("n") <= col("bound") || col("est").isNotNull).as("presence_ok"),
+        (col("est").isNull || (col("est") <= col("n") && col("est") >= col("n") - col("bound")))
+          .as("bound_ok"))
+  }
+
   /** Run a streaming aggregation to a memory sink until the source
     * drains; returns the sink table name. Local smoke-test entry. */
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =

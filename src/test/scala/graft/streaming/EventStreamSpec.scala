@@ -43,6 +43,42 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("windowed MG heavy-hitter sketch runs as a real stream and honors the contract") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
+    writeEvents(dir)
+    val cap = 4
+    // complete mode: the TypedImperativeAggregate's serialized buffer is
+    // the state-store row, re-merged as micro-batches arrive
+    val q = EventStream.runToMemory(
+      EventStream.windowHeavyHitterSketch(EventStream.readEvents(spark, dir, schema), cap),
+      "hh", "complete")
+    q.awaitTermination(60000)
+    val streamed = spark.table("hh")
+      .select("window_start", "n_w", "token", "est")
+      .as[(Timestamp, Long, String, Long)].collect()
+    assert(streamed.nonEmpty)
+    // per window: <= cap counters, and the MG guarantee vs exact counts
+    val exact = spark.read.schema(schema).parquet(dir)
+      .groupBy(window($"ts", "1 hour").getField("start").as("ws"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .as[(Timestamp, Long, Long)].collect()
+      .map { case (ws, u, n) => (ws, u.toString) -> n }.toMap
+    val nw = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    streamed.groupBy(_._1).foreach { case (ws, rows) =>
+      assert(rows.length <= cap)
+      val bound = nw(ws) / (cap + 1)
+      rows.foreach { case (_, nwRow, token, est) =>
+        assert(nwRow == nw(ws))
+        val c = exact((ws, token))
+        assert(est <= c && est >= c - bound, s"window $ws token $token: est $est outside [${c - bound}, $c]")
+      }
+      // presence: every user above the bound is held
+      exact.filter { case ((w, _), n) => w == ws && n > bound }.foreach { case ((_, u), n) =>
+        assert(rows.exists(_._3 == u), s"heavy user $u (n=$n) missing from window $ws")
+      }
+    }
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
     writeEvents(dir)
