@@ -1587,6 +1587,27 @@ object Queries {
       (s, d) => Tokenize.bpeMerges(Tables.documents(s, d), "text", rounds = 6),
       Some(bpeMergesSql(6))
     ),
+    QueryDef(
+      "t25_bpe_apply",
+      // the SERVING half of t23 ([[Tokenize.bpeApply]]): the trained
+      // merge table (a bounded driver-side artifact — what a tokenizer
+      // ships) replayed over the corpus's word-frequency table to
+      // produce the subword-token frequency distribution; top-30 by
+      // (count desc, token asc). Same wrap encoding and replace
+      // semantics as training, so the segmentation is exactly the
+      // training-time one; the oracle replays the identical chain.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = Tokenize.bpeMerges(docs, "text", rounds = 6)
+          .orderBy("merge_rank").select("lhs", "rhs")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        val w = Window.orderBy(col("n").desc, col("token").asc)
+        Tokenize.bpeApply(docs, "text", m)
+          .orderBy(col("n").desc, col("token").asc).limit(30)
+          .withColumn("rk", row_number().over(w).cast("long"))
+      },
+      Some(bpeApplySql(6, 30))
+    ),
 
     QueryDef(
       "t24_heavy_hitters",
@@ -2400,7 +2421,9 @@ object Queries {
     * char as chr(30)·c·chr(31), count adjacent symbol pairs weighted by
     * word frequency, pick the (count desc, lhs asc, rhs asc) argmax,
     * apply it with a leftmost-non-overlapping literal replace, repeat. */
-  private def bpeMergesSql(rounds: Int): String = {
+  /** Shared WITH-body of the t23/t25 oracles: word-frequency base +
+    * `rounds` sequential merge-round CTEs (see t23's doc). */
+  private def bpeRoundsCtes(rounds: Int): String = {
     val tk = toksSql("lower(text)")
     val base =
       s"""wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM
@@ -2417,11 +2440,27 @@ object Queries {
          |w$r AS (SELECT f, replace(sym, chr(30) || lhs || chr(31) || chr(30) || rhs || chr(31),
          |    chr(30) || lhs || rhs || chr(31)) AS sym FROM w${r - 1}, tp$r)""".stripMargin
     }.mkString(",\n")
+    s"$base,\n$roundsSql"
+  }
+
+  private def bpeMergesSql(rounds: Int): String = {
     val out = (1 to rounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, n AS pair_n FROM tp$r")
       .mkString("\nUNION ALL ")
-    s"WITH $base,\n$roundsSql\n$out"
+    s"WITH ${bpeRoundsCtes(rounds)}\n$out"
   }
+
+  /** DuckDB twin of t25 ([[graft.operators.Tokenize.bpeApply]]): replay
+    * the same `rounds` merges, then split the final symbol strings and
+    * count subword occurrences weighted by word frequency. */
+  private def bpeApplySql(rounds: Int, topK: Int): String =
+    s"""WITH ${bpeRoundsCtes(rounds)},
+       |syF AS (SELECT f, list_transform(list_filter(string_split(sym, chr(31)), x -> x != ''),
+       |    x -> x[2:]) AS a FROM w$rounds),
+       |tok AS (SELECT f, unnest(a) AS token FROM syF),
+       |c AS (SELECT token, CAST(sum(f) AS BIGINT) AS n FROM tok GROUP BY 1)
+       |SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rk
+       |FROM c ORDER BY n DESC, token ASC LIMIT $topK""".stripMargin
 
   /** DuckDB twin of d09: [[graft.operators.Sketch.kmvMinima]] +
     * [[graft.operators.Sketch.kmvOverlap]] over the source-pool corpora,

@@ -93,4 +93,39 @@ object Tokenize {
     import spark.implicits._
     merges.result().toDF("merge_rank", "lhs", "rhs", "pair_n")
   }
+
+  /** Apply a trained merge list — the SERVING half of [[bpeMerges]]
+    * (the engine's prepare/serve discipline, tokenizer edition): every
+    * word is segmented by replaying the merges in training order (the
+    * same wrap encoding and leftmost-non-overlapping replace, so
+    * applying right after training reproduces the training-time
+    * segmentation exactly), then the corpus's subword-token frequency
+    * table comes out of one map-side-combinable aggregation. The merge
+    * list is a bounded driver-side artifact (what a tokenizer SHIPS);
+    * the corpus is crossed once for word frequencies and every
+    * replay + count runs on the vocab table.
+    *
+    * Returns (token, n) — subword occurrences weighted by word
+    * frequency. */
+  def bpeApply(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val RS = "\u001e"
+    val US = "\u001f"
+    val vocab = docs
+      .select(explode(Text.tokens(lower(col(textCol)))).as("w"))
+      .where(!col("w").contains(RS) && !col("w").contains(US))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("f"))
+      .select(col("f"), regexp_replace(col("w"), "(.)", s"$RS$$1$US").as("sym"))
+    val applied = merges.foldLeft(col("sym")) { case (c, (l, r)) =>
+      replace(c, lit(s"$RS$l$US$RS$r$US"), lit(s"$RS$l$r$US"))
+    }
+    vocab
+      .withColumn("applied_sym", applied)
+      .select(col("f"),
+        explode(expr(s"transform(filter(split(applied_sym, '$US'), x -> x != ''), x -> substring(x, 2))"))
+          .as("token"))
+      .groupBy("token").agg(sum(col("f")).as("n"))
+  }
 }

@@ -40,6 +40,20 @@ class TokenizeSpec extends SparkSpec {
     assert(out == List((1L, "e", "r", 7L)))
   }
 
+  test("bpeApply replays the trained merges and counts subwords") {
+    // vocab: low f=2, lower f=1. round 1: (l,o) and (o,w) tie at 3,
+    // lexicographic pick (l,o); round 2: (lo,w) n=3. applying both:
+    // low -> [low], lower -> [low, e, r]
+    val d = docs("low low lower")
+    val m = Tokenize.bpeMerges(d, "text", rounds = 2)
+      .orderBy("merge_rank").select("lhs", "rhs")
+      .as[(String, String)].collect().toSeq
+    assert(m == Seq(("l", "o"), ("lo", "w")))
+    val out = Tokenize.bpeApply(d, "text", m)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("low" -> 3L, "e" -> 1L, "r" -> 1L))
+  }
+
   test("words carrying the separator bytes are excluded by contract") {
     val out = Tokenize.bpeMerges(docs("ok ok bad\u001etok bad\u001ftok"), "text", rounds = 1)
       .as[(Long, String, String, Long)].collect().toList
