@@ -760,23 +760,25 @@ object Queries {
       // HLL register values are engine-specific, so the raw estimates
       // can never hash-match a DuckDB oracle — but the CONTRACT can:
       // the query emits the exact counts plus booleans asserting each
-      // HLL estimate lands within 5% relative error of its exact
-      // count (HLL++ at default rsd 0.05 is well inside that on 1e5+
-      // distinct keys). The oracle pins the exact counts and expects
-      // the booleans literally TRUE, so a drifting sketch turns this
-      // row red instead of hiding behind a rows-only check.
+      // HLL estimate lands within 10% relative error of its exact
+      // count. The bound is TWO sigma of HLL++'s default rsd 0.05
+      // (HLL error is ~Gaussian with sigma = rsd, independent of
+      // cardinality — a 1-sigma 5% gate would flip red on ~1/3 of
+      // fresh datasets with no engine drift). The oracle pins the
+      // exact counts and expects the booleans literally TRUE, so a
+      // genuinely drifting sketch still turns this row red.
       (s, d) =>
         Tables.lineitem(s, d).agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
           (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
-            <= countDistinct(col("l_partkey")) * 0.05).as("parts_within_5pct"),
+            <= countDistinct(col("l_partkey")) * 0.10).as("parts_within_10pct"),
           (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
-            <= countDistinct(col("l_orderkey")) * 0.05).as("orders_within_5pct")
+            <= countDistinct(col("l_orderkey")) * 0.10).as("orders_within_10pct")
         ),
       Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
              |count(DISTINCT l_orderkey) AS exact_orders,
-             |TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+             |TRUE AS parts_within_10pct, TRUE AS orders_within_10pct
              |FROM lineitem""".stripMargin)
     ),
     QueryDef(
@@ -798,7 +800,7 @@ object Queries {
           count(lit(1)).as("n"),
           expr("approx_percentile(x, 0.5, 1000)").as("ap50"),
           expr("approx_percentile(x, 0.9, 1000)").as("ap90"))
-        def ok(q: Double, apCol: String, lt: String, le: String) =
+        def ok(q: Double, lt: String, le: String) =
           (col(le) >= col("n") * q - (col("n") / 1000.0 + 1.0)) &&
             (col(lt) + 1 <= col("n") * q + (col("n") / 1000.0 + 1.0))
         li.join(ap, "flag")
@@ -810,8 +812,8 @@ object Queries {
             sum(when(col("x") < col("ap90"), 1L).otherwise(0L)).as("lt90"),
             sum(when(col("x") <= col("ap90"), 1L).otherwise(0L)).as("le90"))
           .select(col("flag"), col("n"),
-            ok(0.5, "ap50", "lt50", "le50").as("p50_rank_ok"),
-            ok(0.9, "ap90", "lt90", "le90").as("p90_rank_ok"))
+            ok(0.5, "lt50", "le50").as("p50_rank_ok"),
+            ok(0.9, "lt90", "le90").as("p90_rank_ok"))
       },
       Some("""SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
              |TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
@@ -1627,10 +1629,7 @@ object Queries {
         val cap = 64
         val toks = Tables.documents(s, d)
           .select(explode(Text.tokens(lower(col("text")))).as("token"))
-        val items = toks
-          .agg(graft.functions.FreqSketchAgg.freqSketch(col("token"), cap).as("sk"))
-          .select(explode(col("sk")).as("it"))
-          .select(col("it.token").as("token"), col("it.est").as("est"))
+        val items = Sketch.mgSketch(toks, "token", cap)
         val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
         val n = exact.agg(sum(col("exact_n"))).first().getLong(0)
         val bound = n / (cap + 1) // floor; integer counts make it exact (see spec)
@@ -2422,7 +2421,12 @@ object Queries {
     * word frequency, pick the (count desc, lhs asc, rhs asc) argmax,
     * apply it with a leftmost-non-overlapping literal replace, repeat. */
   /** Shared WITH-body of the t23/t25 oracles: word-frequency base +
-    * `rounds` sequential merge-round CTEs (see t23's doc). */
+    * `rounds` sequential merge-round CTEs (see t23's doc). Each w$r
+    * LEFT-joins its round's (≤1-row) argmax so an exhausted corpus —
+    * no pairs left before round `rounds` — carries the vocab forward
+    * unchanged instead of emptying every subsequent CTE, matching the
+    * Spark side's early stop (t23 then emits fewer merge rows, and
+    * t25's final split still sees the fully-merged vocab). */
   private def bpeRoundsCtes(rounds: Int): String = {
     val tk = toksSql("lower(text)")
     val base =
@@ -2437,8 +2441,10 @@ object Queries {
          |  FROM (SELECT f, a, unnest(generate_series(1, len(a) - 1)) AS i FROM sy$r WHERE len(a) >= 2)
          |  GROUP BY 1, 2),
          |tp$r AS (SELECT lhs, rhs, n FROM pc$r ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
-         |w$r AS (SELECT f, replace(sym, chr(30) || lhs || chr(31) || chr(30) || rhs || chr(31),
-         |    chr(30) || lhs || rhs || chr(31)) AS sym FROM w${r - 1}, tp$r)""".stripMargin
+         |w$r AS (SELECT f, CASE WHEN lhs IS NULL THEN sym ELSE
+         |    replace(sym, chr(30) || lhs || chr(31) || chr(30) || rhs || chr(31),
+         |    chr(30) || lhs || rhs || chr(31)) END AS sym
+         |  FROM w${r - 1} LEFT JOIN tp$r ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"$base,\n$roundsSql"
   }

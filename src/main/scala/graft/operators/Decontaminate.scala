@@ -105,7 +105,12 @@ object Decontaminate {
           Text.tokens(lower(col(textCol))).as("tk")))
       .select(col(idCol), col("is_eval"), Text.shingles(col("tk"), n).as("shg"))
     val grams = sh.select(col(idCol), col("is_eval"), explode(col("shg")).as("gram"))
-    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    // materialize the eval gram set ONCE: it is consumed twice (the
+    // bloom build is its own action inside semiFilter, then the exact
+    // semi join) and each consumer would otherwise re-derive the full
+    // corpus tokenize/shingle/distinct from source
+    val evalGrams = graft.core.Reliability.cut(
+      grams.filter(col("is_eval")).select("gram").distinct())
     val trainGrams = grams.filter(!col("is_eval"))
     val hits = BloomPrune
       .semiFilter(trainGrams, evalGrams, "gram", "gram", expectedEvalGrams, fpp)

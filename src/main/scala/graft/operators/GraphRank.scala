@@ -37,6 +37,12 @@ import graft.core.Reliability
   */
 object GraphRank {
 
+  /** Fail fast on a NULL edge endpoint (see the canonical-pair build:
+    * least/greatest would silently turn it into a self-loop). */
+  private def checkedEndpoint(c: String) =
+    expr(s"CASE WHEN $c IS NULL THEN raise_error('GraphRank: edge endpoint $c is NULL') " +
+      s"ELSE $c END").as(c)
+
   /** Integer PageRank over the UNDIRECTED view of `edges` (columns
     * `src`, `dst`, both non-null; both directions are added, then
     * deduplicated). Returns (node, score_e9) for every node incident
@@ -57,7 +63,11 @@ object GraphRank {
     // materialize them once (set spark.graft.checkpoint.dir to store
     // the cuts reliably) or every iteration's job re-derives the whole
     // edge build from source; measured 3x on the g01 bench
+    // least/greatest IGNORE nulls, so a null-endpoint edge would
+    // silently canonicalize into a self-loop on the non-null node —
+    // enforce the documented non-null contract instead
     val canon = edges
+      .select(checkedEndpoint("src"), checkedEndpoint("dst"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
       .transform(Reliability.cut)
@@ -112,10 +122,11 @@ object GraphRank {
     * too) — feed a deduplicated single-direction list when the
     * unweighted scores are the goal.
     *
-    * Weight contract, enforced: every `w` must be > 0 (a codegen'd
-    * per-row check fails the build of the edge list otherwise — a zero
-    * wsum would turn `div` into NULL and silently vanish from the
-    * inflow sum); and max(wsum) must stay below sqrt(2⁶³) ≈ 3.037e9,
+    * Weight contract, enforced: every `w` must be > 0 AFTER the long
+    * cast (a codegen'd per-row check fails the build of the edge list
+    * otherwise — a zero wsum would turn `div` into NULL and silently
+    * vanish from the inflow sum; checking post-cast also rejects
+    * fractional weights in (0, 1) that would truncate to zero); and max(wsum) must stay below sqrt(2⁶³) ≈ 3.037e9,
     * `require`-checked from the materialized wsum table, because the
     * split identity's intermediate `w*(s mod W)` is bounded by W² (and
     * the first term by s itself — see the g01 margin note). Hub pages
@@ -128,9 +139,13 @@ object GraphRank {
     * aggregation; lineage cut under the session checkpoint policy. */
   def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 1 && dampE2 >= 0 && dampE2 <= 100)
+    // check AFTER the long cast: a fractional weight in (0, 1) passes a
+    // pre-cast w > 0 test and then truncates to 0, recreating exactly
+    // the zero-wsum failure this check exists to prevent
     val checkedW = expr(
-      "CASE WHEN w > 0 THEN w ELSE raise_error(" +
-        "concat('pageRankWeighted: edge weight must be > 0, got ', CAST(w AS STRING))) END")
+      "CASE WHEN CAST(w AS BIGINT) > 0 THEN CAST(w AS BIGINT) ELSE raise_error(" +
+        "concat('pageRankWeighted: edge weight must be > 0 after long cast, got ', " +
+        "CAST(w AS STRING))) END")
     // weight merge on the CANONICAL pair — |E| rows through the one
     // aggregation instead of the doubled 2|E| — cut there, then both
     // directions re-derived narrowly from the materialized blocks; a
@@ -138,8 +153,9 @@ object GraphRank {
     // canonical weight, so its single emitted row carries 2w (see
     // [[pageRank]] for the build-shape rationale).
     val canon = edges
+      .select(checkedEndpoint("src"), checkedEndpoint("dst"), col("w"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"),
-        checkedW.cast("long").as("w"))
+        checkedW.as("w"))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
       .transform(Reliability.cut)
     val und = canon.select(col("a").as("src"), col("b").as("dst"),

@@ -89,6 +89,29 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("fractional weights that would truncate to zero are rejected, not silently dropped") {
+    // 0.5 passes a naive pre-cast w > 0 test, then CAST AS BIGINT makes
+    // it 0 — the check must run on the cast value
+    val e = Seq((1L, 2L, 5.0), (2L, 3L, 0.5)).toDF("src", "dst", "w")
+    val ex = intercept[Exception](GraphRank.pageRankWeighted(e, 1).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("edge weight must be > 0")))
+  }
+
+  test("a NULL edge endpoint fails fast instead of canonicalizing into a self-loop") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("src", "dst")
+    val ex = intercept[Exception](GraphRank.pageRank(e, 1).collect())
+    assert(messages(ex).exists(_.contains("edge endpoint src is NULL")))
+    val ew = Seq((Some(1L), Some(2L), 1L), (Some(4L), None, 1L))
+      .toDF("src", "dst", "w")
+    val exw = intercept[Exception](GraphRank.pageRankWeighted(ew, 1).collect())
+    assert(messages(exw).exists(_.contains("edge endpoint dst is NULL")))
+  }
+
   test("total incident weight past sqrt(2^63) is rejected, at the documented bound") {
     // one hub edge carrying the whole budget: wsum = w. Just under the
     // bound runs; just over raises the documented rescale message.
