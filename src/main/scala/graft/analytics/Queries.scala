@@ -764,7 +764,11 @@ object Queries {
       // count. The bound is TWO sigma of HLL++'s default rsd 0.05
       // (HLL error is ~Gaussian with sigma = rsd, independent of
       // cardinality — a 1-sigma 5% gate would flip red on ~1/3 of
-      // fresh datasets with no engine drift). The oracle pins the
+      // fresh datasets with no engine drift). Two independent 2-sigma
+      // booleans still jointly fail ~9% of arbitrary fresh datasets,
+      // so the gate is NOT distribution-free: it is validated against
+      // the fixed fixture datasets (whose observed errors sit well
+      // inside 10%), where it is deterministic. The oracle pins the
       // exact counts and expects the booleans literally TRUE, so a
       // genuinely drifting sketch still turns this row red.
       (s, d) =>
@@ -1631,7 +1635,9 @@ object Queries {
           .select(explode(Text.tokens(lower(col("text")))).as("token"))
         val items = Sketch.mgSketch(toks, "token", cap)
         val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
-        val n = exact.agg(sum(col("exact_n"))).first().getLong(0)
+        // coalesce: sum() is NULL on an empty corpus — n=0 then gives
+        // bound=0 and an empty top-20, not an NPE
+        val n = exact.agg(coalesce(sum(col("exact_n")), lit(0L))).first().getLong(0)
         val bound = n / (cap + 1) // floor; integer counts make it exact (see spec)
         exact.orderBy(col("exact_n").desc, col("token").asc).limit(20)
           .join(items, Seq("token"), "left")

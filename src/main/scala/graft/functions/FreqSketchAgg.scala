@@ -7,7 +7,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -47,9 +47,18 @@ case class FreqSketch(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    with ImplicitCastInputTypes
     with UnaryLike[Expression] {
 
   require(capacity >= 1, "FreqSketch needs capacity >= 1")
+
+  // a non-string child (easy to reach via the graft_freq_sketch SQL
+  // surface) must fail at ANALYSIS, not as a runtime ClassCastException
+  // in update(); implicit casts also let int/date children work as the
+  // built-in string aggregates would. (Return type inferred:
+  // AbstractDataType is private[sql] in Spark 4, so it can't be named
+  // here — Seq covariance makes Seq[StringType.type] conform.)
+  override def inputTypes = Seq(StringType)
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty

@@ -105,6 +105,17 @@ object Sketch {
         when(col("n_c") < k, col("n_c"))
           .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_c) AS BIGINT)"))
           .as("d_c"))
+    // fail loudly on a typo'd/empty group: the crossJoins below would
+    // otherwise silently produce ZERO rows instead of an estimate. The
+    // check collects at most two rows of the (groups-sized, already-cut)
+    // per-corpus aggregate — a bounded driver scalar.
+    val present = perCorpus
+      .filter(col(groupCol).isin(ga, gb)).select(col(groupCol))
+      .collect().map(_.getString(0)).toSet
+    require(present.contains(ga),
+      s"kmvOverlap: group '$ga' has no rows in the sketch (typo or empty corpus)")
+    require(present.contains(gb),
+      s"kmvOverlap: group '$gb' has no rows in the sketch (typo or empty corpus)")
     val da = perCorpus.filter(col(groupCol) === lit(ga)).select(col("d_c").as("d_a"))
     val db = perCorpus.filter(col(groupCol) === lit(gb)).select(col("d_c").as("d_b"))
 
@@ -148,22 +159,30 @@ object Sketch {
     * whole-stream MG guarantee: estimates underestimate by at most
     * n_total/(capacity+1), and every token above that bound survives).
     * Unlike the intra-aggregate merge, this table-to-table form is
-    * deterministic in its inputs. The threshold fetch is a
-    * TakeOrdered(capacity+1) driver scalar — bounded by capacity, never
-    * by data. */
+    * deterministic in its inputs.
+    *
+    * The whole fold is ONE plan — no driver action per fold, so a
+    * pipeline folding thousands of micro-batch sketches a day composes
+    * them lazily and runs a single job at the sink. The threshold is a
+    * TakeOrdered(capacity+1) → 1-row aggregate (min of the top
+    * capacity+1 counters = the (capacity+1)-th largest, or 0 when ≤
+    * capacity tokens survive — subtracting 0 is the identity), joined
+    * back by broadcast; every piece is bounded by capacity, never by
+    * data. */
   def mgCombine(a: DataFrame, b: DataFrame, capacity: Int): DataFrame = {
     require(capacity >= 1, "capacity >= 1")
     val merged = a.select(col("token"), col("est"))
       .unionByName(b.select(col("token"), col("est")))
       .groupBy("token").agg(sum(col("est")).as("est"))
-    val top = merged
+    val thr = merged
       .orderBy(col("est").desc, col("token").asc)
       .limit(capacity + 1)
-      .collect()
-    if (top.length <= capacity) merged
-    else {
-      val thr = top.last.getLong(1)
-      merged.select(col("token"), (col("est") - thr).as("est")).filter(col("est") > 0)
-    }
+      .agg(
+        when(count(lit(1)) <= capacity, lit(0L))
+          .otherwise(min(col("est")))
+          .as("thr"))
+    merged.crossJoin(broadcast(thr))
+      .select(col("token"), (col("est") - col("thr")).as("est"))
+      .filter(col("est") > 0)
   }
 }

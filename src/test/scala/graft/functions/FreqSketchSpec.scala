@@ -52,6 +52,14 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("non-string children are implicitly cast, not ClassCastException'd") {
+    // ImplicitCastInputTypes: an int child is cast to string at analysis
+    // time, so the sketch counts the string forms instead of throwing a
+    // raw ClassCastException from update()
+    val df = Seq(7, 7, 9).toDF("t")
+    assert(sketch(df, 4) == Map("7" -> 2L, "9" -> 1L))
+  }
+
   test("the SQL surface serves the same sketch: graft_freq_sketch") {
     GraftExtensions.install(spark)
     Seq.fill(4)("x").toDF("t").createOrReplaceTempView("fs_in")

@@ -34,6 +34,15 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Long]("d_a") == r.getAs[Long]("d_b"))
   }
 
+  test("a group absent from the sketch fails loudly, not with zero rows") {
+    val df = elems((1 to 5).map(i => ("A", s"e$i")) ++ (1 to 5).map(i => ("B", s"x$i")): _*)
+    val sk = Sketch.kmvMinima(df, "gram", "corp", seed = 3, k = 8)
+    val e = intercept[IllegalArgumentException] {
+      Sketch.kmvOverlap(sk, "corp", "A", "C", 8).head()
+    }
+    assert(e.getMessage.contains("'C'"))
+  }
+
   test("disjoint corpora estimate Jaccard 0 and report exactly below k") {
     val df = elems((1 to 10).map(i => ("A", s"a$i")) ++ (1 to 12).map(i => ("B", s"b$i")): _*)
     val sk = Sketch.kmvMinima(df, "gram", "corp", seed = 5, k = 64)
