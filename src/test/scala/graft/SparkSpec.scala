@@ -12,8 +12,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[4, 2]: 2 task attempts, so specs can prove the
+    // task-retry-is-page-retry contract (HttpApiTransportSpec); tests
+    // that assert failure still fail after the one extra attempt
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

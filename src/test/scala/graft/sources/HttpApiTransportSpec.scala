@@ -30,7 +30,8 @@ class HttpApiTransportSpec extends SparkSpec {
   private final class PageHandler extends com.sun.net.httpserver.HttpHandler {
     val seenQueries = new ConcurrentLinkedQueue[String]()
     val seenTokens = new ConcurrentLinkedQueue[String]()
-    val failFirst = new AtomicInteger(0) // requests to 503 before serving
+    val failFirst = new AtomicInteger(0) // requests to fail before serving
+    val failStatus = new AtomicInteger(503) // status those failures return
     val totalRows = 250
 
     override def handle(ex: HttpExchange): Unit = {
@@ -38,7 +39,7 @@ class HttpApiTransportSpec extends SparkSpec {
       seenQueries.add(body.get("query").asText())
       Option(ex.getRequestHeaders.getFirst("X-App-Token")).foreach(seenTokens.add)
       if (failFirst.getAndUpdate(n => math.max(0, n - 1)) > 0) {
-        ex.sendResponseHeaders(503, -1); ex.close(); return
+        ex.sendResponseHeaders(failStatus.get(), -1); ex.close(); return
       }
       val page = body.get("page").get("pageNumber").asInt() // 1-based
       val pageSize = body.get("page").get("pageSize").asInt()
@@ -123,8 +124,60 @@ class HttpApiTransportSpec extends SparkSpec {
   }
 
   test("transient 5xx responses retry with backoff and the read succeeds") {
+    handler.failStatus.set(503)
     handler.failFirst.set(2) // first two requests 503, then healthy
     assert(read("httpretries" -> "3").count() == 250)
+    assert(handler.failFirst.get() == 0)
+  }
+
+  test("429 rate-limit responses retry with backoff and the read succeeds") {
+    // the Socrata throttle answer: 429 is retryable exactly like 5xx —
+    // back off and re-POST the same page, no typed failure
+    handler.failStatus.set(429)
+    handler.failFirst.set(2)
+    try assert(read("httpretries" -> "3").count() == 250)
+    finally handler.failStatus.set(503)
+    assert(handler.failFirst.get() == 0)
+  }
+
+  test("exhausted retries surface the typed page error with the last status") {
+    handler.failFirst.set(50) // outlasts every transport retry and task attempt
+    try {
+      val e = intercept[Exception](read("httpretries" -> "1", "maxPages" -> "1").count())
+      def causes(t: Throwable): Seq[Throwable] = if (t == null) Nil else t +: causes(t.getCause)
+      val pageErr = causes(e).collectFirst { case a: ApiPageFetchException => a }
+      assert(pageErr.isDefined)
+      assert(pageErr.get.getMessage.contains("503") && pageErr.get.page == 0)
+    } finally handler.failFirst.set(0)
+  }
+
+  test("a connect failure retries then carries the IOException as the cause") {
+    // nothing listens on the endpoint: client.send throws IOException,
+    // the transport retries, then wraps the last one in the typed error
+    val closed = spark.read
+      .format("graft-api")
+      .option("transport", classOf[HttpApiTransport].getName)
+      .option("endpoint", "http://127.0.0.1:1/query.json")
+      .option("pageSize", 100)
+      .option("maxPages", 1)
+      .option("httpretries", 1)
+      .option("httpbackoffms", 1)
+      .option("httptimeoutms", 2000)
+      .load()
+    val e = intercept[Exception](closed.count())
+    def causes(t: Throwable): Seq[Throwable] = if (t == null) Nil else t +: causes(t.getCause)
+    val pageErr = causes(e).collectFirst { case a: ApiPageFetchException => a }
+    assert(pageErr.isDefined)
+    assert(pageErr.get.getCause.isInstanceOf[java.io.IOException])
+  }
+
+  test("a page failure past the transport budget is healed by Spark task retry") {
+    // the contract the class doc claims — "task retry IS page retry":
+    // with ZERO transport retries, the first request 503s, that task
+    // attempt dies with ApiPageFetchException, and the local[4, 2]
+    // scheduler's second attempt re-POSTs the same page and succeeds
+    handler.failFirst.set(1)
+    assert(read("httpretries" -> "0").count() == 250)
     assert(handler.failFirst.get() == 0)
   }
 
