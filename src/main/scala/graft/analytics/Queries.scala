@@ -2321,6 +2321,49 @@ object Queries {
              |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
              |  AND epoch_us(c.ts) < epoch_us(p.ts)
              |GROUP BY 1, 2""".stripMargin)
+    ),
+    QueryDef(
+      "j05_band_join_full_outer",
+      // j04's FULL OUTER sibling: purchases ⟗ clicks-in-the-prior-hour,
+      // the attribution shape that must ALSO keep clicks that converted
+      // nothing. Stock Spark plans a full-outer band join only as a
+      // BroadcastNestedLoopJoin; under the gate sessions
+      // [[graft.plans.RangeJoinRewrite]] rewrites it as the LeftOuter
+      // bucketed construction UNION ALL the mirrored-band anti join
+      // (unmatched clicks, null-padded) — two linear shuffle passes,
+      // no NLJ. Aggregated per user bucket so the dump stays small
+      // while still checking matched/unmatched multiplicity row-wise.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+        purchases.join(clicks,
+            col("pu") === col("cu") &&
+              unix_micros(col("cts")) >= unix_micros(col("ts")) - 3600L * 1000000L &&
+              unix_micros(col("cts")) < unix_micros(col("ts")),
+            "full_outer")
+          .groupBy(pmod(coalesce(col("pu"), col("cu")), lit(50L)).as("ubkt"))
+          .agg(
+            count(col("pid")).as("n_p_rows"),
+            count(col("cid")).as("n_c_rows"),
+            count(when(col("pid").isNotNull && col("cid").isNotNull, 1)).as("n_matched"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id AS pu, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS cid, user_id AS cu, CAST(ts AS TIMESTAMP) AS cts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT coalesce(pu, cu) % 50 AS ubkt,
+             |  CAST(count(pid) AS BIGINT) AS n_p_rows,
+             |  CAST(count(cid) AS BIGINT) AS n_c_rows,
+             |  CAST(count(CASE WHEN pid IS NOT NULL AND cid IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM p FULL JOIN c ON cu = pu
+             |  AND epoch_us(cts) >= epoch_us(ts) - 3600000000
+             |  AND epoch_us(cts) < epoch_us(ts)
+             |GROUP BY 1""".stripMargin)
     )
   )
 

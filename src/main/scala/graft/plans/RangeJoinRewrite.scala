@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -70,6 +70,14 @@ import org.apache.spark.sql.types._
   *     duplication is invisible and no id/window copy-resolution is
   *     needed: plain LEFT SEMI (or ANTI) on bucket equality with the
   *     full original condition in the ON clause.
+  *   - **FullOuter**: the LeftOuter construction UNION ALL the right
+  *     rows that matched nothing (the LeftAnti construction with sides
+  *     swapped and the band mirrored to `[-hi, -lo]`), left columns
+  *     null-padded. Composing the two proven linear shapes sidesteps
+  *     the skew a windowed full-outer would create (every unmatched
+  *     right row shares the null uid = one window partition); the cost
+  *     is a second bucketed pass over both inputs, which must therefore
+  *     both be deterministic.
   *
   * **Size guard**: the rewrite declines only when the right side is
   * small in BOTH bytes and estimated rows: `stats.sizeInBytes` at or
@@ -302,71 +310,123 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, jt @ (LeftSemi | LeftAnti), Some(cond), hint) if eligible(j) =>
       detect(splitConjunctivePredicates(cond), left, right) match {
         case None => j
-        case Some(band) =>
-          val w = band.hi - band.lo + 1
-          // left keeps its single bucket; right explodes to the ≤ 2
-          // buckets a matching left row could occupy
-          val lBkt = Alias(bucket(w)(band.lBase), BucketCol + "_l")()
-          val lProj = Project(left.output :+ lBkt, left)
-          val bktR = AttributeReference(BucketCol + "_r", LongType)()
-          val arr = ArrayDistinct(CreateArray(Seq(
-            bucket(w)(Subtract(band.rBase, Literal(band.hi))),
-            bucket(w)(Subtract(band.rBase, Literal(band.lo))))))
-          val rGen = Generate(Explode(arr), Nil, outer = false, None, Seq(bktR), right)
-          // existence test: the whole original condition rides the ON
-          // clause; Spark's planner extracts its equi conjuncts (if any)
-          // as hash keys alongside the bucket equality
-          val joinCond = And(EqualTo(lBkt.toAttribute, bktR), cond)
-          val newJoin = Join(lProj, rGen, jt, Some(joinCond), hint)
-          newJoin.setTagValue(rewritten, true)
-          Project(left.output, newJoin)
+        case Some(band) => rewriteExistence(left, right, jt, cond, hint, band)
       }
 
     case j @ Join(left, right, LeftOuter, Some(cond), hint)
         if eligible(j) && deterministicSubtree(left) =>
       detect(splitConjunctivePredicates(cond), left, right) match {
         case None => j
-        case Some(band) =>
-          // per-execution row id: groups the ≤ 2 bucket copies of one
-          // left row back together (and keeps duplicate left rows apart)
-          val uid = Alias(MonotonicallyIncreasingID(), "__graft_uid")()
-          val lTagged = Project(left.output :+ uid, left)
-          val uidRef = uid.toAttribute
-          val bktL = AttributeReference(BucketCol + "_l", LongType)()
-          val lGen = explodeLeft(lTagged, band, bktL)
-
-          val w = band.hi - band.lo + 1
-          val rBkt = Alias(bucket(w)(band.rBase), BucketCol + "_r")()
-          val marker = Alias(Literal(true), BucketCol + "_m")()
-          val rProj = Project(right.output :+ rBkt :+ marker, right)
-
-          // LEFT OUTER: the entire original condition must live in the
-          // ON clause (filtering afterwards would turn it inner)
-          val joinCond = And(EqualTo(bktL, rBkt.toAttribute), cond)
-          val newJoin = Join(lGen, rProj, LeftOuter, Some(joinCond), hint)
-          newJoin.setTagValue(rewritten, true)
-
-          // copy resolution: count matches per uid; null rows survive
-          // only when the uid matched nowhere, and then exactly once
-          val mRef = marker.toAttribute.withNullability(true)
-          val order = Seq(SortOrder(mRef, Ascending))
-          val cnt = Alias(
-            WindowExpression(
-              AggregateExpression(Count(Seq(mRef)), Complete, isDistinct = false),
-              WindowSpecDefinition(Seq(uidRef), order,
-                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
-            BucketCol + "_cnt")()
-          val rn = Alias(
-            WindowExpression(
-              RowNumber(),
-              WindowSpecDefinition(Seq(uidRef), order,
-                SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
-            BucketCol + "_rn")()
-          val win = Window(Seq(cnt, rn), Seq(uidRef), order, newJoin, None)
-          val keep = Or(
-            IsNotNull(mRef),
-            And(EqualTo(cnt.toAttribute, Literal(0L)), EqualTo(rn.toAttribute, Literal(1))))
-          Project(left.output ++ right.output.map(_.withNullability(true)), Filter(keep, win))
+        case Some(band) => rewriteLeftOuter(left, right, cond, hint, band)
       }
+
+    case j @ Join(left, right, FullOuter, Some(cond), hint)
+        if eligible(j) && deterministicSubtree(left) && deterministicSubtree(right) =>
+      // FULL OUTER = LEFT OUTER ∪ the right rows that matched nothing,
+      // composed from the two proven constructions rather than one
+      // full-outer join over the exploded left: there, every unmatched
+      // RIGHT row would surface with a null uid and the copy-resolution
+      // window would funnel ALL of them into the single uid-null
+      // partition — a skew bomb precisely when the join is sparse. The
+      // union costs a second (linear, bucketed) pass instead. Both
+      // subtrees are evaluated twice, so both must be deterministic —
+      // a nondeterministic side could disagree between the branches,
+      // duplicating or dropping rows.
+      detect(splitConjunctivePredicates(cond), left, right) match {
+        case None => j
+        case Some(band) =>
+          val matchedPlusLeft = rewriteLeftOuter(left, right, cond, hint, band)
+          // right rows with no partner: anti-join right against left
+          // under the mirrored band — rBase-lBase ∈ [lo,hi] is
+          // lBase-rBase ∈ [-hi,-lo] with the sides swapped
+          val mirrored = Band(band.rBase, band.lBase, -band.hi, -band.lo)
+          val unmatchedRight = rewriteExistence(right, left, LeftAnti, cond, hint, mirrored)
+          val rightWithNullLeft = Project(
+            left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) ++ right.output,
+            unmatchedRight)
+          // positional UNION ALL; output attribute ids come from the
+          // head child, which carries the original left/right ids
+          Union(Seq(matchedPlusLeft, rightWithNullLeft))
+      }
+  }
+
+  /** The semi/anti existence construction (see the class doc): left
+    * keeps its single bucket, right explodes to the ≤ 2 buckets a
+    * matching left row could occupy, the whole original condition rides
+    * the ON clause. Output: `left.output`. */
+  private def rewriteExistence(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      jt: JoinType,
+      cond: Expression,
+      hint: JoinHint,
+      band: Band): LogicalPlan = {
+    val w = band.hi - band.lo + 1
+    val lBkt = Alias(bucket(w)(band.lBase), BucketCol + "_l")()
+    val lProj = Project(left.output :+ lBkt, left)
+    val bktR = AttributeReference(BucketCol + "_r", LongType)()
+    val arr = ArrayDistinct(CreateArray(Seq(
+      bucket(w)(Subtract(band.rBase, Literal(band.hi))),
+      bucket(w)(Subtract(band.rBase, Literal(band.lo))))))
+    val rGen = Generate(Explode(arr), Nil, outer = false, None, Seq(bktR), right)
+    // existence test: the whole original condition rides the ON
+    // clause; Spark's planner extracts its equi conjuncts (if any)
+    // as hash keys alongside the bucket equality
+    val joinCond = And(EqualTo(lBkt.toAttribute, bktR), cond)
+    val newJoin = Join(lProj, rGen, jt, Some(joinCond), hint)
+    newJoin.setTagValue(rewritten, true)
+    Project(left.output, newJoin)
+  }
+
+  /** The LEFT OUTER construction (see the class doc): uid-tagged
+    * exploded left, LEFT OUTER bucketed join with the full condition in
+    * the ON clause, windowed copy resolution. Output:
+    * `left.output ++ right.output` (right side nullable). */
+  private def rewriteLeftOuter(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      cond: Expression,
+      hint: JoinHint,
+      band: Band): LogicalPlan = {
+    // per-execution row id: groups the ≤ 2 bucket copies of one
+    // left row back together (and keeps duplicate left rows apart)
+    val uid = Alias(MonotonicallyIncreasingID(), "__graft_uid")()
+    val lTagged = Project(left.output :+ uid, left)
+    val uidRef = uid.toAttribute
+    val bktL = AttributeReference(BucketCol + "_l", LongType)()
+    val lGen = explodeLeft(lTagged, band, bktL)
+
+    val w = band.hi - band.lo + 1
+    val rBkt = Alias(bucket(w)(band.rBase), BucketCol + "_r")()
+    val marker = Alias(Literal(true), BucketCol + "_m")()
+    val rProj = Project(right.output :+ rBkt :+ marker, right)
+
+    // LEFT OUTER: the entire original condition must live in the
+    // ON clause (filtering afterwards would turn it inner)
+    val joinCond = And(EqualTo(bktL, rBkt.toAttribute), cond)
+    val newJoin = Join(lGen, rProj, LeftOuter, Some(joinCond), hint)
+    newJoin.setTagValue(rewritten, true)
+
+    // copy resolution: count matches per uid; null rows survive
+    // only when the uid matched nowhere, and then exactly once
+    val mRef = marker.toAttribute.withNullability(true)
+    val order = Seq(SortOrder(mRef, Ascending))
+    val cnt = Alias(
+      WindowExpression(
+        AggregateExpression(Count(Seq(mRef)), Complete, isDistinct = false),
+        WindowSpecDefinition(Seq(uidRef), order,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
+      BucketCol + "_cnt")()
+    val rn = Alias(
+      WindowExpression(
+        RowNumber(),
+        WindowSpecDefinition(Seq(uidRef), order,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+      BucketCol + "_rn")()
+    val win = Window(Seq(cnt, rn), Seq(uidRef), order, newJoin, None)
+    val keep = Or(
+      IsNotNull(mRef),
+      And(EqualTo(cnt.toAttribute, Literal(0L)), EqualTo(rn.toAttribute, Literal(1))))
+    Project(left.output ++ right.output.map(_.withNullability(true)), Filter(keep, win))
   }
 }

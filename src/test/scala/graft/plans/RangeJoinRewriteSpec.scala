@@ -241,6 +241,72 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  // --- full outer ---
+
+  private def fullBand(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r,
+      $"u" === $"cu" &&
+        unix_micros($"cts") >= unix_micros($"ts") - 1000000L &&
+        unix_micros($"cts") < unix_micros($"ts"),
+      "full_outer")
+      .select($"eid", $"cid")
+
+  private def pairCounts(df: DataFrame): Map[(Long, Long), Int] =
+    df.collect().map(r => (
+      if (r.isNullAt(0)) -1L else r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  test("full outer: matched, one null per unmatched left, one null-left per unmatched right") {
+    // eid=4 (user 99) never matches — duplicated to prove multiplicity;
+    // cids 103/105/106 match nothing and must each surface once with a
+    // null left side
+    val extra = Seq((4L, 99, 7000000L), (4L, 99, 7000000L))
+      .toDF("eid", "u", "us").select($"eid", $"u", timestamp_micros($"us").as("ts"))
+    val l = errors.unionByName(extra)
+    val want = pairCounts(fullBand(l, clicks))
+    withRule {
+      val df = fullBand(l, clicks)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("__graft_bkt"), s"bucket key missing from plan:\n$p")
+      val got = pairCounts(df)
+      assert(got === want)
+      assert(got((4L, -1L)) === 2) // both copies of the unmatched left row
+      assert(got((-1L, 103L)) === 1 && got((-1L, 105L)) === 1 && got((-1L, 106L)) === 1)
+      assert(got((1L, 101L)) === 1 && got((2L, 102L)) === 1 && got((3L, 104L)) === 1)
+    }
+  }
+
+  test("full outer: null times on either side become null rows, not dropped rows") {
+    val lNull = errors.unionByName(
+      Seq((9L, 10)).toDF("eid", "u").select($"eid", $"u", lit(null).cast("timestamp").as("ts")))
+    val rNull = clicks.unionByName(
+      Seq((109L, 10)).toDF("cid", "cu").select($"cid", $"cu", lit(null).cast("timestamp").as("cts")))
+    val want = pairCounts(fullBand(lNull, rNull))
+    withRule {
+      val got = pairCounts(fullBand(lNull, rNull))
+      assert(got === want)
+      assert(got.contains((9L, -1L)) && got.contains((-1L, 109L)))
+    }
+  }
+
+  test("full outer through the SQL surface") {
+    errors.createOrReplaceTempView("rr_err")
+    clicks.createOrReplaceTempView("rr_clk")
+    val sql =
+      """SELECT eid, cid FROM rr_err FULL JOIN rr_clk
+        |ON u = cu AND cts >= ts - INTERVAL '1' SECOND AND cts < ts
+        |""".stripMargin
+    val want = pairCounts(spark.sql(sql))
+    withRule {
+      val df = spark.sql(sql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(pairCounts(df) === want)
+    }
+  }
+
   test("left outer through the SQL surface") {
     errors.createOrReplaceTempView("rr_err")
     clicks.createOrReplaceTempView("rr_clk")
