@@ -554,6 +554,43 @@ object Queries {
               |GROUP BY 1""".stripMargin)
     ),
     QueryDef(
+      "q36_aqe_skew_join",
+      // q29's AQE-first twin: the same hot-key problem with ZERO
+      // query-side remedy — no salt columns, the join written plainly
+      // (a merge hint declines broadcast so the shuffle join actually
+      // exists) and the hot-partition split left to AQE's runtime
+      // skew-join (spark.sql.adaptive.skewJoin.enabled, on in
+      // [[graft.core.GraftSession]]). The fact side is deliberately
+      // skewed — 3/4 of lineitem collapses onto suppkey 1 — and the
+      // oracle runs the plain join, so a green row proves the AQE path
+      // is a pure parallelism transform exactly as q29 proved for
+      // manual salting; PlanSpec asserts the runtime split itself. At
+      // 100 TB this is the FIRST answer to skew (no code change, reacts
+      // to the skew actually observed at runtime); salting is the
+      // fallback for engines/joins AQE can't split.
+      (s, d) => {
+        val fact = Tables.lineitem(s, d).select(
+          when(col("l_orderkey") % 4 =!= 0, lit(1L))
+            .otherwise(col("l_suppkey").cast("bigint")).as("suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        val dim = Tables.supplier(s, d)
+          .select(col("s_suppkey").cast("bigint").as("suppkey"), col("s_nationkey"))
+        fact.join(dim.hint("merge"), Seq("suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(4,2)")).cast("double").as("revenue"))
+      },
+      Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1 ELSE l_suppkey END AS suppkey,
+              |  l_extendedprice, l_discount FROM lineitem)
+              |SELECT s_nationkey, count(*) AS n_lines,
+              |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              |  CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+              |FROM f JOIN supplier ON suppkey = s_suppkey
+              |GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
       "q30_bloom_join",
       // bloom-pruned join: the fact side is pre-filtered by a Bloom
       // filter of the (filtered) dim keys ([[BloomPrune.semiFilter]]),

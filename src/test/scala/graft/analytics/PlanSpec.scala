@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.SparkSpec
 import graft.sources.LandingZone
+import org.apache.spark.sql.functions._
 
 /** Physical-plan audits — the properties that decide 100 TB behavior,
   * asserted on `.explain`-level plan text so a regression that silently
@@ -58,6 +59,49 @@ class PlanSpec extends SparkSpec {
     val p = plan("d01_minhash_lsh")
     assert(p.contains("minhashsig") || p.contains("MinHashSig"), "fused TypedImperativeAggregate missing")
     assert(!p.contains("m63"), "the 64-column min-agg shape is back")
+  }
+
+  test("q36: the merge hint holds — a shuffle join AQE can split, not a broadcast") {
+    val p = plan("q36_aqe_skew_join")
+    assert(p.contains("SortMergeJoin"), s"q36 must shuffle-join for AQE skew handling:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), "broadcast would hide the skew path")
+  }
+
+  test("AQE splits a skewed shuffle join at runtime, identical rows to the unsplit plan") {
+    // the q29/q36 story completed at the PLAN level: with thresholds
+    // scaled to fixture bytes, the hot partition (90% of the fact on
+    // one key) must come out of AQE as a skew-split sort-merge join —
+    // and flipping the knob off must change only the partitioning,
+    // never a row. At 100 TB the same defaults (256 MB threshold)
+    // catch the same shape without any query change.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      def q() = {
+        val fact = spark.range(0, 200000, 1, 8).select(
+          when($"id" % 10 =!= 0, lit(7L)).otherwise($"id").as("k"), $"id".as("v"))
+        val dim = spark.range(0, 2000).select($"id".as("k"), ($"id" % 100).as("grp"))
+        fact.join(dim, "k").groupBy("grp").agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      }
+      val df = q()
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true") || p.contains("skewed"), s"no skew split in final plan:\n$p")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val want = q().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("landing-zone read prunes load_date partitions in the scan") {
