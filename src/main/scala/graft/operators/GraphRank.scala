@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.core.Reliability
@@ -37,11 +37,43 @@ import graft.core.Reliability
   */
 object GraphRank {
 
-  /** Fail fast on a NULL edge endpoint (see the canonical-pair build:
-    * least/greatest would silently turn it into a self-loop). */
-  private def checkedEndpoint(c: String) =
-    expr(s"CASE WHEN $c IS NULL THEN raise_error('GraphRank: edge endpoint $c is NULL') " +
-      s"ELSE $c END").as(c)
+  /** NULL count of endpoint column `c`, as an [[Observation]] metric.
+    *
+    * Guard-placement rationale (r14→r15): the endpoint contract
+    * (least/greatest IGNORE nulls, so a null-endpoint edge would
+    * silently canonicalize into a self-loop) was first a per-row
+    * `CASE … raise_error` around each endpoint in the dedup projection.
+    * That cost g01 +13% shuffle — and an A/B probe showed the real
+    * mechanism was NOT the CASE arithmetic: ANY extra node (the CASE
+    * project, or a CollectMetrics) sitting between a caller's own
+    * `.distinct()` and the canonical distinct blocks Catalyst's
+    * RemoveRedundantAggregates, so the raw edge list shuffles TWICE
+    * (5.6 → 11.2 MB on the sf0.1 build). The unweighted path therefore
+    * canonicalizes with a null-PRESERVING projection (a null endpoint
+    * becomes the (null, null) pair — one row after dedup — instead of
+    * a silent self-loop) and counts those pairs with an Observation
+    * placed ABOVE the distinct, below the eager cut: the two adjacent
+    * distincts still collapse, the metric costs zero extra passes, and
+    * [[pageRank]] raises right after the cut. The weighted path has no
+    * elidable aggregate pair (the caller's weight aggregation and the
+    * canonical merge are both load-bearing), so it keeps the
+    * finer-grained pre-aggregation observation: per-column null counts
+    * plus the post-cast weight check, which must see individual
+    * weights BEFORE they disappear into the sum. */
+  private def nullCount(c: String) =
+    sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")
+
+  /** Raise (after the edge build's eager cut) if either endpoint column
+    * observed NULLs — see [[nullCount]]. */
+  private def failOnNullEndpoints(obs: Observation): Unit = {
+    val m = obs.get
+    Seq("src", "dst").foreach { c =>
+      val n = m(s"nulls_$c").asInstanceOf[Long]
+      require(n == 0L,
+        s"GraphRank: edge endpoint $c is NULL on $n row(s) — least/greatest would " +
+          "silently canonicalize a null-endpoint edge into a self-loop")
+    }
+  }
 
   /** Integer PageRank over the UNDIRECTED view of `edges` (columns
     * `src`, `dst`, both non-null; both directions are added, then
@@ -62,15 +94,24 @@ object GraphRank {
     // the edge list, degrees and node set are loop INVARIANTS —
     // materialize them once (set spark.graft.checkpoint.dir to store
     // the cuts reliably) or every iteration's job re-derives the whole
-    // edge build from source; measured 3x on the g01 bench
-    // least/greatest IGNORE nulls, so a null-endpoint edge would
-    // silently canonicalize into a self-loop on the non-null node —
-    // enforce the documented non-null contract instead
+    // edge build from source; measured 3x on the g01 bench. The
+    // canonical projection PRESERVES nulls (a null endpoint becomes
+    // the (null, null) pair, never a silent self-loop) so the non-null
+    // contract can be observed above the distinct — see [[nullCount]]
+    // for why the guard must not sit below it.
+    val bad = col("src").isNull || col("dst").isNull
+    val obs = Observation()
     val canon = edges
-      .select(checkedEndpoint("src"), checkedEndpoint("dst"))
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .select(
+        when(bad, lit(null)).otherwise(least(col("src"), col("dst"))).as("a"),
+        when(bad, lit(null)).otherwise(greatest(col("src"), col("dst"))).as("b"))
       .distinct()
+      .observe(obs, sum(when(col("a").isNull, 1L).otherwise(0L)).as("null_pairs"))
       .transform(Reliability.cut)
+    val nullPairs = obs.get("null_pairs").asInstanceOf[Long]
+    require(nullPairs == 0L,
+      "GraphRank: edge endpoint is NULL (src or dst) — least/greatest would silently " +
+        "canonicalize a null-endpoint edge into a self-loop")
     // a self-loop canonicalizes to (a, a): emitting its swap would
     // double it where the doubled-list distinct kept exactly one row
     val und = canon.select(col("a").as("src"), col("b").as("dst"))
@@ -139,25 +180,33 @@ object GraphRank {
     * aggregation; lineage cut under the session checkpoint policy. */
   def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 1 && dampE2 >= 0 && dampE2 <= 100)
-    // check AFTER the long cast: a fractional weight in (0, 1) passes a
-    // pre-cast w > 0 test and then truncates to 0, recreating exactly
-    // the zero-wsum failure this check exists to prevent
-    val checkedW = expr(
-      "CASE WHEN CAST(w AS BIGINT) > 0 THEN CAST(w AS BIGINT) ELSE raise_error(" +
-        "concat('pageRankWeighted: edge weight must be > 0 after long cast, got ', " +
-        "CAST(w AS STRING))) END")
     // weight merge on the CANONICAL pair — |E| rows through the one
     // aggregation instead of the doubled 2|E| — cut there, then both
     // directions re-derived narrowly from the materialized blocks; a
     // self-loop's doubled copies would have summed to twice its
     // canonical weight, so its single emitted row carries 2w (see
-    // [[pageRank]] for the build-shape rationale).
+    // [[pageRank]] for the build-shape rationale). Contracts observed,
+    // not CASE-guarded ([[nullCount]]); the weight check runs AFTER the
+    // long cast — a fractional weight in (0, 1) passes a pre-cast w > 0
+    // test and then truncates to 0, recreating exactly the zero-wsum
+    // failure the check exists to prevent
+    val obs = Observation()
     val canon = edges
-      .select(checkedEndpoint("src"), checkedEndpoint("dst"), col("w"))
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .observe(obs,
+        nullCount("src"), nullCount("dst"),
+        sum(when(coalesce(col("w") > 0, lit(false)), 0L).otherwise(1L)).as("bad_w"),
+        min(when(coalesce(col("w") > 0, lit(false)), lit(null).cast("long"))
+          .otherwise(col("w"))).as("min_bad_w"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"),
-        checkedW.as("w"))
+        col("w"))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
       .transform(Reliability.cut)
+    failOnNullEndpoints(obs)
+    val badW = obs.get("bad_w").asInstanceOf[Long]
+    require(badW == 0L,
+      s"pageRankWeighted: edge weight must be > 0 after long cast on $badW row(s); " +
+        s"smallest offending cast value: ${Option(obs.get("min_bad_w")).getOrElse("NULL")}")
     val und = canon.select(col("a").as("src"), col("b").as("dst"),
         when(col("a") === col("b"), col("w") * 2).otherwise(col("w")).as("w"))
       .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst"), col("w")))
