@@ -56,7 +56,18 @@ object Reliability {
     * checkpoint policy (see object doc). Eager in both modes — the
     * iterative callers all reuse the cut result at least twice per
     * round, so deferred materialization only moves the cost. */
-  def cut(df: DataFrame): DataFrame = {
+  def cut(df: DataFrame): DataFrame = cut(df, eager = true)
+
+  /** [[cut]] deferred to the FIRST ACTION on the result: the blocks
+    * are written as a side effect of a job the caller was about to run
+    * anyway, saving one job submission per cut. Fits iterative loops
+    * whose next step is a total aggregation over the cut result
+    * (BPE's pair fold); callers that fan the result into several
+    * actions should keep the eager [[cut]] so the materialization
+    * isn't attributed to an arbitrary first consumer. */
+  def cutLazy(df: DataFrame): DataFrame = cut(df, eager = false)
+
+  private def cut(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
@@ -67,8 +78,8 @@ object Reliability {
           sc.setCheckpointDir(dir)
           spark.conf.set(AppliedKey, dir)
         }
-        df.checkpoint()
-      case _ => df.localCheckpoint()
+        df.checkpoint(eager)
+      case _ => df.localCheckpoint(eager)
     }
   }
 }
