@@ -17,8 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    streaming aggregation ahead of `flatMapGroupsWithState` would
   *    stack two stateful operators;
   *  - state lives per (chunk, 15-bit key) pigeonhole band and holds the
-  *    (id, sketch) pairs seen in that band — 16 bytes per doc per
-  *    chunk, no text, no token sets. The 4-chunk pigeonhole guarantees
+  *    (id, sketch) pairs seen in that band, packed into one primitive
+  *    long array — 16 bytes per doc per chunk, one UnsafeArrayData
+  *    blob per band, no text, no token sets. The 4-chunk pigeonhole
+  *    guarantees
   *    any hamming-&le;-3 pair shares a band, so recall is exact, same
   *    as the batch operator;
   *  - a colliding pair is emitted ONLY by the first chunk whose keys
@@ -42,11 +44,21 @@ object NearDupStream {
   case class DupPair(id_a: Long, id_b: Long, hamming: Long)
 
   /** 60-bit md5 hash — the Scala twin of [[graft.functions.Hashing
-    * .md5Long]] (first 15 hex chars of md5("salt:s"), base 16). */
+    * .md5Long]] (first 15 hex chars of md5("salt:s"), base 16).
+    * Computed as bits, not hex text: the first 15 hex characters ARE
+    * the top 60 bits of the first 8 digest bytes big-endian, so the
+    * hex-format-and-reparse round trip (16 string allocations per
+    * TOKEN on the hot streaming path) reduces to one shift.
+    * Value-identical by
+    * construction; the sketch-parity spec pins it against the
+    * SQL-side aggregate. */
   private[streaming] def md5Long60(s: String, salt: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$salt:$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val d = md.digest(s"$salt:$s".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** Per-row SimHash, equal to [[Dedup.simhashTable]]'s aggregate form:
@@ -100,22 +112,36 @@ object NearDupStream {
     banded
       .groupByKey(b => (b.chunk, b.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[Seq[(Long, Long)]]) => {
+        // state is a PACKED long array, stride 2: [id, sketch, ...] —
+        // the row-encoded-state answer to the typed-SerDe cost (r15
+        // A/B in BASELINE.md): a primitive array encodes as one
+        // UnsafeArrayData blob, where Seq[(Long, Long)] paid a boxed
+        // struct per entry per group per batch
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[Array[Long]]) => {
           val chunk = key._1
-          var seen = state.getOption.getOrElse(Seq.empty)
+          val seen = state.getOption.getOrElse(Array.emptyLongArray)
           val out = Seq.newBuilder[DupPair]
           // sort so intra-batch pairs are found deterministically
-          rows.toSeq.sortBy(_.id).foreach { r =>
-            seen.foreach { case (pid, psh) =>
+          val batch = rows.toArray.sortBy(_.id)
+          val arr = java.util.Arrays.copyOf(seen, seen.length + batch.length * 2)
+          var n = seen.length
+          batch.foreach { r =>
+            var i = 0
+            while (i < n) {
+              val pid = arr(i)
+              val psh = arr(i + 1)
               if (pid != r.id) {
                 val ham = java.lang.Long.bitCount(psh ^ r.simhash)
                 if (ham <= maxHamming && firstSharedChunk(psh, r.simhash) == chunk)
                   out += DupPair(math.min(pid, r.id), math.max(pid, r.id), ham.toLong)
               }
+              i += 2
             }
-            seen = seen :+ ((r.id, r.simhash))
+            arr(n) = r.id
+            arr(n + 1) = r.simhash
+            n += 2
           }
-          state.update(seen)
+          state.update(arr)
           out.result().iterator
         })
   }
@@ -185,7 +211,9 @@ object NearDupStream {
     banded
       .groupByKey(b => (b.chunk, b.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (key: (Int, Long), rows: Iterator[TimedBandRow], state: GroupState[Seq[(Long, Long, Long)]]) => {
+        // packed long array, stride 3: [id, sketch, eventTimeMs, ...]
+        // (see the stride-2 note on [[simhashDupPairs]])
+        (key: (Int, Long), rows: Iterator[TimedBandRow], state: GroupState[Array[Long]]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -194,10 +222,29 @@ object NearDupStream {
             // batch sentinel is Long.MinValue, NOT 0: eviction must be
             // inert for pre-epoch event times too (ts.getTime < 0)
             val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MinValue
-            var seen = state.getOption.getOrElse(Seq.empty).filter(_._3 >= wm)
+            val prev = state.getOption.getOrElse(Array.emptyLongArray)
+            var kept = 0
+            var i = 0
+            while (i < prev.length) { if (prev(i + 2) >= wm) kept += 3; i += 3 }
+            val batch = rows.toArray.sortBy(_.id)
+            val arr = new Array[Long](kept + batch.length * 3)
+            var n = 0
+            i = 0
+            while (i < prev.length) {
+              if (prev(i + 2) >= wm) {
+                arr(n) = prev(i); arr(n + 1) = prev(i + 1); arr(n + 2) = prev(i + 2)
+                n += 3
+              }
+              i += 3
+            }
             val out = Seq.newBuilder[DupPair]
-            rows.toSeq.sortBy(_.id).foreach { r =>
-              seen.foreach { case (pid, psh, pts) =>
+            batch.foreach { r =>
+              val rts = r.ts.getTime
+              var j = 0
+              while (j < n) {
+                val pid = arr(j)
+                val psh = arr(j + 1)
+                val pts = arr(j + 2)
                 if (pid != r.id) {
                   val ham = java.lang.Long.bitCount(psh ^ r.simhash)
                   // the per-pair horizon check makes the out-of-horizon
@@ -205,20 +252,26 @@ object NearDupStream {
                   // than the horizon never pair, regardless of where
                   // the micro-batch boundaries fell
                   if (ham <= maxHamming && firstSharedChunk(psh, r.simhash) == chunk &&
-                      math.abs(pts - r.ts.getTime) <= horizonMs)
+                      math.abs(pts - rts) <= horizonMs)
                     out += DupPair(math.min(pid, r.id), math.max(pid, r.id), ham.toLong)
                 }
+                j += 3
               }
-              seen = seen :+ ((r.id, r.simhash, r.ts.getTime))
+              arr(n) = r.id; arr(n + 1) = r.simhash; arr(n + 2) = rts
+              n += 3
             }
-            if (seen.isEmpty) state.remove()
+            if (n == 0) state.remove()
             else {
-              state.update(seen)
+              state.update(arr)
               // evict the whole band once the watermark passes its
               // newest entry + the eviction window; entries survive
               // eviction only with ts >= wm, so this is always > wm
-              if (streaming)
-                state.setTimeoutTimestamp(seen.map(_._3).max + horizonMs + allowedLatenessMs)
+              if (streaming) {
+                var mx = Long.MinValue
+                var k = 2
+                while (k < n) { if (arr(k) > mx) mx = arr(k); k += 3 }
+                state.setTimeoutTimestamp(mx + horizonMs + allowedLatenessMs)
+              }
             }
             out.result().iterator
           }
