@@ -14,13 +14,18 @@ import org.apache.spark.sql.SparkSession
   * be optimized down to a row count. A small warm-up job runs first so
   * JIT/classloading isn't billed to the first query.
   *
-  * Protocol (since r04, contention-hardened r10): each query runs once
-  * warm (absorbs plan compilation, whole-stage-codegen javac, JIT —
-  * fixed per-query costs irrelevant at scale; r01's q15 "12.3 s for a
-  * pure projection" was exactly this artifact) and then at least THREE
-  * recorded steady-state runs; the reported number is the MEDIAN of
-  * the three FASTEST runs, with min/max over all runs kept in the
-  * JSON. The r02→r03 history showed a single recorded run cannot
+  * Protocol (since r04, contention-hardened r10, two-pass pooled r15):
+  * each query runs once warm (absorbs plan compilation,
+  * whole-stage-codegen javac, JIT — fixed per-query costs irrelevant
+  * at scale; r01's q15 "12.3 s for a pure projection" was exactly this
+  * artifact) and then at least THREE recorded steady-state runs; after
+  * the whole inventory has been swept once, a SECOND full sweep
+  * records three more runs per query in the maximally-warm JVM, and
+  * the reported number is the MEDIAN of the three FASTEST clean runs
+  * POOLED across both sweeps, with min/max over all runs kept in the
+  * JSON (see the pooling comment in main for why: the r12-r14
+  * across-run total swing was run-level warmth no per-query detector
+  * could see). The r02→r03 history showed a single recorded run cannot
   * resolve changes smaller than ~30× (d04 went 59.4 s → 1.9 s with
   * zero code change); the median of three makes a real 2× regression
   * visible. If a query fails, the elapsed time of the failed attempt
@@ -120,7 +125,7 @@ object Bench {
         .map { case (name, s) => "\"" + name + f"""\":$s%.1f""" }
         .mkString("{", ",", "}")
       val w = if (warnEsc.nonEmpty) s""","warning":"$warnEsc"""" else ""
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries,"contended":$contended$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_pooled2_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries,"contended":$contended$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
     }
     val warnEsc = warnParts.mkString("; ")
       .replace("\\", "\\\\").replace("\"", "\\\"")
@@ -375,17 +380,42 @@ object Bench {
     // Loaded up front, before this run can overwrite the file.
     val priorMedians = loadPriorMedians("bench_detail.json")
     var slowVsPriorQueries = List.empty[String]
-    val results = selected.map { q =>
-      def run(): Unit = q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      def timed(): (Double, Double) = timedWithExternal(
-        try run()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") },
-        nCores)
-      timed() // warm: plan + codegen + JIT (not recorded)
-      val first2 = Seq.fill(2)(timed())
+    def timedFor(q: graft.core.QueryDef): (Double, Double) = timedWithExternal(
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") },
+      nCores)
+    // (5) two-pass pooling (r15): the r12-r14 irritant was a 65.7 ↔
+    // 81.2 s spread between equally-clean runs of byte-identical code —
+    // per-query medians tight WITHIN a run, totals divergent ACROSS
+    // runs, i.e. run-level state (JIT/ordering/cache temperature) that
+    // no per-query detector can see. The protocol therefore sweeps the
+    // FULL inventory once (warm + 3 recorded runs each), then sweeps it
+    // again in the now maximally-warm JVM for 3 more recorded runs per
+    // query, and reports each query's median of the 3 fastest CLEAN
+    // runs POOLED across both sweeps: the fastest-3 basis converges on
+    // the reproducible steady state rather than whichever warmth the
+    // single sweep happened to catch. SPARK_GRAFT_BENCH_PASSES
+    // overrides (1 restores the old protocol for quick iteration).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(s =>
+      scala.util.Try(s.trim.toInt).toOption).filter(_ >= 1).getOrElse(2)
+    val pooledRuns = scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]()
+    val shuffleByQ = scala.collection.mutable.HashMap[String, Double]()
+    selected.foreach { q =>
+      timedFor(q) // warm: plan + codegen + JIT (not recorded)
+      val first2 = Seq.fill(2)(timedFor(q))
       val s0 = shuffleSnapshot()
-      val last = timed()
-      val shuffleMb = (shuffleSnapshot() - s0) / 1e6
+      val last = timedFor(q)
+      shuffleByQ(q.name) = (shuffleSnapshot() - s0) / 1e6
+      pooledRuns(q.name) = List(first2(0), first2(1), last)
+    }
+    (2 to passes).foreach { _ =>
+      selected.foreach { q =>
+        pooledRuns(q.name) = pooledRuns(q.name) ++ Seq.fill(3)(timedFor(q))
+      }
+    }
+    val results = selected.map { q =>
+      def timed(): (Double, Double) = timedFor(q)
+      val shuffleMb = shuffleByQ(q.name)
       // (2) per-query retry, two independent triggers:
       //  - spread: median >> min means interference hit SOME runs —
       //    a real regression slows the minimum too, so retries can't
@@ -407,7 +437,7 @@ object Bench {
       //    warning — either contention the counters can't see, or a
       //    real regression the developer must adjudicate (and accept
       //    via SPARK_GRAFT_BENCH_NO_PRIOR=1 once confirmed real).
-      var runs = List(first2(0), first2(1), last)
+      var runs = pooledRuns(q.name)
       def clean = runs.filter(_._2 < MaxExternalCpu)
       def basis = { val c = clean; if (c.size >= 3) c else runs }
       def best3 = basis.map(_._1).sorted.take(3)
@@ -475,7 +505,7 @@ object Bench {
     val compact = summaryLine(total, load1End, load1Start, load15Start, waitedSec,
       retriesTotal, contended, warnParts, results.map(r => (r._1, r._2)), sfDir)
     val detail =
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal,"contended":$contended$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_pooled2_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal,"contended":$contended$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
     def writeJson(path: String, s: String): Unit = {
       val p = java.nio.file.Paths.get(path)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -11,7 +11,7 @@ class BenchSpec extends AnyFunSuite {
 
   private val detailLine =
     """{"metric":"total_query_sec","value":45.083,"unit":"sec",""" +
-      """"protocol":"warm1_median3_retry","load1":4.9,"load1_start":0.6,""" +
+      """"protocol":"warm1_median3_pooled2_retry","load1":4.9,"load1_start":0.6,""" +
       """"waited_sec":95,"retries":0,""" +
       """"queries":{"q01_agg":0.312,"d01_minhash_lsh":1.571,"p03_state":1.4},""" +
       """"queries_min":{"q01_agg":0.301,"d01_minhash_lsh":1.512,"p03_state":1.3},""" +
