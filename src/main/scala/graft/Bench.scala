@@ -104,6 +104,13 @@ object Bench {
     * `bench_detail.json` / `bench_summary` is this same line. */
   val SummaryWorstN = 10
 
+  /** Protocol stamp for the artifacts — derived from the pass count
+    * actually run, so a SPARK_GRAFT_BENCH_PASSES=1 iteration artifact
+    * never masquerades as pooled evidence (passes=1 IS the pre-r15
+    * single-sweep protocol and keeps its historical name). */
+  private[graft] def protocolName(passes: Int): String =
+    if (passes == 1) "warm1_median3_retry" else s"warm1_median3_pooled${passes}_retry"
+
   /** The single stdout line, guaranteed `<= SummaryMaxChars`. Carries
     * the total, the contention telemetry, the explicit self-adjudicated
     * `contended` verdict (r13's lesson: the driver records whatever
@@ -118,14 +125,14 @@ object Bench {
       waitedSec: Double,
       retries: Int, contended: Boolean, warnParts: List[String],
       medians: Seq[(String, Double)],
-      sf: String): String = {
+      sf: String, protocol: String = protocolName(2)): String = {
     val byWorst = medians.sortBy { case (n, s) => (-s, n) }
     def build(n: Int, warnEsc: String): String = {
       val queries = byWorst.take(n)
         .map { case (name, s) => "\"" + name + f"""\":$s%.1f""" }
         .mkString("{", ",", "}")
       val w = if (warnEsc.nonEmpty) s""","warning":"$warnEsc"""" else ""
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_pooled2_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries,"contended":$contended$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"$protocol","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries,"contended":$contended$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
     }
     val warnEsc = warnParts.mkString("; ")
       .replace("\\", "\\\\").replace("\"", "\\\"")
@@ -400,17 +407,20 @@ object Bench {
       scala.util.Try(s.trim.toInt).toOption).filter(_ >= 1).getOrElse(2)
     val pooledRuns = scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]()
     val shuffleByQ = scala.collection.mutable.HashMap[String, Double]()
-    selected.foreach { q =>
-      timedFor(q) // warm: plan + codegen + JIT (not recorded)
-      val first2 = Seq.fill(2)(timedFor(q))
-      val s0 = shuffleSnapshot()
-      val last = timedFor(q)
-      shuffleByQ(q.name) = (shuffleSnapshot() - s0) / 1e6
-      pooledRuns(q.name) = List(first2(0), first2(1), last)
-    }
-    (2 to passes).foreach { _ =>
+    (1 to passes).foreach { pass =>
       selected.foreach { q =>
-        pooledRuns(q.name) = pooledRuns(q.name) ++ Seq.fill(3)(timedFor(q))
+        if (pass == 1) {
+          timedFor(q) // warm: plan + codegen + JIT (not recorded)
+          val first2 = Seq.fill(2)(timedFor(q))
+          // shuffle volume is deterministic per code version — snapshot
+          // once, around pass 1's last recorded run
+          val s0 = shuffleSnapshot()
+          val last = timedFor(q)
+          shuffleByQ(q.name) = (shuffleSnapshot() - s0) / 1e6
+          pooledRuns(q.name) = List(first2(0), first2(1), last)
+        } else {
+          pooledRuns(q.name) = pooledRuns(q.name) ++ Seq.fill(3)(timedFor(q))
+        }
       }
     }
     val results = selected.map { q =>
@@ -503,9 +513,10 @@ object Bench {
     // bench_summary.json so the round artifact is recoverable even if
     // stdout scraping fails again.
     val compact = summaryLine(total, load1End, load1Start, load15Start, waitedSec,
-      retriesTotal, contended, warnParts, results.map(r => (r._1, r._2)), sfDir)
+      retriesTotal, contended, warnParts, results.map(r => (r._1, r._2)), sfDir,
+      protocolName(passes))
     val detail =
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"warm1_median3_pooled2_retry","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal,"contended":$contended$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"${protocolName(passes)}","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal,"contended":$contended$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
     def writeJson(path: String, s: String): Unit = {
       val p = java.nio.file.Paths.get(path)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

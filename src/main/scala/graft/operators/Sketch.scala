@@ -163,25 +163,29 @@ object Sketch {
     *
     * The whole fold is ONE plan — no driver action per fold, so a
     * pipeline folding thousands of micro-batch sketches a day composes
-    * them lazily and runs a single job at the sink. The threshold is a
-    * TakeOrdered(capacity+1) → 1-row aggregate (min of the top
-    * capacity+1 counters = the (capacity+1)-th largest, or 0 when ≤
-    * capacity tokens survive — subtracting 0 is the identity), joined
-    * back by broadcast; every piece is bounded by capacity, never by
-    * data. */
+    * them lazily and runs a single job at the sink. The threshold (the
+    * (capacity+1)-th largest counter, or 0 when ≤ capacity tokens
+    * survive — subtracting 0 is the identity) is computed with two
+    * single-partition WINDOW passes over the merged table rather than
+    * a TakeOrdered + crossJoin: the join form referenced `merged`
+    * twice, so k chained folds embedded ~2^k copies of the upstream
+    * plan and the advertised lazy composition blew up at analysis
+    * time (r15 review). The window form references each fold's input
+    * once — chained plans grow linearly — and the unpartitioned
+    * window is bounded by construction: the merged table holds at
+    * most 2×capacity rows. */
   def mgCombine(a: DataFrame, b: DataFrame, capacity: Int): DataFrame = {
     require(capacity >= 1, "capacity >= 1")
+    import org.apache.spark.sql.expressions.Window
     val merged = a.select(col("token"), col("est"))
       .unionByName(b.select(col("token"), col("est")))
       .groupBy("token").agg(sum(col("est")).as("est"))
-    val thr = merged
-      .orderBy(col("est").desc, col("token").asc)
-      .limit(capacity + 1)
-      .agg(
-        when(count(lit(1)) <= capacity, lit(0L))
-          .otherwise(min(col("est")))
-          .as("thr"))
-    merged.crossJoin(broadcast(thr))
+    val byRank = Window.orderBy(col("est").desc, col("token").asc)
+    val full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    merged
+      .withColumn("rn", row_number().over(byRank))
+      .withColumn("thr",
+        coalesce(max(when(col("rn") === capacity + 1, col("est"))).over(full), lit(0L)))
       .select(col("token"), (col("est") - col("thr")).as("est"))
       .filter(col("est") > 0)
   }

@@ -340,7 +340,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // under the mirrored band — rBase-lBase ∈ [lo,hi] is
           // lBase-rBase ∈ [-hi,-lo] with the sides swapped
           val mirrored = Band(band.rBase, band.lBase, -band.hi, -band.lo)
-          val unmatchedRight = rewriteExistence(right, left, LeftAnti, cond, hint, mirrored)
+          // the anti branch swaps the sides, so the user's per-side
+          // hints must swap with them
+          val mirroredHint = JoinHint(hint.rightHint, hint.leftHint)
+          val unmatchedRight =
+            rewriteExistence(right, left, LeftAnti, cond, mirroredHint, mirrored)
           val rightWithNullLeft = Project(
             left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) ++ right.output,
             unmatchedRight)

@@ -36,6 +36,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * re-delivered id would re-enter band state and duplicate its future
   * pairs — feed through [[EventStream.dedupStream]] first if the
   * source can re-deliver.
+  *
+  * State-schema note (r15): the band state changed from a struct
+  * sequence to a packed `array<bigint>`. A streaming checkpoint
+  * written by a pre-r15 build fails Spark's state-schema
+  * compatibility check on restart — restart such a query from a
+  * fresh checkpoint (reprocessing the retained source window), as
+  * with any stateful-operator schema evolution.
   */
 object NearDupStream {
 

@@ -90,6 +90,18 @@ class SketchSpec extends SparkSpec {
     assert(folded == Map("a" -> 3L, "b" -> 3L, "c" -> 2L))
   }
 
+  test("a long mg fold chain stays analyzable (linear, not exponential, plan growth)") {
+    // r15 regression: the crossJoin threshold form referenced the
+    // merged table twice, so k chained folds embedded ~2^k copies of
+    // the upstream plan — 24 folds would hang analysis. The window
+    // form must compose a 24-deep lazy chain and still be exact.
+    val folded = (1 to 24)
+      .map(i => Sketch.mgSketch(Seq(s"w${i % 3}").toDF("token"), "token", 8))
+      .reduce((s, t) => Sketch.mgCombine(s, t, 8))
+      .as[(String, Long)].collect().toMap
+    assert(folded == Map("w0" -> 8L, "w1" -> 8L, "w2" -> 8L))
+  }
+
   test("the mg fold preserves the whole-stream guarantee across batches") {
     // token i appears 31-i times, split round-robin into 4 ingest batches
     val stream = (1 to 30).flatMap(i => Seq.fill(31 - i)(s"w$i"))
