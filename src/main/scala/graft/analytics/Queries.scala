@@ -1653,6 +1653,45 @@ object Queries {
     ),
 
     QueryDef(
+      "t26_cms_frequency",
+      // Count-Min point-frequency estimates ([[Sketch.cmsSketch]] /
+      // [[Sketch.cmsEstimate]]) — the complement of the t24
+      // Misra–Gries surface: MG certifies the heavy tokens, CMS
+      // answers a frequency query for ANY token from depth×width
+      // bounded counters (one linear scan, mergeable by summation,
+      // never underestimates). Probes: the exact top-20 tokens, so the
+      // row set is deterministic and the estimate sits beside its
+      // exact count. Unlike q22's engine-private HLL registers, the
+      // whole counter table is md5-derived and the oracle reproduces
+      // the estimates bit-for-bit.
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(Text.tokens(lower(col("text")))).as("token"))
+        val sk = Sketch.cmsSketch(toks, "token", depth = 4, width = 512)
+        val exact = toks.groupBy("token").agg(count(lit(1)).cast("long").as("n_exact"))
+          .orderBy(col("n_exact").desc, col("token").asc).limit(20)
+        Sketch.cmsEstimate(sk, exact, "token", depth = 4, width = 512)
+          .join(exact, Seq("token"))
+          .select(col("token"), col("est"), col("n_exact"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents),
+              |ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+              |cnt AS (SELECT d,
+              |  CAST(concat('0x', substr(md5(concat(CAST(700 + d AS VARCHAR), ':', token)), 1, 15)) AS BIGINT) % 512 AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n
+              |  FROM toks CROSS JOIN ds GROUP BY 1, 2),
+              |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+              |  GROUP BY 1 ORDER BY n_exact DESC, token ASC LIMIT 20),
+              |probe AS (SELECT ex.token, ds.d,
+              |  CAST(concat('0x', substr(md5(concat(CAST(700 + ds.d AS VARCHAR), ':', ex.token)), 1, 15)) AS BIGINT) % 512 AS bucket,
+              |  ex.n_exact FROM ex CROSS JOIN ds)
+              |SELECT p.token AS token, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est,
+              |  min(p.n_exact) AS n_exact
+              |FROM probe p LEFT JOIN cnt c ON c.d = p.d AND c.bucket = p.bucket
+              |GROUP BY 1""".stripMargin)
+    ),
+
+    QueryDef(
       "t24_heavy_hitters",
       // the one-pass dominant-token sketch ([[graft.functions.FreqSketch]],
       // Misra–Gries with mergeable-summaries reduction): `capacity`

@@ -189,4 +189,73 @@ object Sketch {
       .select(col("token"), (col("est") - col("thr")).as("est"))
       .filter(col("est") > 0)
   }
+
+  // ---- count-min sketch (point-frequency estimates) ------------------------
+
+  /** Salt base for the CMS hash rows — row d hashes with salt
+    * `CmsSaltBase + d`, its own independent 60-bit md5 family
+    * ([[Hashing]]'s cross-engine contract). */
+  val CmsSaltBase = 700
+
+  /** Count-Min sketch of the token stream as a (d, bucket, n) counter
+    * table (Cormode & Muthukrishnan, J. Algorithms '05) — the
+    * complement of the Misra–Gries surface (t24): MG certifies the
+    * HEAVY tokens, CMS answers a point-frequency query for ANY token,
+    * overestimating by at most ~N/width per hash row (never
+    * underestimating; the min over `depth` rows makes a large
+    * overestimate exponentially unlikely).
+    *
+    * Scale shape: ONE linear scan of the stream (the depth hash rows
+    * explode inside the scan), then a map-side-combinable count into at
+    * most depth×width counter rows — bounded state, like [[mgSketch]],
+    * and trivially MERGEABLE: counters are sums, so [[cmsCombine]] is a
+    * union + re-aggregation, order-invariant where MG merge state is
+    * not (no contract-boolean indirection needed: the whole counter
+    * table is oracle-reproducible bit-for-bit). */
+  def cmsSketch(toks: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1, 16]")
+    require(width >= 2, "width >= 2")
+    val entries = array((0 until depth).map(d =>
+      struct(lit(d).as("d"),
+        pmod(Hashing.md5Long(col(tokenCol), CmsSaltBase + d), lit(width.toLong)).as("bucket"))): _*)
+    toks
+      .select(explode(entries).as("e"))
+      .groupBy(col("e.d").as("d"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** Merge two CMS counter tables built with the same (depth, width) —
+    * a sum per (d, bucket). Single reference per input, so chained
+    * folds grow linearly (the [[mgCombine]] lesson). */
+  def cmsCombine(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("d"), col("bucket"), col("n"))
+      .unionByName(b.select(col("d"), col("bucket"), col("n")))
+      .groupBy("d", "bucket").agg(sum(col("n")).as("n"))
+
+  /** Point-frequency estimates for `probes(tokenCol)` against a
+    * [[cmsSketch]] counter table: est = min over the depth rows of the
+    * addressed counter (0 where the bucket has no row — the token was
+    * never hashed there). The sketch side is bounded by depth×width
+    * rows, so the join BROADCASTS the sketch and the probe side never
+    * shuffles — estimates for a probe table of any size are one
+    * map-side pass. Output: (token, est). */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      tokenCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1, 16]")
+    require(width >= 2, "width >= 2")
+    val entries = array((0 until depth).map(d =>
+      struct(lit(d).as("d"),
+        pmod(Hashing.md5Long(col("token"), CmsSaltBase + d), lit(width.toLong)).as("bucket"))): _*)
+    probes
+      .select(col(tokenCol).as("token")).distinct()
+      .select(col("token"), explode(entries).as("e"))
+      .select(col("token"), col("e.d").as("d"), col("e.bucket").as("bucket"))
+      .join(broadcast(sketch.select(col("d"), col("bucket"), col("n"))), Seq("d", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
 }

@@ -102,6 +102,48 @@ class SketchSpec extends SparkSpec {
     assert(folded == Map("w0" -> 8L, "w1" -> 8L, "w2" -> 8L))
   }
 
+  test("cms never underestimates and is exact without collisions") {
+    // wide sketch over a tiny vocab: no bucket collisions, so every
+    // estimate equals the exact count; and the one-sided guarantee
+    // (est >= exact) is deterministic, not probabilistic
+    val stream = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val toks = stream.toDF("token")
+    val sk = Sketch.cmsSketch(toks, "token", depth = 3, width = 4096)
+    val est = Sketch.cmsEstimate(sk, Seq("a", "b", "c", "zz").toDF("token"), "token", 3, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(est("a") == 5L && est("b") == 3L && est("c") == 1L)
+    assert(est("zz") == 0L)
+  }
+
+  test("cms estimates bound the exact counts under heavy collision pressure") {
+    // 200 distinct tokens through width 16: collisions everywhere, yet
+    // est >= exact must hold for every probe (CMS one-sided error) and
+    // est <= exact + N (trivial upper bound) sanity-checks the wiring
+    val stream = (1 to 200).flatMap(i => Seq.fill(1 + i % 5)(s"tok$i"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val toks = stream.toDF("token")
+    val sk = Sketch.cmsSketch(toks, "token", depth = 4, width = 16)
+    val est = Sketch.cmsEstimate(sk, exact.keys.toSeq.toDF("token"), "token", 4, 16)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t underestimated: ${est(t)} < $c")
+      assert(est(t) <= n, s"$t overestimate above the stream size")
+    }
+  }
+
+  test("cms combine of batch sketches equals the whole-stream sketch") {
+    val stream = (1 to 120).map(i => s"w${i % 17}")
+    val batches = stream.grouped(37).toSeq
+    val whole = Sketch.cmsSketch(stream.toDF("token"), "token", depth = 4, width = 32)
+      .as[(Int, Long, Long)].collect().toSet
+    val folded = batches
+      .map(b => Sketch.cmsSketch(b.toDF("token"), "token", depth = 4, width = 32))
+      .reduce(Sketch.cmsCombine)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(folded == whole)
+  }
+
   test("the mg fold preserves the whole-stream guarantee across batches") {
     // token i appears 31-i times, split round-robin into 4 ingest batches
     val stream = (1 to 30).flatMap(i => Seq.fill(31 - i)(s"w$i"))
