@@ -117,7 +117,11 @@ object GraphRank {
     val und = canon.select(col("a").as("src"), col("b").as("dst"))
       .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst")))
     val deg = Reliability.cut(und.groupBy("src").agg(count(lit(1)).as("deg")))
-    val nodes = Reliability.cut(und.select(col("src").as("node")).distinct())
+    // the node set IS deg's key set — every node in the undirected
+    // view has degree >= 1 — so derive it as a narrow projection of
+    // the materialized degree blocks instead of paying a second
+    // shuffle (distinct over the edge list) and a second cut
+    val nodes = deg.select(col("src").as("node"))
     val teleport = 1000000000L * (100 - dampE2) / 100
     var scores = nodes.withColumn("score_e9", lit(1000000000L))
     for (_ <- 1 to iters) {
@@ -217,7 +221,10 @@ object GraphRank {
     require(wsumMax <= 3037000499L,
       s"pageRankWeighted: max total incident weight $wsumMax exceeds sqrt(2^63) ~ 3.037e9 — " +
         "w*(score mod wsum) could overflow Long; rescale weights (divide by a constant) first")
-    val nodes = Reliability.cut(und.select(col("src").as("node")).distinct())
+    // node set = ws's key set (degree >= 1 in the undirected view) —
+    // narrow projection of the materialized wsum blocks, no second
+    // shuffle or cut (same derivation as the unweighted path)
+    val nodes = ws.select(col("src").as("node"))
     val teleport = 1000000000L * (100 - dampE2) / 100
     var scores = nodes.withColumn("score_e9", lit(1000000000L))
     for (_ <- 1 to iters) {
