@@ -95,4 +95,35 @@ class SketchProps extends SparkSpec {
       }
     }
   }
+
+  test("CMS one-sided error and merge identity hold for random streams and splits (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(300 + seed)
+      // skewed stream: quadratic pull toward low token ids, so a few
+      // tokens are heavy and the rest are a colliding tail
+      val vocabN = 30 + rnd.nextInt(120)
+      val stream = (0 until 800 + rnd.nextInt(1200)).map { _ =>
+        val u = rnd.nextDouble()
+        s"tok${(vocabN * u * u).toInt}"
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val depth = 2 + rnd.nextInt(3)
+      val width = 8 << rnd.nextInt(4) // 8..64: collisions guaranteed
+      val whole = Sketch.cmsSketch(stream.toDF("token"), "token", depth, width)
+      // est >= exact for EVERY token - the deterministic CMS guarantee
+      val est = Sketch.cmsEstimate(whole, exact.keys.toSeq.toDF("token"), "token", depth, width)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (t, c) =>
+        assert(est(t) >= c, s"seed $seed: $t underestimated (${est(t)} < $c)")
+        assert(est(t) <= stream.size.toLong, s"seed $seed: $t above stream size")
+      }
+      // merge identity: any batch split folds to the whole-stream table
+      val cut = 1 + rnd.nextInt(stream.size - 1)
+      val folded = stream.grouped(cut).toSeq
+        .map(b => Sketch.cmsSketch(b.toDF("token"), "token", depth, width))
+        .reduce(Sketch.cmsCombine)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(folded == whole.as[(Int, Long, Long)].collect().toSet, s"seed $seed: fold != whole")
+    }
+  }
 }
