@@ -64,7 +64,10 @@ object PlanDump {
     // plans run inside the loop and aren't visible from the final frame
     "t24_heavy_hitters",     // single MG sketch agg (map-side combined) + exact validation join
     "st07_stream_heavy_hitters", // windowed MG sketch (one state row per hour) + contract join
-    "t25_bpe_apply"          // merge replay + subword count, all on the vocab table
+    "t25_bpe_apply",         // merge replay + subword count, all on the vocab table
+    "j05_band_join_full_outer", // FULL OUTER band join through the rewrite rule (union of the two proven constructions)
+    "q36_aqe_skew_join",     // AQE-planned skew split (the 100 TB answer; q29's salting is the fallback)
+    "t26_cms_frequency"      // one-scan CMS counter build; probes join the broadcast bounded sketch
   )
 
   def main(args: Array[String]): Unit = {
