@@ -235,10 +235,22 @@ object Sketch {
   /** Point-frequency estimates for `probes(tokenCol)` against a
     * [[cmsSketch]] counter table: est = min over the depth rows of the
     * addressed counter (0 where the bucket has no row — the token was
-    * never hashed there). The sketch side is bounded by depth×width
-    * rows, so the join BROADCASTS the sketch and the probe side never
-    * shuffles — estimates for a probe table of any size are one
-    * map-side pass. Output: (token, est). */
+    * never hashed there). Cost shape: the sketch side is bounded by
+    * depth×width rows, so the probe join BROADCASTS it (map-side, no
+    * probe shuffle there); the one probe-sided exchange is the closing
+    * token-keyed aggregation of the ×depth exploded rows, which also
+    * deduplicates repeated probe tokens. Output: (token, est), one row
+    * per distinct probe token.
+    *
+    * (depth, width) MUST be the values the sketch was built with — a
+    * larger probe depth would address counter rows that do not exist
+    * and `min(coalesce(n, 0))` would UNDERESTIMATE, the one failure
+    * mode CMS promises never to produce. A bounded pre-check over the
+    * (broadcastable) sketch fails loudly on a depth mismatch and on a
+    * width smaller than an observed bucket; a width that differs while
+    * containing every observed bucket is not detectable from the table
+    * alone — the caller owns carrying the build parameters (the
+    * kmvOverlap loud-failure precedent, best-effort edition). */
   def cmsEstimate(
       sketch: DataFrame,
       probes: DataFrame,
@@ -247,11 +259,22 @@ object Sketch {
       width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, "depth in [1, 16]")
     require(width >= 2, "width >= 2")
+    val dims = sketch.agg(max(col("d")).as("dmax"), max(col("bucket")).as("bmax")).head()
+    if (!dims.isNullAt(0)) {
+      // a non-empty sketch carries every hash row 0..depth-1 (each
+      // counted token contributes one row per d)
+      require(dims.getInt(0) == depth - 1,
+        s"cmsEstimate: sketch has hash rows 0..${dims.getInt(0)} but depth=$depth was " +
+          "requested - probe (depth, width) must match the build or estimates underestimate")
+      require(dims.getLong(1) < width,
+        s"cmsEstimate: sketch holds bucket ${dims.getLong(1)} >= width=$width - probe " +
+          "(depth, width) must match the build")
+    }
     val entries = array((0 until depth).map(d =>
       struct(lit(d).as("d"),
         pmod(Hashing.md5Long(col("token"), CmsSaltBase + d), lit(width.toLong)).as("bucket"))): _*)
     probes
-      .select(col(tokenCol).as("token")).distinct()
+      .select(col(tokenCol).as("token"))
       .select(col("token"), explode(entries).as("e"))
       .select(col("token"), col("e.d").as("d"), col("e.bucket").as("bucket"))
       .join(broadcast(sketch.select(col("d"), col("bucket"), col("n"))), Seq("d", "bucket"), "left")

@@ -132,6 +132,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cms probe dimensions that mismatch the build fail loudly, not by underestimating") {
+    val sk = Sketch.cmsSketch(Seq("a", "b", "a").toDF("token"), "token", depth = 3, width = 64)
+    val deep = intercept[IllegalArgumentException](
+      Sketch.cmsEstimate(sk, Seq("a").toDF("token"), "token", depth = 5, width = 64))
+    assert(deep.getMessage.contains("depth"))
+    val narrow = intercept[IllegalArgumentException](
+      Sketch.cmsEstimate(sk, Seq("a").toDF("token"), "token", depth = 3, width = 2))
+    assert(narrow.getMessage.contains("width"))
+  }
+
   test("cms combine of batch sketches equals the whole-stream sketch") {
     val stream = (1 to 120).map(i => s"w${i % 17}")
     val batches = stream.grouped(37).toSeq
