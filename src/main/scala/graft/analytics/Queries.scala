@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.core.{QueryDef, Tables}
+import graft.core.{QueryDef, Reliability, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, GraphRank, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Sketch, Skew, Tokenize, Upsert}
@@ -1667,7 +1667,11 @@ object Queries {
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(explode(Text.tokens(lower(col("text")))).as("token"))
-        val sk = Sketch.cmsSketch(toks, "token", depth = 4, width = 512)
+        // materialize the bounded counter table (<= depth x width
+        // rows) before serving estimates - the prepare/serve split;
+        // the estimate path's dimension pre-check and broadcast then
+        // read blocks instead of re-running the corpus scan
+        val sk = Reliability.cut(Sketch.cmsSketch(toks, "token", depth = 4, width = 512))
         val exact = toks.groupBy("token").agg(count(lit(1)).cast("long").as("n_exact"))
           .orderBy(col("n_exact").desc, col("token").asc).limit(20)
         Sketch.cmsEstimate(sk, exact, "token", depth = 4, width = 512)

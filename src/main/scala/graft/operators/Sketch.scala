@@ -250,7 +250,12 @@ object Sketch {
     * width smaller than an observed bucket; a width that differs while
     * containing every observed bucket is not detectable from the table
     * alone — the caller owns carrying the build parameters (the
-    * kmvOverlap loud-failure precedent, best-effort edition). */
+    * kmvOverlap loud-failure precedent, best-effort edition). The
+    * pre-check is one bounded aggregation over the SKETCH — hand this
+    * function a materialized sketch (a cut, cache, or stored table:
+    * the engine's prepare/serve discipline, and what a serving path
+    * does anyway), or a lazy sketch's whole build pipeline runs once
+    * for the check and again for the join. */
   def cmsEstimate(
       sketch: DataFrame,
       probes: DataFrame,
