@@ -1696,6 +1696,84 @@ object Queries {
     ),
 
     QueryDef(
+      "t27_quantile_maintenance",
+      // the maintained QUANTILE sketch ([[Sketch.qsSummarize]] /
+      // [[Sketch.qsCombine]] / [[Sketch.qsQuantiles]]) — the member
+      // that completes the stored-state fold family (KMV distinct, MG
+      // heavy hitters, CMS point frequency, and now ranks): four
+      // disjoint event batches are summarized and folded one at a
+      // time into a bounded (group, value, w, carry) state table —
+      // ONE lazy plan, no history rescan — and the p50/p90/p99
+      // estimates read off the final state must satisfy the tracked
+      // rank-error bound against the EXACT ranks (the q35 contract
+      // shape, maintained-state edition). Emitted: exact n (the
+      // summary's Σw must equal the oracle's count — weight
+      // conservation is part of the hash match), the rank-interval
+      // boolean, and a bound-honesty boolean (err ≤ 2%·n + ceiling
+      // slack) so an inflated err column can't make rank_ok pass
+      // trivially.
+      (s, d) => {
+        val k = 512
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value"))
+        def summ(i: Int) = Sketch.qsSummarize(
+          ev.filter(pmod(col("event_id"), lit(4)) === i), "value", "event_type",
+          k, seed = 21, salts = 4)
+        val state = (1 to 3).foldLeft(summ(0))(
+          (st, i) => Sketch.qsCombine(st, summ(i), "event_type", k))
+        val est = Sketch.qsQuantiles(state, "event_type", Seq(500000L, 900000L, 990000L))
+        ev.select(col("event_type"), col("value").as("x"))
+          .join(broadcast(est), Seq("event_type"))
+          .groupBy(col("event_type"), col("phi_e6"))
+          .agg(
+            max(col("n")).as("n"),
+            max(col("err")).as("err"),
+            sum(when(col("x") < col("est"), 1L).otherwise(0L)).as("lt"),
+            sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("le"))
+          .withColumn("r", greatest(lit(1L), expr("(phi_e6 * n + 999999) div 1000000")))
+          .select(col("event_type"), col("phi_e6"), col("n"),
+            (col("le") >= col("r") - col("err") &&
+              col("lt") + 1 <= col("r") + col("err")).as("rank_ok"),
+            (col("err") <= expr("n div 50 + 64")).as("err_ok"))
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+             |SELECT event_type, CAST(phi_e6 AS BIGINT) AS phi_e6, n,
+             |TRUE AS rank_ok, TRUE AS err_ok
+             |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]) AS phi_e6)""".stripMargin)
+    ),
+
+    QueryDef(
+      "t29_cms_maintenance",
+      // the CMS MAINTENANCE fold driven end-to-end through the gate
+      // (the p03 / MG-fold shape, counter-table edition): four
+      // disjoint document batches each build a [[Sketch.cmsSketch]]
+      // counter table and [[Sketch.cmsCombine]] folds them one at a
+      // time — one lazy plan, each input referenced once, no history
+      // rescan. Because CMS counters are plain sums, the folded state
+      // must equal the whole-stream build BIT-FOR-BIT, and the whole
+      // counter table is md5-derived — so the oracle rebuilds it from
+      // scratch in one pass and the hash match proves fold ≡ whole
+      // (stronger than an estimate spot-check; t26 covers the probe
+      // path).
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("token"))
+        def batchSketch(i: Int) = Sketch.cmsSketch(
+          toks.filter(pmod(col("doc_id"), lit(4)) === i).select("token"),
+          "token", depth = 4, width = 256)
+        (1 to 3).foldLeft(batchSketch(0))((st, i) => Sketch.cmsCombine(st, batchSketch(i)))
+          .select(col("d").cast("long").as("d"), col("bucket"), col("n"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest(${toksSql("lower(text)")}) AS token FROM documents),
+              |ds AS (SELECT unnest([0, 1, 2, 3]) AS d)
+              |SELECT CAST(d AS BIGINT) AS d,
+              |  CAST(concat('0x', substr(md5(concat(CAST(700 + d AS VARCHAR), ':', token)), 1, 15)) AS BIGINT) % 256 AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n
+              |FROM toks CROSS JOIN ds GROUP BY 1, 2""".stripMargin)
+    ),
+
+    QueryDef(
       "t24_heavy_hitters",
       // the one-pass dominant-token sketch ([[graft.functions.FreqSketch]],
       // Misra–Gries with mergeable-summaries reduction): `capacity`
@@ -2441,6 +2519,51 @@ object Queries {
              |  CAST(count(CASE WHEN pid IS NOT NULL AND cid IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
              |  CAST(count(*) AS BIGINT) AS n_rows
              |FROM p FULL JOIN c ON cu = pu
+             |  AND epoch_us(cts) >= epoch_us(ts) - 3600000000
+             |  AND epoch_us(cts) < epoch_us(ts)
+             |GROUP BY 1""".stripMargin)
+    ),
+    QueryDef(
+      "j06_band_join_right_outer",
+      // the RIGHT OUTER member of the band-join family — clicks ⟖
+      // purchases-in-the-next-hour written from the click side, the
+      // one join type that previously fell back to the stock
+      // per-hot-key-quadratic sort-merge plan. Under the gate
+      // sessions [[graft.plans.RangeJoinRewrite]] rewrites it as the
+      // LeftOuter bucketed construction mirrored (uid on the
+      // preserved right side, band negated, hints swapped); in a
+      // session without the rule the same code still returns
+      // identical rows through Spark's stock plan. Aggregated per
+      // user bucket like j05 so the dump stays small while checking
+      // matched/unmatched multiplicity row-wise.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts"))
+        clicks.join(purchases,
+            col("pu") === col("cu") &&
+              unix_micros(col("cts")) >= unix_micros(col("ts")) - 3600L * 1000000L &&
+              unix_micros(col("cts")) < unix_micros(col("ts")),
+            "right_outer")
+          .groupBy(pmod(col("pu"), lit(50L)).as("ubkt"))
+          .agg(
+            count(col("pid")).as("n_p_rows"),
+            count(col("cid")).as("n_c_rows"),
+            count(when(col("pid").isNotNull && col("cid").isNotNull, 1)).as("n_matched"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH c AS (SELECT event_id AS cid, user_id AS cu, CAST(ts AS TIMESTAMP) AS cts
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS pid, user_id AS pu, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT pu % 50 AS ubkt,
+             |  CAST(count(pid) AS BIGINT) AS n_p_rows,
+             |  CAST(count(cid) AS BIGINT) AS n_c_rows,
+             |  CAST(count(CASE WHEN pid IS NOT NULL AND cid IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM c RIGHT JOIN p ON cu = pu
              |  AND epoch_us(cts) >= epoch_us(ts) - 3600000000
              |  AND epoch_us(cts) < epoch_us(ts)
              |GROUP BY 1""".stripMargin)

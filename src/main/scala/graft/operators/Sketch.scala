@@ -108,10 +108,18 @@ object Sketch {
     // fail loudly on a typo'd/empty group: the crossJoins below would
     // otherwise silently produce ZERO rows instead of an estimate. The
     // check collects at most two rows of the (groups-sized, already-cut)
-    // per-corpus aggregate — a bounded driver scalar.
+    // per-corpus aggregate — a bounded driver scalar. Note the re-run
+    // cost is bounded by the cut above: the aggregate re-executes over
+    // the MATERIALIZED k-row sketch, never the corpus-sized sketch
+    // construction (the cmsEstimate pre-check makes the same
+    // materialized-input demand of its caller; here the function cuts
+    // for itself because it needs the sketch four more times anyway).
+    // The group column is rendered to a string for the comparison so a
+    // non-string group column fails the require loudly (typed label
+    // never matches the string arg) instead of class-cast-crashing.
     val present = perCorpus
       .filter(col(groupCol).isin(ga, gb)).select(col(groupCol))
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => String.valueOf(r.get(0))).toSet
     require(present.contains(ga),
       s"kmvOverlap: group '$ga' has no rows in the sketch (typo or empty corpus)")
     require(present.contains(gb),
@@ -264,12 +272,16 @@ object Sketch {
       width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, "depth in [1, 16]")
     require(width >= 2, "width >= 2")
-    val dims = sketch.agg(max(col("d")).as("dmax"), max(col("bucket")).as("bmax")).head()
+    // d is cast to LONG in the aggregate so a sketch round-tripped
+    // through storage where d widened to BIGINT still produces the
+    // intended loud mismatch error, not a ClassCastException
+    val dims = sketch.agg(max(col("d").cast("long")).as("dmax"),
+      max(col("bucket")).as("bmax")).head()
     if (!dims.isNullAt(0)) {
       // a non-empty sketch carries every hash row 0..depth-1 (each
       // counted token contributes one row per d)
-      require(dims.getInt(0) == depth - 1,
-        s"cmsEstimate: sketch has hash rows 0..${dims.getInt(0)} but depth=$depth was " +
+      require(dims.getLong(0) == depth - 1,
+        s"cmsEstimate: sketch has hash rows 0..${dims.getLong(0)} but depth=$depth was " +
           "requested - probe (depth, width) must match the build or estimates underestimate")
       require(dims.getLong(1) < width,
         s"cmsEstimate: sketch holds bucket ${dims.getLong(1)} >= width=$width - probe " +
@@ -285,5 +297,155 @@ object Sketch {
       .join(broadcast(sketch.select(col("d"), col("bucket"), col("n"))), Seq("d", "bucket"), "left")
       .groupBy("token")
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
+  // ---- maintained mergeable quantile summary -------------------------------
+
+  /** Core ε-prune of a weighted value summary — the compression step
+    * both [[qsSummarize]] and [[qsCombine]] share. Input rows
+    * `(partCols…, value, w, carry)` with DISTINCT values per part
+    * (weights already value-merged); output is the same shape with at
+    * most k+1 rows per part.
+    *
+    * The rule (the classic mergeable-quantile compress, GK/MRL
+    * lineage — Greenwald & Khanna SIGMOD'01, Manku et al. SIGMOD'98,
+    * folklore "combine then prune" merge): with part total
+    * n = Σw and stride s = ⌈n/k⌉, keep exactly the rows whose
+    * cumulative weight interval (cum−w, cum] crosses a multiple of s,
+    * plus the last row; a kept row's new weight is the cumulative gap
+    * to the previous kept row. The summary's rank function
+    * R'(x) = Σ_{v≤x} w' then satisfies
+    * `R(x) − s + 1 ≤ R'(x) ≤ R(x)` for every x (one-sided: kept
+    * cumulative weights are a subset of the input's prefix sums, and
+    * consecutive kept targets are ≤ s apart), so each prune adds at
+    * most s−1 rank error and never overestimates.
+    *
+    * Error bookkeeping rides the rows as the additive `carry` column:
+    * the per-part total carry (attached wholly to the part's first
+    * row, so value-merges just sum it) is incremented by this prune's
+    * own s−1. Everything is computed with windows over the SAME
+    * single input reference — chained folds grow linearly (the
+    * [[mgCombine]] 2^k-plan lesson). */
+  private def qsPrune(rows: DataFrame, parts: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, "quantile summary needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val pcols = parts.map(col)
+    val whole = Window.partitionBy(pcols: _*)
+    val ord = Window.partitionBy(pcols: _*).orderBy(col("value"))
+    rows
+      .withColumn("__n", sum(col("w")).over(whole))
+      .withColumn("__cin", sum(col("carry")).over(whole))
+      .withColumn("__cum", sum(col("w")).over(ord))
+      .withColumn("__s", expr(s"(__n + ${k - 1}) div $k"))
+      .filter(expr("__cum div __s > (__cum - w) div __s") || col("__cum") === col("__n"))
+      .withColumn("__w2", col("__cum") - coalesce(lag(col("__cum"), 1).over(ord), lit(0L)))
+      .withColumn("__rn", row_number().over(ord))
+      .select(pcols ++ Seq(
+        col("value"),
+        col("__w2").as("w"),
+        when(col("__rn") === 1, col("__cin") + col("__s") - 1L).otherwise(0L).as("carry")): _*)
+  }
+
+  /** Per-group mergeable quantile summary of `valueCol` — the
+    * quantile member of the maintained-sketch family (KMV distinct /
+    * MG heavy hitters / CMS point frequency / THIS for ranks): a
+    * bounded `(groupCol, value, w, carry)` state table, ≤ k+1 rows
+    * per group, whose rank function tracks the input multiset's
+    * within the group's `err` (= Σ carry; read it back with
+    * [[qsQuantiles]]). Kept values are actual data values, never
+    * interpolations. Null values are dropped (count them upstream if
+    * they matter). The summary is MERGEABLE: rank functions add under
+    * multiset union, so [[qsCombine]] folds batches into stored state
+    * without rescanning history, and the guarantee survives ANY merge
+    * tree (errors just add — the Agarwal et al. PODS'12 mergeability
+    * frame, quantile edition).
+    *
+    * Scale shape: the one corpus-sized pass is the
+    * (group, salt, value) count — map-side combinable. The per-part
+    * SORT a quantile summary fundamentally needs is then distributed
+    * over `salts` deterministic value-hash shards (each window
+    * partition holds ~n_g/salts distinct values — size salts so that
+    * fits an executor; the md5 salt is deterministic, so re-runs and
+    * retries reproduce), local summaries are pruned to k rows each,
+    * and the final per-group prune runs on salts×(k+1) rows. Per-salt
+    * prune errors ADD (sub-multiset rank functions sum), so the total
+    * err is Σ_salt (⌈n_gs/k⌉−1) + ⌈n_g/k⌉−1 ≈ 2·n_g/k — the bound a
+    * caller sizes k against. */
+  def qsSummarize(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      k: Int,
+      seed: Int,
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1, "salts >= 1")
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("value"))
+      .withColumn("salt",
+        pmod(Hashing.md5Long(concat(lit("qs:"), col("value").cast("string")), seed),
+          lit(salts.toLong)))
+      .groupBy(col(groupCol), col("salt"), col("value"))
+      .agg(count(lit(1)).cast("long").as("w"))
+      .withColumn("carry", lit(0L))
+    val local = qsPrune(base, Seq(groupCol, "salt"), k)
+    val pooled = local
+      .groupBy(col(groupCol), col("value"))
+      .agg(sum(col("w")).as("w"), sum(col("carry")).as("carry"))
+    qsPrune(pooled, Seq(groupCol), k)
+  }
+
+  /** Fold two quantile summaries built with the same `k` (stored
+    * state + an arriving batch's [[qsSummarize]] — the maintenance
+    * fold of an ingest pipeline, [[mgCombine]]'s quantile sibling):
+    * union, merge equal values (weights and carries are both
+    * additive), re-prune. Errors add plus the re-prune's own
+    * ⌈n_total/k⌉−1; with B equal batches folded linearly the bound is
+    * ≈ B·n/(2k) — size k to the fold depth, or fold as a binary tree
+    * for Σ ≈ n·log(B)/k. ONE lazy plan with a single reference per
+    * input, so a day of micro-batch folds composes lazily and runs as
+    * one job at the sink, and chained plans grow linearly. */
+  def qsCombine(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame =
+    qsPrune(
+      a.select(col(groupCol), col("value"), col("w"), col("carry"))
+        .unionByName(b.select(col(groupCol), col("value"), col("w"), col("carry")))
+        .groupBy(col(groupCol), col("value"))
+        .agg(sum(col("w")).as("w"), sum(col("carry")).as("carry")),
+      Seq(groupCol), k)
+
+  /** Read quantile estimates off a summary: for each group and each
+    * φ (micro-units), the smallest stored value whose cumulative
+    * weight reaches rank target r = max(1, ⌈φ·n⌉). Output
+    * `(groupCol, phi_e6, est, n, err)` where n = Σw (EXACTLY the
+    * group's non-null count — summaries never lose weight) and
+    * err = Σcarry, the group's accumulated worst-case rank error.
+    *
+    * The guarantee (the q35 rank-contract shape, maintained-state
+    * edition): writing lt/le for the exact counts of group values
+    * <est / ≤est, every estimate satisfies `le ≥ r − err` and
+    * `lt + 1 ≤ r + err` — est's exact rank interval intersects
+    * r ± err. Proof: R_summary(est) ≥ r and R_summary(est⁻) < r,
+    * and R_summary tracks R_exact within err on both sides.
+    * Runs entirely on the bounded summary (groups × (k+1) rows
+    * exploded × |phis|). */
+  def qsQuantiles(summary: DataFrame, groupCol: String, phisE6: Seq[Long]): DataFrame = {
+    require(phisE6.nonEmpty && phisE6.forall(p => p >= 0 && p <= 1000000),
+      "phis are micro-fractions in [0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(col(groupCol))
+    val ord = Window.partitionBy(col(groupCol)).orderBy(col("value"))
+    summary
+      .withColumn("n", sum(col("w")).over(whole))
+      .withColumn("err", sum(col("carry")).over(whole))
+      .withColumn("cum", sum(col("w")).over(ord))
+      .select(col(groupCol), col("value"), col("cum"), col("n"), col("err"),
+        explode(array(phisE6.map(p => lit(p)): _*)).as("phi_e6"))
+      .withColumn("r", greatest(lit(1L), expr("(phi_e6 * n + 999999) div 1000000")))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col(groupCol), col("phi_e6"))
+      .agg(
+        min(col("value")).as("est"),
+        max(col("n")).as("n"),
+        max(col("err")).as("err"))
   }
 }

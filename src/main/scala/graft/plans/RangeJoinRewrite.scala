@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -70,6 +70,12 @@ import org.apache.spark.sql.types._
   *     duplication is invisible and no id/window copy-resolution is
   *     needed: plain LEFT SEMI (or ANTI) on bucket equality with the
   *     full original condition in the ON clause.
+  *   - **RightOuter**: the LeftOuter construction with the sides
+  *     swapped and the band mirrored to `[-hi, -lo]` (the preserved
+  *     right side carries the uid and must be deterministic; per-side
+  *     hints swap; a final projection restores the original column
+  *     order). The size guard checks the LEFT side here — the only
+  *     side stock Spark can broadcast-build for a right outer join.
   *   - **FullOuter**: the LeftOuter construction UNION ALL the right
   *     rows that matched nothing (the LeftAnti construction with sides
   *     swapped and the band mirrored to `[-hi, -lo]`), left columns
@@ -221,7 +227,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       !j.isStreaming &&
       !j.output.exists(a => a.name.startsWith(BucketCol) || a.name.startsWith("__bkt")) &&
       j.resolved &&
-      !rightBroadcastable(j)
+      !sideBroadcastable(guardSide(j))
+
+  /** Which side's smallness lets the STOCK planner handle the join
+    * well (the size guard's subject). For every join type but
+    * RightOuter that is the right side — Spark's BroadcastHashJoin /
+    * BroadcastNestedLoopJoin build RIGHT for Inner, LeftOuter,
+    * LeftSemi/Anti (and the FullOuter branch keeps the historical
+    * right-side guard: neither side is broadcastable for a stock full
+    * outer, so any guard only ever declines work). A RIGHT OUTER join
+    * preserves the right side, so stock Spark can only build/broadcast
+    * the LEFT — a small right side does NOT save the stock plan from
+    * its quadratic nested loop, and must not suppress the rewrite. */
+  private def guardSide(j: Join): LogicalPlan = j.joinType match {
+    case RightOuter => j.left
+    case _          => j.right
+  }
 
   /** Parse a long-valued conf; a malformed value must not throw from
     * inside the optimizer (it would fail every query in the session),
@@ -236,12 +257,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** True when the right side is small enough — in bytes AND estimated
-    * rows — that Spark's stock broadcast join (hash or nested-loop) is
-    * the better plan; see the size-guard paragraph in the class doc. */
-  private def rightBroadcastable(j: Join): Boolean = {
+  /** True when `side` is small enough — in bytes AND estimated rows —
+    * that Spark's stock broadcast join (hash or nested-loop) is the
+    * better plan; see the size-guard paragraph in the class doc and
+    * [[guardSide]] for which side that is per join type. */
+  private def sideBroadcastable(side: LogicalPlan): Boolean = {
     val bytesThr = confLong(SmallRightBytesKey, conf.autoBroadcastJoinThreshold)
-    val stats = j.right.stats
+    val stats = side.stats
     if (bytesThr < 0 || stats.sizeInBytes > BigInt(bytesThr)) return false
     val rowsThr = confLong(SmallRightRowsKey, DefaultSmallRightRows)
     if (rowsThr < 0) return true // row half disabled: bytes alone decide
@@ -253,7 +275,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // an overestimate merely declines broadcastable-sized sides the
     // stock planner handles anyway, while an undercount would wave a
     // genuinely row-heavy side into a broadcast nested-loop join.
-    val rowWidth = math.max(1L, (j.right.output.map(_.dataType.defaultSize.toLong).sum + 8L) / 4L)
+    val rowWidth = math.max(1L, (side.output.map(_.dataType.defaultSize.toLong).sum + 8L) / 4L)
     stats.rowCount.getOrElse(stats.sizeInBytes / rowWidth) <= BigInt(rowsThr)
   }
 
@@ -318,6 +340,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       detect(splitConjunctivePredicates(cond), left, right) match {
         case None => j
         case Some(band) => rewriteLeftOuter(left, right, cond, hint, band)
+      }
+
+    case j @ Join(left, right, RightOuter, Some(cond), hint)
+        if eligible(j) && deterministicSubtree(right) =>
+      // RIGHT OUTER is the LeftOuter construction with the sides
+      // swapped and the band mirrored — rBase-lBase ∈ [lo,hi] is
+      // lBase-rBase ∈ [-hi,-lo] from the right side's point of view.
+      // The uid now rides the (preserved) RIGHT side, so that is the
+      // subtree that must be deterministic; the user's per-side hints
+      // swap with the sides, and a final projection restores the
+      // original column order with the left side nullable.
+      detect(splitConjunctivePredicates(cond), left, right) match {
+        case None => j
+        case Some(band) =>
+          val mirrored = Band(band.rBase, band.lBase, -band.hi, -band.lo)
+          val mirroredHint = JoinHint(hint.rightHint, hint.leftHint)
+          val swapped = rewriteLeftOuter(right, left, cond, mirroredHint, mirrored)
+          // rewriteLeftOuter output order is (right.output, left.output
+          // nullable); restore the join's own (left nullable, right)
+          Project(left.output.map(_.withNullability(true)) ++ right.output, swapped)
       }
 
     case j @ Join(left, right, FullOuter, Some(cond), hint)

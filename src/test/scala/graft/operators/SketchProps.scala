@@ -96,6 +96,86 @@ class SketchProps extends SparkSpec {
     }
   }
 
+  test("quantile fold preserves the rank guarantee for random streams, splits, k and salts (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(400 + seed)
+      val n = 300 + rnd.nextInt(500)
+      // clustered values so equal-value merges are exercised
+      val vals = (0 until n).map(_ => (rnd.nextInt(40) * 7 + rnd.nextInt(3)).toLong)
+      val k = 4 + rnd.nextInt(29)
+      val salts = 1 + rnd.nextInt(4)
+      val nBatches = 1 + rnd.nextInt(5)
+      val batches = vals.zipWithIndex.groupBy(_._2 % nBatches).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      val folded = batches
+        .map(b => Sketch.qsSummarize(b.map(v => ("g", v)).toDF("grp", "v"), "v", "grp",
+          k, seed, salts))
+        .reduce((a, b) => Sketch.qsCombine(a, b, "grp", k))
+      val rows = folded.select("value", "w", "carry").as[(Long, Long, Long)].collect()
+      val err = rows.map(_._3).sum
+      assert(rows.map(_._2).sum == n, s"seed $seed: weight not conserved")
+      assert(rows.length <= k + 1, s"seed $seed: ${rows.length} rows > k+1=${k + 1}")
+      val sorted = vals.sorted
+      def rExact(x: Long) = sorted.count(_ <= x).toLong
+      def rSumm(x: Long) = rows.filter(_._1 <= x).map(_._2).sum
+      (vals.distinct ++ Seq(vals.min - 1, vals.max + 1)).foreach { x =>
+        assert(math.abs(rSumm(x) - rExact(x)) <= err,
+          s"seed $seed k=$k salts=$salts batches=$nBatches: rank at $x is ${rSumm(x)} " +
+            s"vs exact ${rExact(x)}, err=$err")
+      }
+      // bound honesty: the tracked err must sit inside the analytic
+      // Σ(stride−1) ceiling — per batch < 2·n_b/k (salt prunes + pooled
+      // prune), per fold < N_i/k — so an inflated carry column can't
+      // buy a vacuous rank guarantee
+      val foldTotals = (1 to nBatches).map(i => batches.take(i).map(_.size).sum.toLong)
+      assert(err <= (2L * n + foldTotals.sum) / k + 1,
+        s"seed $seed: err $err above the analytic ceiling")
+    }
+  }
+
+  test("qsQuantiles estimates land inside the tracked rank interval (5 seeds, doubles)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(500 + seed)
+      val groups = Seq("a", "b")
+      val data = groups.flatMap { g =>
+        val n = 200 + rnd.nextInt(400)
+        (0 until n).map(_ => (g, math.rint(rnd.nextGaussian() * 50) / 4.0))
+      }
+      val k = 16 + rnd.nextInt(48)
+      val nBatches = 2 + rnd.nextInt(3)
+      val folded = data.zipWithIndex.groupBy(_._2 % nBatches).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+        .map(b => Sketch.qsSummarize(b.toDF("grp", "v"), "v", "grp", k, seed, salts = 2))
+        .reduce((a, b) => Sketch.qsCombine(a, b, "grp", k))
+      val phis = Seq(100000L, 500000L, 900000L, 1000000L)
+      val est = Sketch.qsQuantiles(folded, "grp", phis)
+        .as[(String, Long, Double, Long, Long)].collect()
+      assert(est.length == groups.size * phis.size)
+      val byG = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      est.foreach { case (g, phi, e, nn, err) =>
+        val xs = byG(g)
+        assert(nn == xs.size.toLong, s"seed $seed: n mismatch for $g")
+        assert(xs.contains(e), s"seed $seed: estimate $e is not an actual data value")
+        val r = math.max(1L, (phi * nn + 999999L) / 1000000L)
+        val lt = xs.count(_ < e).toLong
+        val le = xs.count(_ <= e).toLong
+        assert(le >= r - err && lt + 1 <= r + err,
+          s"seed $seed $g phi=$phi: est $e rank interval [$lt+1, $le] misses r=$r ± err=$err")
+      }
+    }
+  }
+
+  test("quantile fold is deterministic: identical fold trees yield identical state") {
+    val vals = (0 until 500).map(i => ("g", (i * 37 % 97).toLong))
+    def build() = Seq(0, 1, 2)
+      .map(b => Sketch.qsSummarize(
+        vals.zipWithIndex.filter(_._2 % 3 == b).map(_._1).toDF("grp", "v"),
+        "v", "grp", 12, seed = 9, salts = 3))
+      .reduce((a, c) => Sketch.qsCombine(a, c, "grp", 12))
+      .select("grp", "value", "w", "carry").as[(String, Long, Long, Long)].collect().toSeq
+    assert(build() == build())
+  }
+
   test("CMS one-sided error and merge identity hold for random streams and splits (5 seeds)") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(300 + seed)

@@ -291,6 +291,83 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  // --- right outer ---
+
+  private def rightBand(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r,
+      $"u" === $"cu" &&
+        unix_micros($"cts") >= unix_micros($"ts") - 1000000L &&
+        unix_micros($"cts") < unix_micros($"ts"),
+      "right_outer")
+      .select($"eid", $"cid")
+
+  test("right outer: matched rows plus exactly one null-left row per unmatched right row") {
+    // cid=107 (user 99) never matches; duplicate it to prove multiplicity
+    val extra = Seq((107L, 99, 7000000L), (107L, 99, 7000000L))
+      .toDF("cid", "cu", "cus").select($"cid", $"cu", timestamp_micros($"cus").as("cts"))
+    val r = clicks.unionByName(extra)
+    val want = pairCounts(rightBand(errors, r))
+    withRule {
+      val df = rightBand(errors, r)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("__graft_bkt"), s"bucket key missing from plan:\n$p")
+      val got = pairCounts(df)
+      assert(got === want)
+      // both copies of the unmatched right row get their own null-left row
+      assert(got((-1L, 107L)) === 2)
+      assert(got((-1L, 103L)) === 1 && got((-1L, 105L)) === 1 && got((-1L, 106L)) === 1)
+      assert(got((1L, 101L)) === 1 && got((2L, 102L)) === 1 && got((3L, 104L)) === 1)
+    }
+  }
+
+  test("right outer: null right time yields a null-left row, not a dropped row") {
+    val rNull = clicks.unionByName(
+      Seq((109L, 10)).toDF("cid", "cu").select($"cid", $"cu", lit(null).cast("timestamp").as("cts")))
+    val want = pairCounts(rightBand(errors, rNull))
+    withRule {
+      val got = pairCounts(rightBand(errors, rNull))
+      assert(got === want)
+      assert(got.contains((-1L, 109L)))
+    }
+  }
+
+  test("right outer size guard: checks the LEFT side (the only stock-broadcastable one)") {
+    // bytes half passes (1 GB); LEFT row ceiling 3 declines nothing
+    // here because errors has exactly 3 rows → rule declines; ceiling 2
+    // makes the left row-heavy → rule must fire. A small RIGHT side
+    // must NOT suppress the rewrite for right outer.
+    withRuleConf((1L << 30).toString, "2") {
+      val df = rightBand(errors, clicks)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_bkt"), s"row-heavy left side was left to the stock plan:\n$p")
+      assert(pairCounts(df)((1L, 101L)) === 1)
+    }
+    withRuleConf((1L << 30).toString, "8") {
+      // both sides under the row ceiling: left is broadcastable, stock
+      // plan stands
+      val df = rightBand(errors, clicks)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_bkt"), s"rule fired despite a broadcastable left side:\n$p")
+    }
+  }
+
+  test("right outer through the SQL surface") {
+    errors.createOrReplaceTempView("rr_err")
+    clicks.createOrReplaceTempView("rr_clk")
+    val sql =
+      """SELECT eid, cid FROM rr_err RIGHT JOIN rr_clk
+        |ON u = cu AND cts >= ts - INTERVAL '1' SECOND AND cts < ts
+        |""".stripMargin
+    val want = pairCounts(spark.sql(sql))
+    withRule {
+      val df = spark.sql(sql)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(pairCounts(df) === want)
+    }
+  }
+
   test("full outer through the SQL surface") {
     errors.createOrReplaceTempView("rr_err")
     clicks.createOrReplaceTempView("rr_clk")
