@@ -125,7 +125,7 @@ object Bench {
       waitedSec: Double,
       retries: Int, contended: Boolean, warnParts: List[String],
       medians: Seq[(String, Double)],
-      sf: String, protocol: String = protocolName(2)): String = {
+      sf: String, protocol: String): String = {
     val byWorst = medians.sortBy { case (n, s) => (-s, n) }
     def build(n: Int, warnEsc: String): String = {
       val queries = byWorst.take(n)
@@ -309,12 +309,26 @@ object Bench {
     // produces a number — explicitly flagged "contended":true.
     val quietBudgetSec = sys.env.get("SPARK_GRAFT_BENCH_QUIET_SEC").flatMap(s =>
       scala.util.Try(s.trim.toInt).toOption).getOrElse(600)
-    val deadline = System.nanoTime() + quietBudgetSec * 1000000000L
+    var deadline = System.nanoTime() + quietBudgetSec * 1000000000L
     var waitedSec = 0.0
-    while ({ val (l1, _, l15) = loadAvgs(); l1 > QuietLoad1 || l15 >= WaitLoad15 } &&
-        System.nanoTime() < deadline) {
+    var extended = false
+    def hot() = { val (l1, _, l15) = loadAvgs(); l1 > QuietLoad1 || l15 >= WaitLoad15 }
+    while (hot() && System.nanoTime() < deadline) {
       Thread.sleep(5000)
       waitedSec += 5.0
+      // (1b) one-time extension (r15 ask 7): the round's official
+      // BENCH_r15.json recorded contended:true because the default
+      // budget expired with load15 still at 1.3 — load15 decays with a
+      // 15-minute constant, so minutes more of waiting routinely turn
+      // a contended artifact into a clean one. When the budget expires
+      // STILL HOT, double it once (default 10 → 20 min) before
+      // accepting a contended run; a machine still hot after 2× the
+      // budget is genuinely busy and gets the honest flag.
+      if (!extended && System.nanoTime() >= deadline && hot()) {
+        extended = true
+        deadline += quietBudgetSec * 1000000000L
+        System.err.println(s"[bench] quiet budget expired hot; extending once by ${quietBudgetSec}s")
+      }
     }
     // withExtensions = the production install path: graft's functions
     // AND the band-join optimizer rule are active session-wide, so the

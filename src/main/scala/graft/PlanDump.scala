@@ -65,19 +65,31 @@ object PlanDump {
     "t24_heavy_hitters",     // single MG sketch agg (map-side combined) + exact validation join
     "st07_stream_heavy_hitters", // windowed MG sketch (one state row per hour) + contract join
     "t25_bpe_apply",         // merge replay + subword count, all on the vocab table
+    "j04_band_join_auto",    // LEFT OUTER band join through the rewrite rule (bucketed explode + copy-resolution window)
     "j05_band_join_full_outer", // FULL OUTER band join through the rewrite rule (union of the two proven constructions)
+    "j06_band_join_right_outer", // RIGHT OUTER band join through the rewrite rule (mirrored LeftOuter construction)
     "q36_aqe_skew_join",     // AQE-planned skew split (the 100 TB answer; q29's salting is the fallback)
-    "t26_cms_frequency"      // one-scan CMS counter build; probes join the broadcast bounded sketch
+    "t26_cms_frequency",     // one-scan CMS counter build; probes join the broadcast bounded sketch
+    "t27_quantile_maintenance", // 4-batch quantile-summary fold: bounded windows, no history rescan
+    "t28_curation_chain",    // full curation pipeline as one program: per-signal scans join back by id
+    "t29_cms_maintenance"    // 4-batch CMS counter fold == whole-stream build
   )
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outFile = if (args.length > 1) args(1) else "PLANS.md"
+    // withExtensions + the lowered band-join guard = PARITY with the
+    // Verify/Bench gate sessions (r15 verdict ask 2): without them the
+    // dumped j04/j05/j06 sections showed the STOCK SortMergeJoin the
+    // gate sessions never actually run — the committed plans must be
+    // the rewritten ones the annotations (and 100 TB review) describe.
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.plans.RangeJoinRewrite.SmallRightBytesKey, "65536")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1507,7 +1507,9 @@ object Queries {
       // t06/t10. On the fixture corpus en is kept at ~54% while the
       // smallest language keeps everything.
       (s, d) =>
-        Packing.temperatureMix(Tables.documents(s, d), "doc_id", "lang", seed = 17),
+        Packing.temperatureMix(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", seed = 17),
       Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_d FROM documents GROUP BY 1),
               |m AS (SELECT min(n_d) AS n_m FROM c),
               |r AS (SELECT lang,
@@ -1595,27 +1597,9 @@ object Queries {
       (s, d) => Decontaminate.contaminatedSpans(
         Tables.documents(s, d), "doc_id", "text",
         isEval = col("doc_id") % 19 === 0, k = 5, seed = 3),
-      Some {
-        val tk = toksSql("lower(text)")
-        val parts = (0 until 5).map(j => s"t[i+$j]").mkString(", ")
-        s"""WITH tk AS (SELECT doc_id, $tk AS t FROM documents),
-           |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-           |  ${Hashing.md5LongSql("concat_ws(' ', " + parts + ")", 3)} AS gh
-           |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM tk)),
-           |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 19 = 0),
-           |seeds AS (SELECT doc_id, pos FROM g
-           |  WHERE doc_id % 19 != 0 AND gh IN (SELECT gh FROM ev)),
-           |flag AS (SELECT doc_id, pos,
-           |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS new_span
-           |  FROM seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-           |sp AS (SELECT doc_id, pos,
-           |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx
-           |  FROM flag)
-           |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
-           |CAST(min(pos) AS BIGINT) AS start_tok, CAST(max(pos) + 5 AS BIGINT) AS end_tok,
-           |CAST(max(pos) + 5 - min(pos) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_seeds
-           |FROM sp GROUP BY doc_id, span_idx""".stripMargin
-      }
+      Some(s"""WITH ${contamSpanCtes(5, 3, 19)}
+              |SELECT doc_id, span_idx, start_tok, end_tok, n_tokens, n_seeds
+              |FROM csp_spans""".stripMargin)
     ),
     QueryDef(
       "t23_bpe_merges",
@@ -1771,6 +1755,86 @@ object Queries {
               |  CAST(concat('0x', substr(md5(concat(CAST(700 + d AS VARCHAR), ':', token)), 1, 15)) AS BIGINT) % 256 AS bucket,
               |  CAST(count(*) AS BIGINT) AS n
               |FROM toks CROSS JOIN ds GROUP BY 1, 2""".stripMargin)
+    ),
+
+    QueryDef(
+      "t28_curation_chain",
+      // the FULL production curation pipeline as ONE composed lazy
+      // program — quality gate → d08 canonical pick → t22 span
+      // decontamination → t21 temperature mix → t05 pack → t06 split
+      // — ending in a single action (t07 composes three of these
+      // stages; this runs the whole chain). Composition shape: every
+      // signal (token counts, near-dup clusters, canonical metrics,
+      // contamination spans) reads the corpus once and joins back by
+      // doc_id; the surviving corpus is cut ONCE so the mix stage's
+      // two consumers (per-lang rate derivation + the keep filter)
+      // read materialized blocks instead of re-deriving the
+      // gate/dedup/decontaminate chain; the pack window is
+      // shard-local and the split is a pure per-row md5 — no stage
+      // re-derives another stage's work. (The cluster resolution's
+      // bounded per-round cuts inside dedupClusters are the engine's
+      // declared iterative exception.)
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // near-dup canonical pick over the full corpus (what is
+        // duplicated does not depend on the quality gate)
+        val dropIds = Dedup.canonicalDocs(docs, "doc_id", "text",
+            Dedup.dedupClusters(Dedup.minhashLsh(docs, "doc_id", "text", 0.5)))
+          .filter(!col("keep")).select("doc_id")
+        // contaminated token mass per train doc (eval = doc_id % 19)
+        val contam = Decontaminate.contaminatedSpans(docs, "doc_id", "text",
+            isEval = col("doc_id") % 19 === 0, k = 5, seed = 3)
+          .groupBy("doc_id").agg(sum(col("n_tokens")).as("n_contam"))
+        val base = Reliability.cut(docs
+          .select(col("doc_id"), col("lang"),
+            size(Text.tokens(lower(col("text")))).cast("long").as("nt"))
+          .filter(col("nt") >= 5 && col("doc_id") % 19 =!= 0)
+          .join(dropIds, Seq("doc_id"), "left_anti")
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("nt_clean", col("nt") - coalesce(col("n_contam"), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("nt_clean")))
+        val mixed = Packing.temperatureMix(base, "doc_id", "lang", seed = 17)
+        val packed = Packing.packByBudget(mixed, "doc_id", col("nt_clean"),
+          budget = 2048, shards = 8)
+        Packing.hashSplit(packed, "doc_id", seed = 7,
+            pcts = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .groupBy(col("split"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            countDistinct(col("shard") * 1000000L + col("bin")).as("n_bins"))
+      },
+      Some {
+        val tk = toksSql("lower(text)")
+        s"""WITH drops AS (SELECT doc_id FROM (${canonicalDocsSql(0.5)}) WHERE NOT keep),
+           |${contamSpanCtes(5, 3, 19)},
+           |contam AS (SELECT doc_id, SUM(n_tokens) AS n_contam FROM csp_spans GROUP BY 1),
+           |gated AS (SELECT doc_id, lang, CAST(len($tk) AS BIGINT) AS nt FROM documents
+           |  WHERE doc_id % 19 != 0),
+           |corpus AS (SELECT g.doc_id, g.lang, g.nt - coalesce(c.n_contam, 0) AS nt_clean
+           |  FROM gated g LEFT JOIN contam c USING (doc_id)
+           |  WHERE g.nt >= 5 AND g.doc_id NOT IN (SELECT doc_id FROM drops)),
+           |lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_d FROM corpus GROUP BY 1),
+           |lm AS (SELECT min(n_d) AS n_m FROM lc),
+           |rates AS (SELECT lang,
+           |  CAST(floor(sqrt(CAST(n_m AS DOUBLE) / n_d) * 1000000) AS BIGINT) AS rate_e6
+           |  FROM lc CROSS JOIN lm),
+           |mixed AS (SELECT c.doc_id, c.lang, c.nt_clean FROM corpus c JOIN rates r
+           |  ON c.lang = r.lang
+           |  WHERE ${Hashing.md5LongSql("concat('mix:', CAST(c.doc_id AS VARCHAR))", 17)} % 1000000
+           |    < r.rate_e6),
+           |packed AS (SELECT doc_id, lang, nt_clean, doc_id % 8 AS shard,
+           |  (sum(nt_clean) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - nt_clean) // 2048 AS bin
+           |  FROM mixed),
+           |labeled AS (SELECT *, CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+           |    ELSE 'test' END AS split
+           |  FROM (SELECT *,
+           |    ${Hashing.md5LongSql("concat('split:', CAST(doc_id AS VARCHAR))", 7)} % 100 AS h
+           |    FROM packed))
+           |SELECT split, lang, count(*) AS n_docs, CAST(SUM(nt_clean) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT shard * 1000000 + bin) AS BIGINT) AS n_bins
+           |FROM labeled GROUP BY 1, 2""".stripMargin
+      }
     ),
 
     QueryDef(
@@ -1932,7 +1996,7 @@ object Queries {
           col("nt"),
           budget = 2048,
           shards = 8
-        ),
+        ).select(col("doc_id"), col("shard"), col("bin"), col("n_tokens")),
       Some(s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
               |CAST(len(${toksSql("lower(text)")}) AS BIGINT) AS n_tokens FROM documents),
               |c AS (SELECT doc_id, shard, n_tokens,
@@ -2653,6 +2717,35 @@ object Queries {
        |  WHERE rn = 1)
        |SELECT c.doc_id, c.cluster_id, k.kept_id, c.doc_id = k.kept_id AS keep
        |FROM c JOIN k ON c.cluster_id = k.cluster_id""".stripMargin
+  }
+
+  /** Shared CTE chain of the t22/t28 contaminated-span oracle
+    * ([[graft.operators.Decontaminate.contaminatedSpans]] with
+    * gram length `k`, hash `seed`, eval = doc_id % `evalMod` == 0):
+    * positional k-gram hashes → eval gram set → train-side seed
+    * positions → merged maximal spans (`csp_spans`: doc_id, span_idx,
+    * start_tok, end_tok, n_tokens, n_seeds). `csp_`-prefixed so it
+    * composes into larger WITH chains without name collisions. */
+  private def contamSpanCtes(k: Int, seed: Int, evalMod: Int): String = {
+    val tk = toksSql("lower(text)")
+    val parts = (0 until k).map(j => s"t[i+$j]").mkString(", ")
+    s"""csp_tk AS (SELECT doc_id, $tk AS t FROM documents),
+       |csp_g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |  ${Hashing.md5LongSql(s"concat_ws(' ', $parts)", seed)} AS gh
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${k - 1})) AS i FROM csp_tk)),
+       |csp_ev AS (SELECT DISTINCT gh FROM csp_g WHERE doc_id % $evalMod = 0),
+       |csp_seeds AS (SELECT doc_id, pos FROM csp_g
+       |  WHERE doc_id % $evalMod != 0 AND gh IN (SELECT gh FROM csp_ev)),
+       |csp_flag AS (SELECT doc_id, pos,
+       |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + $k THEN 1 ELSE 0 END AS new_span
+       |  FROM csp_seeds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |csp_sp AS (SELECT doc_id, pos,
+       |  sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_idx
+       |  FROM csp_flag),
+       |csp_spans AS (SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+       |CAST(min(pos) AS BIGINT) AS start_tok, CAST(max(pos) + $k AS BIGINT) AS end_tok,
+       |CAST(max(pos) + $k - min(pos) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_seeds
+       |FROM csp_sp GROUP BY doc_id, span_idx)""".stripMargin
   }
 
   /** DuckDB twin of s15 ([[graft.operators.Similarity.srpProject]]):

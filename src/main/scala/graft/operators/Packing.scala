@@ -22,19 +22,18 @@ object Packing {
     *
     * Scale shape: sharding makes the window partition-local —
     * `shards` independent cumulative sums, each a single sorted pass;
-    * no global ordering bottleneck. Output: (id, shard, bin,
-    * n_tokens). */
+    * no global ordering bottleneck. Output: the input columns plus
+    * (shard, n_tokens, bin) — carried columns ride through so a
+    * composed pipeline (t28) keeps its per-doc attributes without a
+    * join-back that would re-reference (and re-scan) the corpus. */
   def packByBudget(docs: DataFrame, idCol: String, nTokens: Column, budget: Int, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     docs
-      .select(col(idCol), (col(idCol) % shards).as("shard"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("shard", col(idCol) % shards)
+      .withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("cum", sum("n_tokens").over(w))
-      .select(
-        col(idCol),
-        col("shard"),
-        expr(s"(cum - n_tokens) div $budget").as("bin"),
-        col("n_tokens")
-      )
+      .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
+      .drop("cum")
   }
 
   /** Sliding-window chunking: split each document's token stream into
@@ -133,7 +132,14 @@ object Packing {
     * aggregation (domains are driver-small by the same bound
     * [[weightedSample]] assumes); the rate table broadcasts; the keep
     * decision is the same pure per-row md5 filter — embarrassingly
-    * parallel, reproducible across engines, runs and epochs. */
+    * parallel, reproducible across engines, runs and epochs.
+    *
+    * Output: the input columns plus `rate_e6` (kept rows only) —
+    * carried columns ride through (the packByBudget convention), so a
+    * composed pipeline keeps per-doc attributes without a join-back.
+    * Note the rate table derives from THIS df: in a curation chain
+    * the rates reflect the corpus as of this stage (post-gate,
+    * post-dedup), which is what a mixing decision should see. */
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String, seed: Int): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_d"))
     val ref = counts.agg(min(col("n_d")).as("n_m"))
@@ -144,10 +150,9 @@ object Packing {
     val h = pmod(
       graft.functions.Hashing.md5Long(concat(lit("mix:"), col(idCol).cast("string")), seed),
       lit(1000000L))
-    df.select(col(idCol), col(groupCol))
-      .join(broadcast(rates), Seq(groupCol))
+    df.join(broadcast(rates), Seq(groupCol))
       .filter(h < col("rate_e6"))
-      .select(col(idCol), col(groupCol), col("rate_e6"))
+      .select(df.columns.map(col) :+ col("rate_e6"): _*)
   }
 
   /** Deterministic stratified quota cap: keep at most `quota` rows per

@@ -41,8 +41,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sequence to a packed `array<bigint>`. A streaming checkpoint
   * written by a pre-r15 build fails Spark's state-schema
   * compatibility check on restart — restart such a query from a
-  * fresh checkpoint (reprocessing the retained source window), as
-  * with any stateful-operator schema evolution.
+  * fresh checkpoint, as with any stateful-operator schema evolution.
+  *
+  * Drain-and-restart recipe (r16) — how to cross the schema break
+  * (or any fresh-checkpoint restart of [[simhashDupPairsWithin]])
+  * without losing a pair:
+  *   1. stop the old query at a micro-batch boundary (`query.stop()`
+  *      between triggers, or let an AvailableNow run drain);
+  *   2. record the event-time horizon: H = max event time processed,
+  *      taken from the query progress (`eventTime.max`) or the sink;
+  *   3. restart with a FRESH checkpoint, seeding the source from
+  *      offset positions that replay AT LEAST every record with
+  *      event time ≥ H − (horizonMs + allowedLatenessMs) — the
+  *      retained window is exactly the state the old run held, so
+  *      replaying it rebuilds every band entry a future arrival
+  *      could still pair with;
+  *   4. de-duplicate the sink on (id_a, id_b): pairs wholly inside
+  *      the replayed window are re-emitted (the price of at-least-
+  *      once replay; pairs are deterministic, so this is exact).
+  * Correctness argument: a pair spanning the restart has both
+  * members within `horizonMs` of each other and its earlier member
+  * within the retained window when the later one arrives — so the
+  * earlier member is replayed, its band state is rebuilt before the
+  * later member's event time, and the pair emits from the new run.
+  * The restart spec (`NearDupStreamSpec`) proves exactly this:
+  * phase-1 ∪ phase-2 emissions equal the batch pair set over the
+  * whole stream, including a pair whose members straddle the
+  * restart.
   */
 object NearDupStream {
 

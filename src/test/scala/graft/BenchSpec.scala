@@ -35,7 +35,8 @@ class BenchSpec extends AnyFunSuite {
     Bench.summaryLine(total = 1234.567, load1End = 4.9, load1Start = 0.4,
       load15Start = 0.7, waitedSec = 20, retries = 2, contended = contended,
       warnParts = warn,
-      medians = (1 to n).map(i => names(i) -> i * 0.137), sf = "/root/testdata/sf0.1")
+      medians = (1 to n).map(i => names(i) -> i * 0.137), sf = "/root/testdata/sf0.1",
+      protocol = Bench.protocolName(2))
 
   test("the wait target sits below the flag bar (startup-bump hysteresis)") {
     // the first two r14 runs released at load15 0.99 and snapshotted at

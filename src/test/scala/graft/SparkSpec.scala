@@ -14,7 +14,17 @@ object SparkSpec {
   lazy val session: SparkSession = {
     // local[4, 2]: 2 task attempts, so specs can prove the
     // task-retry-is-page-retry contract (HttpApiTransportSpec); tests
-    // that assert failure still fail after the one extra attempt
+    // that assert failure still fail after the one extra attempt.
+    // Known tradeoff (r15 advice): the second attempt is global, so a
+    // flaky nondeterministic task ANYWHERE in the suite could be
+    // retried invisibly. Scoping it to the transport spec would need a
+    // second SparkContext (task-attempt count is fixed in the local
+    // master string at context creation, and every suite shares this
+    // one), i.e. stopping and rebuilding the shared session mid-run —
+    // more fragility than the risk it removes. Mitigation instead:
+    // determinism-sensitive specs assert exact row/pair SETS (and
+    // often run their build twice and compare), so a masked flake
+    // still surfaces as a value mismatch, not a green retry.
     val s = SparkSession.builder()
       .master("local[4, 2]")
       .appName("graft-test")

@@ -163,4 +163,64 @@ class NearDupStreamSpec extends SparkSpec {
     // out-of-horizon emission is blocked by the check, not by eviction
     assert(streamed == Set((10L, 23L, 0L)))
   }
+
+  test("drain-and-restart with a replayed retained window loses no pair") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.types._
+    // the fresh-checkpoint migration recipe (NearDupStream scaladoc):
+    // phase 1 processes X/X' (a pair) and Y, then DRAINS. The restart
+    // uses a fresh checkpoint whose source replays the retained
+    // window — docs with ts >= H - horizon where H = max event time
+    // processed (here: Y alone) — plus the new arrivals: Y' (copy of
+    // Y, in horizon — the pair that STRADDLES the restart and would
+    // be silently lost without the replay) and Z (copy of X, far out
+    // of horizon — must not pair).
+    val horizonMs = 1000L
+    val xText = "x1 x2 x3 x4 x5 x6"
+    val yText = "y1 y2 y3 y4 y5 y6"
+    val phase1 = Seq(
+      (1L, xText, 1000L), (2L, xText, 1400L), // X/X': in-horizon pair
+      (10L, yText, 10000L))                   // Y: last pre-drain arrival
+    val newDocs = Seq(
+      (20L, yText, 10600L),                   // Y': pairs with replayed Y
+      (21L, xText, 10500L))                   // Z: out of horizon vs X
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def runPhase(dirTag: String, files: Seq[Seq[(Long, String, Long)]], sink: String): Set[(Long, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory(dirTag).toString + "/in"
+      files.foreach { slice =>
+        slice.map { case (id, t, ms) => (id, t, new Timestamp(ms)) }
+          .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+      }
+      val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+      // runToMemory starts with a fresh (temp) checkpoint each time —
+      // exactly the restart mode the recipe prescribes
+      val q = EventStream.runToMemory(
+        NearDupStream.simhashDupPairsWithin(stream, "doc_id", "text", "ts", 3, horizonMs).toDF(),
+        sink, "append")
+      q.awaitTermination(60000)
+      spark.table(sink).as[(Long, Long, Long)].collect().toSet
+    }
+    val p1 = runPhase("neardup-ph1", Seq(phase1.take(2), phase1.drop(2)), "neardup_restart_p1")
+    // recipe step 2-3: H = 10000 (max event time processed); retained
+    // window = ts >= H - horizon = [9000, ..] = {Y}; replay it first,
+    // then the post-restart arrivals, on a FRESH checkpoint
+    val h = phase1.map(_._3).max
+    val retained = phase1.filter(_._3 >= h - horizonMs)
+    assert(retained.map(_._1) == Seq(10L)) // the window is genuinely partial
+    val p2 = runPhase("neardup-ph2", Seq(retained, newDocs), "neardup_restart_p2")
+    // step 4: de-dup the union on the pair key; must equal the batch
+    // (no-restart) pair set over the ENTIRE stream
+    val whole = (phase1 ++ newDocs)
+      .map { case (id, t, ms) => (id, t, new Timestamp(ms)) }.toDF("doc_id", "text", "ts")
+    val batch = NearDupStream.simhashDupPairsWithin(whole, "doc_id", "text", "ts", 3, horizonMs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert((p1 ++ p2) == batch)
+    // the straddling pair exists and came from phase 2 — the replayed
+    // window is what saved it
+    assert(batch.contains((10L, 20L, 0L)) && p2.contains((10L, 20L, 0L)) && !p1.contains((10L, 20L, 0L)))
+    // and the out-of-horizon copy never paired
+    assert(!batch.exists(p => p._1 == 1L && p._2 == 21L))
+  }
 }
