@@ -108,8 +108,10 @@ object PlanDump {
     sb.append("(inherits s01's broadcast of the 20-query eval sample and s04's\n")
     sb.append("centroid loop), s12 (the same coarse-centroid loop) and s13\n")
     sb.append("(inherits s01's dense tower; the lexical tower's 1-row corpus-\n")
-    sb.append("total broadcast) — per-row scored loops against a broadcast\n")
-    sb.append("constant, not data-sized joins.\n")
+    sb.append("total broadcast) and t28 (temperatureMix's 1-row min-count\n")
+    sb.append("reference broadcast-crossed into the per-lang rate table) —\n")
+    sb.append("per-row scored loops against a broadcast constant, not\n")
+    sb.append("data-sized joins.\n")
 
     headline.foreach { name =>
       val q = byName(name)

@@ -323,9 +323,14 @@ object Sketch {
     * Error bookkeeping rides the rows as the additive `carry` column:
     * the per-part total carry (attached wholly to the part's first
     * row, so value-merges just sum it) is incremented by this prune's
-    * own s−1. Everything is computed with windows over the SAME
-    * single input reference — chained folds grow linearly (the
-    * [[mgCombine]] 2^k-plan lesson). */
+    * own s−1 — but ONLY when the prune actually dropped a row: a
+    * selection that kept every input row left the rank function
+    * bit-identical, so charging it would loosen the tracked bound for
+    * nothing (a fold whose running total crosses a stride boundary
+    * while all values still fit would otherwise accrue phantom
+    * error). Everything is computed with windows over the SAME single
+    * input reference — chained folds grow linearly (the [[mgCombine]]
+    * 2^k-plan lesson). */
   private def qsPrune(rows: DataFrame, parts: Seq[String], k: Int): DataFrame = {
     require(k >= 2, "quantile summary needs k >= 2")
     import org.apache.spark.sql.expressions.Window
@@ -334,16 +339,20 @@ object Sketch {
     val ord = Window.partitionBy(pcols: _*).orderBy(col("value"))
     rows
       .withColumn("__n", sum(col("w")).over(whole))
+      .withColumn("__m", count(lit(1)).over(whole))
       .withColumn("__cin", sum(col("carry")).over(whole))
       .withColumn("__cum", sum(col("w")).over(ord))
       .withColumn("__s", expr(s"(__n + ${k - 1}) div $k"))
       .filter(expr("__cum div __s > (__cum - w) div __s") || col("__cum") === col("__n"))
       .withColumn("__w2", col("__cum") - coalesce(lag(col("__cum"), 1).over(ord), lit(0L)))
       .withColumn("__rn", row_number().over(ord))
+      .withColumn("__kept", count(lit(1)).over(whole))
       .select(pcols ++ Seq(
         col("value"),
         col("__w2").as("w"),
-        when(col("__rn") === 1, col("__cin") + col("__s") - 1L).otherwise(0L).as("carry")): _*)
+        when(col("__rn") === 1,
+          col("__cin") + when(col("__kept") === col("__m"), lit(0L)).otherwise(col("__s") - 1L))
+          .otherwise(0L).as("carry")): _*)
   }
 
   /** Per-group mergeable quantile summary of `valueCol` — the

@@ -102,6 +102,22 @@ class SketchSpec extends SparkSpec {
     assert(folded == Map("w0" -> 8L, "w1" -> 8L, "w2" -> 8L))
   }
 
+  test("a long quantile fold chain stays analyzable (linear, not exponential, plan growth)") {
+    // the mgCombine lesson applied from day one: qsPrune references its
+    // input exactly once (thresholds and error totals ride windows over
+    // the same reference), so a 24-deep lazy qsCombine chain must
+    // analyze and run — and stay exact: every batch value is 1..4, so
+    // with k=8 nothing is ever pruned and the fold is the exact
+    // weighted value table with err 0.
+    val folded = (1 to 24)
+      .map(i => Sketch.qsSummarize(
+        Seq(("g", (i % 4 + 1).toLong)).toDF("grp", "v"), "v", "grp", k = 8, seed = 1, salts = 2))
+      .reduce((a, b) => Sketch.qsCombine(a, b, "grp", 8))
+      .select("value", "w", "carry").as[(Long, Long, Long)].collect()
+    assert(folded.map(_._3).sum == 0L) // nothing pruned: err stays 0
+    assert(folded.map(r => r._1 -> r._2).toMap == Map(1L -> 6L, 2L -> 6L, 3L -> 6L, 4L -> 6L))
+  }
+
   test("cms never underestimates and is exact without collisions") {
     // wide sketch over a tiny vocab: no bucket collisions, so every
     // estimate equals the exact count; and the one-sided guarantee
