@@ -1700,11 +1700,14 @@ object Queries {
         val k = 512
         val ev = Tables.events(s, d)
           .select(col("event_type"), col("event_id"), col("value"))
+        // single = true: the state is bounded by construction here
+        // (event types x 4 salts x (k+1) rows), so the whole fold
+        // chain past the distributed local prunes plans exchange-free
         def summ(i: Int) = Sketch.qsSummarize(
           ev.filter(pmod(col("event_id"), lit(4)) === i), "value", "event_type",
-          k, seed = 21, salts = 4)
+          k, seed = 21, salts = 4, single = true)
         val state = (1 to 3).foldLeft(summ(0))(
-          (st, i) => Sketch.qsCombine(st, summ(i), "event_type", k))
+          (st, i) => Sketch.qsCombine(st, summ(i), "event_type", k, single = true))
         val est = Sketch.qsQuantiles(state, "event_type", Seq(500000L, 900000L, 990000L))
         ev.select(col("event_type"), col("value").as("x"))
           .join(broadcast(est), Seq("event_type"))

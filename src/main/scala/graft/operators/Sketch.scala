@@ -335,18 +335,26 @@ object Sketch {
     require(k >= 2, "quantile summary needs k >= 2")
     import org.apache.spark.sql.expressions.Window
     val pcols = parts.map(col)
-    val whole = Window.partitionBy(pcols: _*)
+    // every window shares ONE (partition, order) spec — partition
+    // totals ride an unbounded frame — so Catalyst plans exactly two
+    // Window nodes (pre- and post-filter), one sort each side and no
+    // exchange between them (the filter preserves both partitioning
+    // and ordering). The naive whole-partition + ordered spec split
+    // planned four Window nodes, and in a chained fold that plan bulk
+    // is what AQE re-optimizes before every stage.
     val ord = Window.partitionBy(pcols: _*).orderBy(col("value"))
+    val tot = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rows
-      .withColumn("__n", sum(col("w")).over(whole))
-      .withColumn("__m", count(lit(1)).over(whole))
-      .withColumn("__cin", sum(col("carry")).over(whole))
-      .withColumn("__cum", sum(col("w")).over(ord))
+      .withColumn("__n", sum(col("w")).over(tot))
+      .withColumn("__m", count(lit(1)).over(tot))
+      .withColumn("__cin", sum(col("carry")).over(tot))
+      .withColumn("__cum", sum(col("w")).over(run))
       .withColumn("__s", expr(s"(__n + ${k - 1}) div $k"))
       .filter(expr("__cum div __s > (__cum - w) div __s") || col("__cum") === col("__n"))
       .withColumn("__w2", col("__cum") - coalesce(lag(col("__cum"), 1).over(ord), lit(0L)))
       .withColumn("__rn", row_number().over(ord))
-      .withColumn("__kept", count(lit(1)).over(whole))
+      .withColumn("__kept", count(lit(1)).over(tot))
       .select(pcols ++ Seq(
         col("value"),
         col("__w2").as("w"),
@@ -379,14 +387,28 @@ object Sketch {
     * and the final per-group prune runs on salts×(k+1) rows. Per-salt
     * prune errors ADD (sub-multiset rank functions sum), so the total
     * err is Σ_salt (⌈n_gs/k⌉−1) + ⌈n_g/k⌉−1 ≈ 2·n_g/k — the bound a
-    * caller sizes k against. */
+    * caller sizes k against.
+    *
+    * `single = true` is the small-state fold path (the t23/BPE
+    * precedent): once the local prune has bounded the rows to
+    * groups × salts × (k+1), a tiny `repartition(1)` places the state
+    * in one task and every downstream prune, fold and quantile read
+    * plans with ZERO further exchanges (SinglePartition satisfies
+    * every clustered distribution; the sorts stay, the shuffles
+    * disappear). The corpus-sized count and the per-salt local prune
+    * stay fully distributed either way — only the bounded state
+    * collapses. Right on a 1000-executor cluster too: shuffling a
+    * few-thousand-row state table between every fold stage is pure
+    * stage overhead. Leave it false when groups × k does NOT fit one
+    * task (e.g. per-user quantiles over millions of users). */
   def qsSummarize(
       df: DataFrame,
       valueCol: String,
       groupCol: String,
       k: Int,
       seed: Int,
-      salts: Int = 8): DataFrame = {
+      salts: Int = 8,
+      single: Boolean = false): DataFrame = {
     require(salts >= 1, "salts >= 1")
     val base = df
       .filter(col(valueCol).isNotNull)
@@ -398,7 +420,7 @@ object Sketch {
       .agg(count(lit(1)).cast("long").as("w"))
       .withColumn("carry", lit(0L))
     val local = qsPrune(base, Seq(groupCol, "salt"), k)
-    val pooled = local
+    val pooled = (if (single) local.repartition(1) else local)
       .groupBy(col(groupCol), col("value"))
       .agg(sum(col("w")).as("w"), sum(col("carry")).as("carry"))
     qsPrune(pooled, Seq(groupCol), k)
@@ -413,14 +435,25 @@ object Sketch {
     * ≈ B·n/(2k) — size k to the fold depth, or fold as a binary tree
     * for Σ ≈ n·log(B)/k. ONE lazy plan with a single reference per
     * input, so a day of micro-batch folds composes lazily and runs as
-    * one job at the sink, and chained plans grow linearly. */
-  def qsCombine(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame =
+    * one job at the sink, and chained plans grow linearly.
+    *
+    * `single = true` mirrors [[qsSummarize]]'s small-state path: the
+    * legs of a single-partition fold are each ≤ (k+1) rows per group,
+    * so `coalesce(1)` on the union (narrow — one task reads the tiny
+    * leg partitions in-stage, no shuffle) keeps the whole fold chain
+    * exchange-free. Use it exactly when the summaries were built
+    * `single`; values are bit-identical either way (the fold is a
+    * deterministic value-merge + prune). */
+  def qsCombine(a: DataFrame, b: DataFrame, groupCol: String, k: Int,
+      single: Boolean = false): DataFrame = {
+    val u = a.select(col(groupCol), col("value"), col("w"), col("carry"))
+      .unionByName(b.select(col(groupCol), col("value"), col("w"), col("carry")))
     qsPrune(
-      a.select(col(groupCol), col("value"), col("w"), col("carry"))
-        .unionByName(b.select(col(groupCol), col("value"), col("w"), col("carry")))
+      (if (single) u.coalesce(1) else u)
         .groupBy(col(groupCol), col("value"))
         .agg(sum(col("w")).as("w"), sum(col("carry")).as("carry")),
       Seq(groupCol), k)
+  }
 
   /** Read quantile estimates off a summary: for each group and each
     * φ (micro-units), the smallest stored value whose cumulative
@@ -441,12 +474,15 @@ object Sketch {
     require(phisE6.nonEmpty && phisE6.forall(p => p >= 0 && p <= 1000000),
       "phis are micro-fractions in [0, 1e6]")
     import org.apache.spark.sql.expressions.Window
-    val whole = Window.partitionBy(col(groupCol))
+    // one shared (partition, order) spec = one Window node (the
+    // qsPrune plan-bulk argument)
     val ord = Window.partitionBy(col(groupCol)).orderBy(col("value"))
+    val tot = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     summary
-      .withColumn("n", sum(col("w")).over(whole))
-      .withColumn("err", sum(col("carry")).over(whole))
-      .withColumn("cum", sum(col("w")).over(ord))
+      .withColumn("n", sum(col("w")).over(tot))
+      .withColumn("err", sum(col("carry")).over(tot))
+      .withColumn("cum", sum(col("w")).over(run))
       .select(col(groupCol), col("value"), col("cum"), col("n"), col("err"),
         explode(array(phisE6.map(p => lit(p)): _*)).as("phi_e6"))
       .withColumn("r", greatest(lit(1L), expr("(phi_e6 * n + 999999) div 1000000")))

@@ -176,6 +176,34 @@ class SketchProps extends SparkSpec {
     assert(build() == build())
   }
 
+  test("the single-partition quantile fold path is bit-equal and plans fewer exchanges") {
+    // single = true changes ONLY the physical placement of the bounded
+    // state (repartition(1) after the distributed local prune, narrow
+    // coalesce on fold unions): the fold is a deterministic value
+    // merge + prune, so the state must be bit-identical, and the plan
+    // past the local prunes must carry strictly fewer shuffles.
+    val vals = (0 until 800).map(i => (s"g${i % 3}", (i * 53 % 211).toLong))
+    def build(single: Boolean) = Seq(0, 1, 2, 3)
+      .map(b => Sketch.qsSummarize(
+        vals.zipWithIndex.filter(_._2 % 4 == b).map(_._1).toDF("grp", "v"),
+        "v", "grp", 16, seed = 5, salts = 3, single = single))
+      .reduce((a, c) => Sketch.qsCombine(a, c, "grp", 16, single = single))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // materialize so AQE finalizes the executed plan
+      // AdaptiveSparkPlanExec is a leaf to TreeNode traversal, so
+      // count shuffles off the rendered final plan instead
+      "Exchange (hash|range|Single)".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+    val (sgl, dist) = (build(true), build(false))
+    val nSingle = exchanges(sgl)
+    val nDist = exchanges(dist)
+    assert(nSingle < nDist, s"single=$nSingle exchanges vs distributed=$nDist")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("grp", "value", "w", "carry").as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(key(sgl) == key(dist))
+  }
+
   test("CMS one-sided error and merge identity hold for random streams and splits (5 seeds)") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(300 + seed)
