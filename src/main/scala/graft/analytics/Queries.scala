@@ -2261,6 +2261,27 @@ object Queries {
              |FROM r WHERE rk <= 5""".stripMargin)
     ),
 
+    QueryDef(
+      "st08_stream_quantiles",
+      // per-hour quantiles via Spark's mergeable GK sketch keyed by
+      // tumbling window ([[graft.streaming.EventStream
+      // .windowQuantileSketch]]) — the STREAMING member of the
+      // maintained-rank family (q35 in-query, t27 stored fold, this;
+      // st07 is the heavy-hitter sibling). ONE (window, GK-buffer)
+      // state row per hour regardless of value cardinality. The same
+      // aggregation runs as a real streaming query (spec-driven,
+      // state-store-backed); this batch execution is its oracle gate
+      // in the q35 contract form: per (window, φ) the estimate's
+      // exact rank interval must intersect φ·n ± (n/accuracy + 1).
+      (s, d) => graft.streaming.EventStream.windowQuantileReport(
+        Tables.events(s, d), Seq(500000L, 900000L, 990000L), accuracy = 1000),
+      Some("""WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, value
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+             |SELECT window_start, CAST(phi_e6 AS BIGINT) AS phi_e6, n, TRUE AS rank_ok
+             |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]) AS phi_e6)""".stripMargin)
+    ),
+
     // ==================== SQL/temp-view layer (J4) ========================
     QueryDef(
       "v01_view_chain",

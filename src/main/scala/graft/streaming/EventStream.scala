@@ -245,6 +245,74 @@ object EventStream {
           .as("bound_ok"))
   }
 
+  /** Per-hour quantile sketch: Spark's mergeable Greenwald–Khanna
+    * aggregate (`approx_percentile` — the q35 in-query member) keyed by
+    * tumbling window, the quantile sibling of
+    * [[windowHeavyHitterSketch]] and the STREAMING member of the
+    * maintained-rank family (q35 in-query, t27 stored fold, this).
+    * Spark-first on purpose: the engine composes the built-in
+    * TypedImperativeAggregate — whose serialized GK buffer IS the
+    * state-store row, merged per micro-batch like any partial — rather
+    * than re-implementing GK (custom sketches here earn their place
+    * only when Spark lacks the aggregate, as with Misra–Gries).
+    * One (window, buffer) state row per hour regardless of value
+    * cardinality. Output: one row per (window, φ):
+    * (window_start, n_w, phi_e6, est), n_w counting NON-NULL values
+    * (nulls never enter the sketch, so they must not widen the rank
+    * slack either). Estimate values depend on the sketch's internal
+    * compression; cross-engine checks go through
+    * [[windowQuantileReport]]'s contract form. */
+  def windowQuantileSketch(
+      events: DataFrame,
+      phisE6: Seq[Long],
+      accuracy: Int): DataFrame = {
+    require(phisE6.nonEmpty && phisE6.forall(p => p >= 0 && p <= 1000000),
+      "phis are micro-fractions in [0, 1e6]")
+    require(accuracy >= 1, "accuracy >= 1")
+    val phis = array(phisE6.map(p => lit(p / 1e6)): _*)
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(col("value")).as("n_w"),
+        percentile_approx(col("value"), phis, lit(accuracy)).as("qs"))
+      .select(col("window.start").as("window_start"), col("n_w"),
+        posexplode(col("qs")).as(Seq("pos", "est")))
+      .select(col("window_start"), col("n_w"),
+        element_at(array(phisE6.map(lit): _*), col("pos") + 1).as("phi_e6"),
+        col("est"))
+  }
+
+  /** The q35 rank contract per window (batch; the st08 oracle row):
+    * for each (window, φ), the estimate's exact rank interval
+    * [#{x<est}+1, #{x≤est}] must intersect φ·n ± (n/accuracy + 1) —
+    * `approx_percentile`'s documented guarantee, checked exactly
+    * in-engine. The oracle pins the exact per-window counts and
+    * expects TRUE, so a drifting sketch turns the row red instead of
+    * hiding behind a rows-only check. Windows whose values are all
+    * NULL carry no sketch rank claim and are omitted (as the exact
+    * side's inner join does naturally). */
+  def windowQuantileReport(
+      events: DataFrame,
+      phisE6: Seq[Long],
+      accuracy: Int): DataFrame = {
+    val sk = windowQuantileSketch(events, phisE6, accuracy)
+    val ev = events
+      .filter(col("value").isNotNull)
+      .select(window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("value").as("x"))
+    val phi = col("phi_e6") / 1e6
+    val slack = col("n") / accuracy.toDouble + 1.0
+    ev.join(broadcast(sk), col("ws") === col("window_start"))
+      .groupBy(col("window_start"), col("phi_e6"))
+      .agg(
+        max(col("n_w")).as("n"),
+        sum(when(col("x") < col("est"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("le"))
+      .select(col("window_start"), col("phi_e6").cast("long").as("phi_e6"), col("n"),
+        (col("le") >= col("n") * phi - slack &&
+          col("lt") + 1 <= col("n") * phi + slack).as("rank_ok"))
+  }
+
   /** Run a streaming aggregation to a memory sink until the source
     * drains; returns the sink table name. Local smoke-test entry. */
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =

@@ -79,6 +79,41 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("windowed GK quantile sketch runs as a real stream and honors the rank contract") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
+    writeEvents(dir)
+    val phis = Seq(500000L, 900000L)
+    val acc = 50
+    // complete mode: approx_percentile's serialized GK buffer is the
+    // state-store row, re-merged as micro-batches arrive (the st07
+    // mechanism, quantile edition)
+    val q = EventStream.runToMemory(
+      EventStream.windowQuantileSketch(EventStream.readEvents(spark, dir, schema), phis, acc),
+      "wq", "complete")
+    q.awaitTermination(60000)
+    val streamed = spark.table("wq")
+      .select("window_start", "n_w", "phi_e6", "est")
+      .as[(Timestamp, Long, Long, Double)].collect()
+    assert(streamed.nonEmpty)
+    val exact = spark.read.schema(schema).parquet(dir)
+      .select(window($"ts", "1 hour").getField("start").as("ws"), $"value")
+      .as[(Timestamp, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // one row per (window, phi); n_w exact; every estimate's exact
+    // rank interval intersects phi*n +- (n/acc + 1)
+    assert(streamed.length == exact.size * phis.length)
+    streamed.foreach { case (ws, nw, phiE6, est) =>
+      val xs = exact(ws)
+      assert(nw == xs.length)
+      val slack = nw.toDouble / acc + 1.0
+      val target = phiE6 / 1e6 * nw
+      val lt = xs.count(_ < est).toLong
+      val le = xs.count(_ <= est).toLong
+      assert(le >= target - slack && lt + 1 <= target + slack,
+        s"window $ws phi=$phiE6: est $est rank interval [${lt + 1}, $le] misses $target ± $slack")
+    }
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
     writeEvents(dir)
