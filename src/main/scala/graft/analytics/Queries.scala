@@ -1700,12 +1700,20 @@ object Queries {
         val k = 512
         val ev = Tables.events(s, d)
           .select(col("event_type"), col("event_id"), col("value"))
+        // ONE corpus pass: the (event_type, batch, salt, value) count
+        // is built and materialized once ([[Sketch.qsCountedBase]] +
+        // the lineage cut), and each simulated ingest batch's summary
+        // derives from a slice of the materialized blocks — a real
+        // ingest sees each batch once, and so does this plan (the
+        // pre-r17 form rescanned events once per batch)
+        val counted = Reliability.cut(Sketch.qsCountedBase(
+          ev.withColumn("batch", pmod(col("event_id"), lit(4))),
+          "value", "event_type", seed = 21, salts = 4, extraKeys = Seq("batch")))
         // single = true: the state is bounded by construction here
         // (event types x 4 salts x (k+1) rows), so the whole fold
         // chain past the distributed local prunes plans exchange-free
-        def summ(i: Int) = Sketch.qsSummarize(
-          ev.filter(pmod(col("event_id"), lit(4)) === i), "value", "event_type",
-          k, seed = 21, salts = 4, single = true)
+        def summ(i: Int) = Sketch.qsSummarizeCounted(
+          counted.filter(col("batch") === i).drop("batch"), "event_type", k, single = true)
         val state = (1 to 3).foldLeft(summ(0))(
           (st, i) => Sketch.qsCombine(st, summ(i), "event_type", k, single = true))
         val est = Sketch.qsQuantiles(state, "event_type", Seq(500000L, 900000L, 990000L))
@@ -1728,6 +1736,53 @@ object Queries {
              |SELECT event_type, CAST(phi_e6 AS BIGINT) AS phi_e6, n,
              |TRUE AS rank_ok, TRUE AS err_ok
              |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]) AS phi_e6)""".stripMargin)
+    ),
+
+    QueryDef(
+      "t30_user_quantiles",
+      // the HIGH-CARDINALITY-GROUP quantile regime ([[Sketch
+      // .qsSummarize]] with `single = false`) — per-user p50/p99 over
+      // the events table, the shape a 100 TB deployment with millions
+      // of group keys actually runs and the one t27 (whose state is a
+      // handful of event types) deliberately collapses: here the
+      // summary state is groups × (k+1) rows, far too big for one
+      // task, so the fold stays FULLY distributed — the per-salt local
+      // prunes, the pooled per-group prune and the quantile read all
+      // hash-partition on the group key and the plan contains NO
+      // single-partition collapse (SketchProps pins that). The
+      // estimate join back to events carries |users| × |φ| rows — NOT
+      // broadcast-hinted on purpose: at fixture scale AQE broadcasts
+      // it anyway, at production scale it is a plain shuffle join.
+      // Contract emitted per (user, φ): exact n (weight conservation),
+      // the rank-interval boolean, and bound honesty
+      // (err ≤ n/8 + 8 ≫ the analytic ~2n/k at k=64).
+      (s, d) => {
+        val k = 64
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), col("value"))
+        val state = Sketch.qsSummarize(ev, "value", "user_id",
+          k, seed = 33, salts = 2, single = false)
+        val est = Sketch.qsQuantiles(state, "user_id", Seq(500000L, 990000L))
+        ev.select(col("user_id"), col("value").as("x"))
+          .join(est, Seq("user_id"))
+          .groupBy(col("user_id"), col("phi_e6"))
+          .agg(
+            max(col("n")).as("n"),
+            max(col("err")).as("err"),
+            sum(when(col("x") < col("est"), 1L).otherwise(0L)).as("lt"),
+            sum(when(col("x") <= col("est"), 1L).otherwise(0L)).as("le"))
+          .withColumn("r", greatest(lit(1L), expr("(phi_e6 * n + 999999) div 1000000")))
+          .select(col("user_id"), col("phi_e6"), col("n"),
+            (col("le") >= col("r") - col("err") &&
+              col("lt") + 1 <= col("r") + col("err")).as("rank_ok"),
+            (col("err") <= expr("n div 8 + 8")).as("err_ok"))
+      },
+      Some("""WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+             |SELECT user_id, CAST(phi_e6 AS BIGINT) AS phi_e6, n,
+             |TRUE AS rank_ok, TRUE AS err_ok
+             |FROM c CROSS JOIN (SELECT unnest([500000, 990000]) AS phi_e6)""".stripMargin)
     ),
 
     QueryDef(

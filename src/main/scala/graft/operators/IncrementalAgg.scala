@@ -89,14 +89,32 @@ object IncrementalAgg {
       statePath: String,
       batch: DataFrame,
       spec: Spec,
+      batchId: Option[Long] = None): DataFrame =
+    foldState(spark, statePath, partial(batch, spec), combine(_, _, spec), batchId)
+
+  /** The state-maintenance machinery of [[update]] with the aggregate
+    * algebra abstracted out — any mergeable state (this rollup's
+    * partials, [[Sketch.qsFoldInto]]'s quantile summaries) folds one
+    * batch delta into a stored parquet state with the SAME guarantees:
+    * the new state materializes to a temp dir first (the combine plan
+    * reads the old state lazily), the applied-batch marker commits
+    * atomically WITH the state via one rename, a `batchId` ≤ the
+    * recorded watermark short-circuits to the existing state (replay
+    * idempotence for checkpointed `foreachBatch` callers), and both
+    * failure modes are loud. `combine(state, delta)` must be the
+    * algebra's merge; `delta` is evaluated lazily inside the fold. */
+  def foldState(
+      spark: SparkSession,
+      statePath: String,
+      delta: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame,
       batchId: Option[Long] = None): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(statePath)
     val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
     if (batchId.exists(_ <= appliedBatchId(spark, statePath)) && exists)
       return read(spark, statePath) // replayed batch: already folded in
-    val delta = partial(batch, spec)
-    val next = if (exists) combine(read(spark, statePath), delta, spec) else delta
+    val next = if (exists) combine(read(spark, statePath), delta) else delta
     val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp-incagg")
     next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     batchId.foreach { id =>

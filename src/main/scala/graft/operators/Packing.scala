@@ -27,6 +27,11 @@ object Packing {
     * composed pipeline (t28) keeps its per-doc attributes without a
     * join-back that would re-reference (and re-scan) the corpus. */
   def packByBudget(docs: DataFrame, idCol: String, nTokens: Column, budget: Int, shards: Int): DataFrame = {
+    // carried-columns hazard: the generated names would silently
+    // overwrite a caller's columns of the same name — fail loudly
+    val clash = docs.columns.toSet.intersect(Set("shard", "n_tokens", "cum", "bin"))
+    require(clash.isEmpty,
+      s"packByBudget generates shard/n_tokens/cum/bin; input already has ${clash.mkString(", ")} — rename before packing")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     docs
       .withColumn("shard", col(idCol) % shards)
@@ -141,6 +146,10 @@ object Packing {
     * the rates reflect the corpus as of this stage (post-gate,
     * post-dedup), which is what a mixing decision should see. */
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String, seed: Int): DataFrame = {
+    // the output carries a generated rate_e6; an input that already has
+    // one would turn the rate join ambiguous — fail loudly instead
+    require(!df.columns.contains("rate_e6"),
+      "temperatureMix generates a rate_e6 column; input already has one — rename before mixing")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_d"))
     val ref = counts.agg(min(col("n_d")).as("n_m"))
     val rates = counts.crossJoin(broadcast(ref))

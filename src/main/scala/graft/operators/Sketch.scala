@@ -408,18 +408,47 @@ object Sketch {
       k: Int,
       seed: Int,
       salts: Int = 8,
-      single: Boolean = false): DataFrame = {
+      single: Boolean = false): DataFrame =
+    qsSummarizeCounted(qsCountedBase(df, valueCol, groupCol, seed, salts), groupCol, k, single)
+
+  /** The ONE corpus-sized pass of [[qsSummarize]], exposed so a caller
+    * that summarizes several slices of the same input (t27's simulated
+    * ingest batches) can run it ONCE: the deterministic value-hash salt
+    * plus the map-side-combinable `(extraKeys…, groupCol, salt, value)
+    * → w` count. `extraKeys` ride the groupBy (e.g. a batch id) so one
+    * materialized count table can be sliced into per-batch bases for
+    * [[qsSummarizeCounted]] without rescanning the corpus. Nulls are
+    * dropped here, matching [[qsSummarize]]. */
+  def qsCountedBase(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      seed: Int,
+      salts: Int,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     require(salts >= 1, "salts >= 1")
-    val base = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).as("value"))
+    df.filter(col(valueCol).isNotNull)
+      .select(extraKeys.map(col) ++ Seq(col(groupCol), col(valueCol).as("value")): _*)
       .withColumn("salt",
         pmod(Hashing.md5Long(concat(lit("qs:"), col("value").cast("string")), seed),
           lit(salts.toLong)))
-      .groupBy(col(groupCol), col("salt"), col("value"))
+      .groupBy((extraKeys :+ groupCol).map(col) ++ Seq(col("salt"), col("value")): _*)
       .agg(count(lit(1)).cast("long").as("w"))
+  }
+
+  /** Summarize a pre-counted base (the [[qsCountedBase]] output shape
+    * `(groupCol, salt, value, w)`) — [[qsSummarize]] past its corpus
+    * pass: per-salt local prunes (distributed), pool, final per-group
+    * prune. Identical output to `qsSummarize` on the uncounted input;
+    * all the scale/`single` semantics of [[qsSummarize]] apply. */
+  def qsSummarizeCounted(
+      base: DataFrame,
+      groupCol: String,
+      k: Int,
+      single: Boolean = false): DataFrame = {
+    val b = base.select(col(groupCol), col("salt"), col("value"), col("w"))
       .withColumn("carry", lit(0L))
-    val local = qsPrune(base, Seq(groupCol, "salt"), k)
+    val local = qsPrune(b, Seq(groupCol, "salt"), k)
     val pooled = (if (single) local.repartition(1) else local)
       .groupBy(col(groupCol), col("value"))
       .agg(sum(col("w")).as("w"), sum(col("carry")).as("carry"))
@@ -446,6 +475,8 @@ object Sketch {
     * deterministic value-merge + prune). */
   def qsCombine(a: DataFrame, b: DataFrame, groupCol: String, k: Int,
       single: Boolean = false): DataFrame = {
+    requireSummary(a, groupCol, "qsCombine left leg")
+    requireSummary(b, groupCol, "qsCombine right leg")
     val u = a.select(col(groupCol), col("value"), col("w"), col("carry"))
       .unionByName(b.select(col(groupCol), col("value"), col("w"), col("carry")))
     qsPrune(
@@ -454,6 +485,51 @@ object Sketch {
         .agg(sum(col("w")).as("w"), sum(col("carry")).as("carry")),
       Seq(groupCol), k)
   }
+
+  /** Loud-failure guard (the kmvOverlap/cmsEstimate convention): both
+    * fold legs must actually BE quantile summaries — group column
+    * present, `value` present, `w`/`carry` present and LONG — so a
+    * caller handing [[qsCombine]] a raw (unsummarized) DataFrame fails
+    * here with a named message instead of a late analysis error deep
+    * inside qsPrune. */
+  private def requireSummary(df: DataFrame, groupCol: String, who: String): Unit = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(types.contains(groupCol), s"$who: missing group column '$groupCol'")
+    require(types.contains("value"), s"$who: not a quantile summary — no 'value' column (build legs with qsSummarize)")
+    Seq("w", "carry").foreach { c =>
+      require(types.get(c).contains(org.apache.spark.sql.types.LongType),
+        s"$who: not a quantile summary — '$c' missing or not LONG (build legs with qsSummarize)")
+    }
+  }
+
+  /** Fold one batch's quantile summary into a STORED summary table —
+    * the maintenance loop a real ingest runs ([[qsCombine]] attached to
+    * [[IncrementalAgg.foldState]]'s atomic swap + applied-batch
+    * watermark): summarize the batch, combine with the state read from
+    * `statePath`, materialize to a temp dir, rename in. `batchId` makes
+    * checkpointed replays (`foreachBatch` after a crash) a no-op — the
+    * id commits atomically WITH the state, so fold-then-crash and
+    * crash-then-fold both converge. Returns the new state. The stored
+    * state stays ≤ (k+1) rows per group forever; each fold's cost is
+    * one batch summarize + a bounded-state merge — history is never
+    * rescanned. Streaming entry: [[graft.streaming.EventStream
+    * .quantileRollupSink]]. */
+  def qsFoldInto(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      batch: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      k: Int,
+      seed: Int,
+      salts: Int = 8,
+      single: Boolean = false,
+      batchId: Option[Long] = None): DataFrame =
+    IncrementalAgg.foldState(
+      spark, statePath,
+      qsSummarize(batch, valueCol, groupCol, k, seed, salts, single),
+      (state, delta) => qsCombine(state, delta, groupCol, k, single),
+      batchId)
 
   /** Read quantile estimates off a summary: for each group and each
     * φ (micro-units), the smallest stored value whose cumulative

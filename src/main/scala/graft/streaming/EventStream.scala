@@ -290,7 +290,16 @@ object EventStream {
     * expects TRUE, so a drifting sketch turns the row red instead of
     * hiding behind a rows-only check. Windows whose values are all
     * NULL carry no sketch rank claim and are omitted (as the exact
-    * side's inner join does naturally). */
+    * side's inner join does naturally).
+    *
+    * Bound note: the sketch table is BROADCAST, so this check scales
+    * with windows × φ, not value cardinality — right for the bounded
+    * fixture histories the oracle gate replays, but hourly-window
+    * cardinality grows without bound over an unbounded history
+    * (~9k windows/year × φ rows). Pointed at a production-sized
+    * multi-year history, drop the `broadcast()` hint and let AQE pick
+    * the join (the sketch side is still the small one; it just may no
+    * longer fit the driver's broadcast budget). */
   def windowQuantileReport(
       events: DataFrame,
       phisE6: Seq[Long],
@@ -320,6 +329,45 @@ object EventStream {
       .outputMode(mode)
       .format("memory")
       .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Maintained STORED quantile state fed by a stream — the
+    * unbounded-history sibling of [[windowQuantileSketch]] (which keeps
+    * per-window state inside the state store) and the quantile edition
+    * of [[graft.streaming.StreamingRunner.runRollup]]: every
+    * micro-batch folds its [[graft.operators.Sketch.qsSummarize]] into
+    * the parquet summary table at `statePath` via
+    * [[graft.operators.Sketch.qsFoldInto]]. Exactly-once from two
+    * layers: the file source's checkpoint prevents re-reads, and the
+    * applied-batch watermark (committed atomically with the state)
+    * makes a post-crash `foreachBatch` replay a no-op — so the stored
+    * state after any crash/restart sequence equals the clean batch-mode
+    * fold of the same micro-batches (spec-gated on exactly that
+    * equality). State stays ≤ (k+1) rows per group forever; each
+    * micro-batch costs one batch summarize + a bounded merge, never a
+    * history rescan. */
+  def quantileRollupSink(
+      events: DataFrame,
+      statePath: String,
+      checkpointDir: String,
+      valueCol: String,
+      groupCol: String,
+      k: Int,
+      seed: Int,
+      salts: Int = 8,
+      single: Boolean = false): StreamingQuery =
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Sketch.qsFoldInto(
+            batch.sparkSession, statePath, batch,
+            valueCol, groupCol, k, seed, salts, single, Some(batchId))
+          ()
+        }
+      }
       .trigger(Trigger.AvailableNow())
       .start()
 
