@@ -74,10 +74,72 @@ object IncrementalAgg {
 
   private val MarkerFile = "_applied_batch" // leading '_': parquet readers skip it
 
+  /** Crash recovery for the delete→rename swap window: a crash between
+    * `fs.delete(statePath)` and `fs.rename(tmp, statePath)` leaves the
+    * ONLY complete copy of the folded state in the temp dir. Without
+    * this, the next fold would see no state, rebuild from the delta
+    * alone, and Overwrite the temp dir holding the surviving copy —
+    * silent loss of all folded history. Detection is unambiguous: the
+    * temp dir's `_SUCCESS` (the parquet commit marker, written before
+    * the applied-batch marker and long before the swap) proves the
+    * temp state is complete, and a missing/empty `statePath` proves
+    * the delete already ran — so renaming the temp dir into place
+    * finishes the interrupted swap exactly. A temp dir WITHOUT
+    * `_SUCCESS` is a crashed write-in-progress; it is left for the
+    * next fold's Overwrite (the old state, if any, is still live). */
+  private def recoverInterruptedSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(statePath)
+    val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
+    val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
+    if (!stateLive && fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      if (fs.exists(path) && !fs.delete(path, true)) // empty husk dir
+        throw new java.io.IOException(s"incremental-agg recovery: failed to delete empty $path")
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"incremental-agg recovery: failed to rename $tmp -> $path")
+    }
+  }
+
+  private val TmpSuffix = ".tmp-incagg"
+
+  /** Sidecar identity guard (the qsFoldInto/quantileRollupSink misuse
+    * gates): a small text file NEXT to the state dir (inside it would
+    * not survive the swap) records how the state was built; a later
+    * fold with a different identity fails loudly instead of silently
+    * merging incompatible state. Fresh/empty state adopts (overwrites)
+    * the sidecar — deleting the state dir legitimately resets the
+    * identity; a pre-sidecar legacy state adopts on first contact. */
+  private[graft] def guardStateIdentity(
+      spark: SparkSession,
+      statePath: String,
+      suffix: String,
+      identity: String,
+      who: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwap(fs, statePath) // a swap-window crash must not read as "fresh state"
+    val path = new org.apache.hadoop.fs.Path(statePath)
+    val f = new org.apache.hadoop.fs.Path(statePath + suffix)
+    val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
+    if (stateLive && fs.exists(f)) {
+      val in = fs.open(f)
+      val stored = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      require(stored == identity,
+        s"$who: stored state at $statePath was built with [$stored] but this run uses " +
+          s"[$identity] — folding would silently corrupt the state. Delete the state dir " +
+          s"(and its sidecars) to start fresh, or restore the matching configuration.")
+    } else {
+      val out = fs.create(f, true)
+      try out.write(identity.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Fold one batch into the stored state. The new state is always
     * materialized to a temp directory first (the combine plan reads the
     * old state lazily) and swapped in with a single rename; both
-    * failure modes are loud, never silent truncation.
+    * failure modes are loud, never silent truncation. A crash INSIDE
+    * the swap (after the delete, before the rename) is recovered on
+    * the next entry — see [[recoverInterruptedSwap]].
     *
     * `batchId` makes replays idempotent for checkpointed callers (e.g.
     * `foreachBatch`, which re-runs a batch after a crash): the id is
@@ -110,12 +172,13 @@ object IncrementalAgg {
       combine: (DataFrame, DataFrame) => DataFrame,
       batchId: Option[Long] = None): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwap(fs, statePath)
     val path = new org.apache.hadoop.fs.Path(statePath)
     val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
     if (batchId.exists(_ <= appliedBatchId(spark, statePath)) && exists)
       return read(spark, statePath) // replayed batch: already folded in
     val next = if (exists) combine(read(spark, statePath), delta) else delta
-    val tmp = new org.apache.hadoop.fs.Path(statePath + ".tmp-incagg")
+    val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
     next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     batchId.foreach { id =>
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerFile), true)

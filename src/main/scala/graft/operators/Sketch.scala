@@ -513,7 +513,16 @@ object Sketch {
     * state stays ≤ (k+1) rows per group forever; each fold's cost is
     * one batch summarize + a bounded-state merge — history is never
     * rescanned. Streaming entry: [[graft.streaming.EventStream
-    * .quantileRollupSink]]. */
+    * .quantileRollupSink]].
+    *
+    * Sketch-identity guard: the first fold records (k, seed, salts,
+    * groupCol) in a `.qs-params` sidecar next to the state dir; every
+    * later fold must match, because [[requireSummary]] only checks the
+    * row SHAPE — two summaries built with different k or seed merge
+    * without an analysis error but the rank-error bound no longer
+    * holds. Mismatch fails loudly; deleting the state dir resets the
+    * identity (`single` is physical-placement-only and deliberately
+    * excluded). */
   def qsFoldInto(
       spark: org.apache.spark.sql.SparkSession,
       statePath: String,
@@ -524,12 +533,16 @@ object Sketch {
       seed: Int,
       salts: Int = 8,
       single: Boolean = false,
-      batchId: Option[Long] = None): DataFrame =
+      batchId: Option[Long] = None): DataFrame = {
+    IncrementalAgg.guardStateIdentity(
+      spark, statePath, ".qs-params",
+      s"k=$k;seed=$seed;salts=$salts;group=$groupCol", "qsFoldInto")
     IncrementalAgg.foldState(
       spark, statePath,
       qsSummarize(batch, valueCol, groupCol, k, seed, salts, single),
       (state, delta) => qsCombine(state, delta, groupCol, k, single),
       batchId)
+  }
 
   /** Read quantile estimates off a summary: for each group and each
     * φ (micro-units), the smallest stored value whose cumulative

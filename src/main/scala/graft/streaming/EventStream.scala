@@ -344,9 +344,19 @@ object EventStream {
     * makes a post-crash `foreachBatch` replay a no-op — so the stored
     * state after any crash/restart sequence equals the clean batch-mode
     * fold of the same micro-batches (spec-gated on exactly that
-    * equality). State stays ≤ (k+1) rows per group forever; each
-    * micro-batch costs one batch summarize + a bounded merge, never a
-    * history rescan. */
+    * equality: QuantileRollupSinkSpec). State stays ≤ (k+1) rows per
+    * group forever; each micro-batch costs one batch summarize + a
+    * bounded merge, never a history rescan.
+    *
+    * The watermark is only meaningful against the checkpoint that
+    * numbered the batches: `foreachBatch` batchIds are scoped to
+    * `checkpointDir`, so pointing a FRESH checkpoint at an existing
+    * state would restart ids at 0 and silently skip every micro-batch
+    * as a "replay" until the new ids pass the stored watermark. A
+    * `.stream-identity` sidecar next to the state dir records the
+    * checkpoint the state is paired with, and a mismatch fails loudly
+    * at start — statePath and checkpointDir live and die as a pair
+    * (delete both to start over). */
   def quantileRollupSink(
       events: DataFrame,
       statePath: String,
@@ -356,7 +366,12 @@ object EventStream {
       k: Int,
       seed: Int,
       salts: Int = 8,
-      single: Boolean = false): StreamingQuery =
+      single: Boolean = false): StreamingQuery = {
+    val spark = events.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val ckptId = fs.makeQualified(new org.apache.hadoop.fs.Path(checkpointDir)).toUri.toString
+    graft.operators.IncrementalAgg.guardStateIdentity(
+      spark, statePath, ".stream-identity", s"checkpoint=$ckptId", "quantileRollupSink")
     events.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -370,6 +385,7 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** CDC upsert sink: maintain a keep-latest-per-key parquet table from
     * a stream via foreachBatch + the engine upsert (ST1/ST3/ST4). */

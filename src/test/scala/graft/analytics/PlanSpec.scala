@@ -61,6 +61,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("m63"), "the 64-column min-agg shape is back")
   }
 
+  test("t27: one corpus pass — batch summaries slice the materialized count, never rescan events") {
+    // the r17 restructure: qsCountedBase runs ONCE (materialized via
+    // Reliability.cut), and the four per-batch summaries + fold chain
+    // derive from slices of that cut. The pre-r17 shape scanned the
+    // events parquet once per batch (10 scans in the committed plan);
+    // the only parquet scan left is the exact-rank join-back side.
+    val p = plan("t27_quantile_maintenance")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"t27 should scan events once for the join-back, found $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), "the counted base must read from the materialized cut")
+  }
+
+  test("t30: the high-cardinality (single=false) quantile fold stays fully distributed") {
+    // the claim next to the query: with millions of group keys the
+    // summary state is groups × (k+1) rows — the fold must hash-
+    // partition on the group key everywhere and never collapse to one
+    // task (no repartition(1), no coalesce(1))
+    val p = plan("t30_user_quantiles")
+    assert(!p.contains("SinglePartition"), s"t30 must not plan a single-partition exchange:\n$p")
+    assert(!"Coalesce 1(?!\\d)".r.findAllIn(p).hasNext, s"t30 must not coalesce to one partition:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), "the fold should hash-partition on the group key")
+  }
+
   test("q36: the merge hint holds — a shuffle join AQE can split, not a broadcast") {
     val p = plan("q36_aqe_skew_join")
     assert(p.contains("SortMergeJoin"), s"q36 must shuffle-join for AQE skew handling:\n$p")

@@ -50,6 +50,68 @@ class IncrementalAggSpec extends SparkSpec {
     assert(st.groupBy("k").count().filter($"count" > 1).count() === 0)
   }
 
+  test("a crash inside the swap window is recovered: no folded history is lost") {
+    // the delete→rename swap has a window where statePath is gone and
+    // the ONLY complete copy lives in the temp dir; simulate a crash
+    // exactly there (state renamed away to the temp name, parquet
+    // _SUCCESS + applied-batch marker present) and assert the next
+    // fold first finishes the interrupted swap instead of rebuilding
+    // from the delta alone
+    val base = java.nio.file.Files.createTempDirectory("incagg").toString
+    val dir = s"$base/state"
+    val b1 = batch(20, 300); val b2 = batch(21, 200)
+    IncrementalAgg.update(spark, dir, b1, spec, batchId = Some(0L))
+    // simulate: next fold wrote its temp state (= fold of b1 alone here,
+    // which is what the pre-crash fold of batch 0 produced), deleted the
+    // live state, crashed before the rename
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp-incagg")
+    assert(fs.rename(p, tmp), "test setup: rename into the crash window")
+    assert(!fs.exists(p) && fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+    // the next entry recovers, then folds b2 on top of the surviving b1 state
+    val got = IncrementalAgg.update(spark, dir, b2, spec, batchId = Some(1L))
+    assertSame(got, IncrementalAgg.partial(b1.union(b2), spec))
+    assert(IncrementalAgg.appliedBatchId(spark, dir) === 1L)
+    assert(!fs.exists(tmp), "recovered temp dir must be renamed away")
+  }
+
+  test("a crashed write-in-progress temp dir (no _SUCCESS) is not mistaken for state") {
+    // crash BEFORE the parquet commit: live state intact, temp dir is
+    // garbage — recovery must leave the live state alone and the next
+    // fold must overwrite the garbage
+    val base = java.nio.file.Files.createTempDirectory("incagg").toString
+    val dir = s"$base/state"
+    val b1 = batch(22, 300); val b2 = batch(23, 200)
+    IncrementalAgg.update(spark, dir, b1, spec)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp-incagg")
+    fs.mkdirs(tmp)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(tmp, "part-00000.parquet.inprogress"), true)
+    try junk.write("junk".getBytes("UTF-8")) finally junk.close()
+    val got = IncrementalAgg.update(spark, dir, b2, spec)
+    assertSame(got, IncrementalAgg.partial(b1.union(b2), spec))
+  }
+
+  test("guardStateIdentity: adopts fresh, accepts matching, rejects mismatching") {
+    val base = java.nio.file.Files.createTempDirectory("incagg").toString
+    val dir = s"$base/state"
+    // no state yet: guard writes the sidecar, fold proceeds
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=A", "spec")
+    IncrementalAgg.update(spark, dir, batch(24, 100), spec)
+    // live state + matching identity: fine
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=A", "spec")
+    // live state + different identity: loud
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=B", "spec")
+    }
+    assert(e.getMessage.contains("cfg=A") && e.getMessage.contains("cfg=B"))
+    // deleting the state dir legitimately resets the identity
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=B", "spec")
+  }
+
   test("update shuffles state + batch keys, never history") {
     // structural form of the scale claim: the update plan reads only
     // the state parquet and the batch — there is no lineage back to

@@ -151,6 +151,27 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packByBudget rejects inputs whose columns clash with the generated ones") {
+    // the carried-columns contract: shard/n_tokens/cum/bin are
+    // generated, so a caller's column of the same name would be
+    // silently overwritten — the guard names the clash instead
+    for (c <- Seq("shard", "n_tokens", "cum", "bin")) {
+      val docs = Seq((1L, 4, 9L)).toDF("id", "nt", c)
+      val e = intercept[IllegalArgumentException] {
+        Packing.packByBudget(docs, "id", col("nt"), budget = 10, shards = 2)
+      }
+      assert(e.getMessage.contains(c) && e.getMessage.contains("rename"), s"$c: ${e.getMessage}")
+    }
+  }
+
+  test("temperatureMix rejects an input that already has a rate_e6 column") {
+    val docs = Seq((1L, "web", 5L)).toDF("doc_id", "dom", "rate_e6")
+    val e = intercept[IllegalArgumentException] {
+      Packing.temperatureMix(docs, "doc_id", "dom", seed = 3)
+    }
+    assert(e.getMessage.contains("rate_e6") && e.getMessage.contains("rename"))
+  }
+
   test("stratifiedCap rejects null strata and non-positive quotas") {
     val df = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("doc_id", "src")
     intercept[IllegalArgumentException] {

@@ -204,6 +204,81 @@ class SketchProps extends SparkSpec {
     assert(key(sgl) == key(dist))
   }
 
+  test("qsSummarizeCounted over a sliced shared base equals per-batch qsSummarize (5 seeds)") {
+    // the t27 one-scan restructure's correctness seam: one
+    // qsCountedBase with a batch extraKey, sliced per batch, must give
+    // BIT-identical summaries to summarizing each raw batch directly —
+    // including the null-drop and the salt assignment
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(600 + seed)
+      val rows = (0 until 400).map { i =>
+        val v = if (rnd.nextInt(12) == 0) None else Some((rnd.nextInt(60) * 5).toLong)
+        (s"g${rnd.nextInt(3)}", v, (i % 3).toLong)
+      }
+      val df = rows.toDF("grp", "v", "batch")
+      val k = 8 + rnd.nextInt(16)
+      val salts = 1 + rnd.nextInt(3)
+      val counted = Sketch.qsCountedBase(df, "v", "grp", seed, salts, extraKeys = Seq("batch"))
+      val key = (d: org.apache.spark.sql.DataFrame) =>
+        d.select("grp", "value", "w", "carry").as[(String, Long, Long, Long)].collect().sorted.toSeq
+      for (b <- 0L until 3L) {
+        val viaCounted = Sketch.qsSummarizeCounted(
+          counted.filter(col("batch") === b).drop("batch"), "grp", k)
+        val direct = Sketch.qsSummarize(
+          df.filter(col("batch") === b).select("grp", "v"), "v", "grp", k, seed, salts)
+        assert(key(viaCounted) == key(direct), s"seed $seed batch $b k=$k salts=$salts")
+      }
+    }
+  }
+
+  test("binary-tree fold keeps the rank guarantee with a smaller tracked err than linear") {
+    // the documented qsCombine bound: B batches folded linearly
+    // accumulate ≈ B·n/2k of re-prune error, a binary tree ≈ n·log(B)/k
+    // — both must keep the rank guarantee (errors ADD under any merge
+    // tree), and the tree's tracked err must come out smaller
+    val rnd = new scala.util.Random(777)
+    val n = 1024
+    val vals = (0 until n).map(_ => (rnd.nextInt(200) * 3).toLong)
+    val k = 16
+    val summs = vals.grouped(n / 8).toSeq
+      .map(b => Sketch.qsSummarize(b.map(("g", _)).toDF("grp", "v"), "v", "grp", k, seed = 3, salts = 2))
+    val linear = summs.reduce((a, b) => Sketch.qsCombine(a, b, "grp", k))
+    def tree(xs: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
+      if (xs.size == 1) xs.head
+      else tree(xs.grouped(2).map(p =>
+        if (p.size == 2) Sketch.qsCombine(p(0), p(1), "grp", k) else p(0)).toSeq)
+    val treeFold = tree(summs)
+    val sorted = vals.sorted
+    def rExact(x: Long) = sorted.count(_ <= x).toLong
+    def errOf(df: org.apache.spark.sql.DataFrame): Long = {
+      val rows = df.select("value", "w", "carry").as[(Long, Long, Long)].collect()
+      val err = rows.map(_._3).sum
+      assert(rows.map(_._2).sum == n, "weight not conserved")
+      def rSumm(x: Long) = rows.filter(_._1 <= x).map(_._2).sum
+      vals.distinct.foreach { x =>
+        assert(math.abs(rSumm(x) - rExact(x)) <= err, s"rank guarantee broken at $x (err=$err)")
+      }
+      err
+    }
+    val (errLinear, errTree) = (errOf(linear), errOf(treeFold))
+    assert(errTree < errLinear,
+      s"tree fold err $errTree should beat linear $errLinear (the documented log(B) vs B/2 bound)")
+  }
+
+  test("qsCombine rejects a raw (unsummarized) leg with a named loud failure") {
+    val good = Sketch.qsSummarize(
+      (0 until 50).map(i => ("g", i.toLong)).toDF("grp", "v"), "v", "grp", 8, seed = 1, salts = 2)
+    val raw = (0 until 50).map(i => ("g", i.toLong)).toDF("grp", "value") // no w/carry
+    for ((a, b, leg) <- Seq((raw, good, "left"), (good, raw, "right"))) {
+      val e = intercept[IllegalArgumentException](Sketch.qsCombine(a, b, "grp", 8))
+      assert(e.getMessage.contains("not a quantile summary") && e.getMessage.contains(leg),
+        s"$leg: ${e.getMessage}")
+    }
+    // and a missing group column names the column, not a late analysis error
+    val e2 = intercept[IllegalArgumentException](Sketch.qsCombine(good, good, "nope", 8))
+    assert(e2.getMessage.contains("nope"))
+  }
+
   test("CMS one-sided error and merge identity hold for random streams and splits (5 seeds)") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(300 + seed)
