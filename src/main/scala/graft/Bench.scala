@@ -125,14 +125,15 @@ object Bench {
       waitedSec: Double,
       retries: Int, contended: Boolean, warnParts: List[String],
       medians: Seq[(String, Double)],
-      sf: String, protocol: String): String = {
+      sf: String, protocol: String, detailSha: String = ""): String = {
     val byWorst = medians.sortBy { case (n, s) => (-s, n) }
     def build(n: Int, warnEsc: String): String = {
       val queries = byWorst.take(n)
         .map { case (name, s) => "\"" + name + f"""\":$s%.1f""" }
         .mkString("{", ",", "}")
       val w = if (warnEsc.nonEmpty) s""","warning":"$warnEsc"""" else ""
-      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"$protocol","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries,"contended":$contended$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size},"sf":"$sf"}"""
+      val sha = if (detailSha.nonEmpty) s""","detail_sha":"$detailSha"""" else ""
+      f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"$protocol","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retries,"contended":$contended$w,"queries":$queries,"queries_shown":${math.min(n, byWorst.size)},"queries_total":${medians.size}$sha,"sf":"$sf"}"""
     }
     val warnEsc = warnParts.mkString("; ")
       .replace("\\", "\\\\").replace("\"", "\\\"")
@@ -174,6 +175,18 @@ object Bench {
     if (restrictedRun) demotedPath(path, "partial")
     else if (contendedRun && existingClean) demotedPath(path, "contended")
     else path
+
+  /** sha-256 of a sidecar's exact byte content (hex, truncated to 12
+    * chars — 48 bits is ample to pair a round's stdout line with its
+    * committed `bench_detail.json`). The r16 ask: the stdout summary
+    * only carries the worst-10 medians, so without a pin there is no
+    * proof WHICH full-inventory sidecar a `BENCH_rNN.json` summarizes;
+    * `"detail_sha"` makes the pairing checkable
+    * (`sha256sum bench_detail.json | cut -c1-12`). */
+  private[graft] def sha256Hex12(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest((s + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
 
   /** Extracts the per-query median map from a bench_detail.json line.
     * The format is this file's own output (flat `"queries":{...}` of
@@ -526,11 +539,15 @@ object Bench {
     // bench_detail.json. The summary line is ALSO written to
     // bench_summary.json so the round artifact is recoverable even if
     // stdout scraping fails again.
-    val compact = summaryLine(total, load1End, load1Start, load15Start, waitedSec,
-      retriesTotal, contended, warnParts, results.map(r => (r._1, r._2)), sfDir,
-      protocolName(passes))
     val detail =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"${protocolName(passes)}","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal,"contended":$contended$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
+    // The stdout line pins the sidecar it summarizes: detail_sha is the
+    // truncated sha-256 of bench_detail.json's exact content, so a
+    // committed BENCH_rNN.json is verifiable against the committed
+    // sidecar (`sha256sum bench_detail.json | cut -c1-12`).
+    val compact = summaryLine(total, load1End, load1Start, load15Start, waitedSec,
+      retriesTotal, contended, warnParts, results.map(r => (r._1, r._2)), sfDir,
+      protocolName(passes), sha256Hex12(detail))
     def writeJson(path: String, s: String): Unit = {
       val p = java.nio.file.Paths.get(path)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -93,6 +93,24 @@ class BenchSpec extends AnyFunSuite {
     assert(s.contains("\"queries_total\":50"))
   }
 
+  test("summaryLine stamps the sidecar sha so the round artifact self-identifies") {
+    // the r16 ask: BENCH_rNN.json carries only the worst-10 medians, so
+    // it must pin WHICH bench_detail.json holds the full map. The sha is
+    // over the sidecar's exact file bytes (content + trailing newline),
+    // checkable with `sha256sum bench_detail.json | cut -c1-12`.
+    val sha = Bench.sha256Hex12(detailLine)
+    assert(sha.length == 12 && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    val s = Bench.summaryLine(total = 1.0, load1End = 0.1, load1Start = 0.1,
+      load15Start = 0.1, waitedSec = 0, retries = 0, contended = false,
+      warnParts = Nil, medians = Seq("q01" -> 0.5), sf = "sf", protocol = "p",
+      detailSha = sha)
+    assert(s.contains(s""""detail_sha":"$sha""""))
+    assert(s.length <= Bench.SummaryMaxChars)
+    // deterministic over content, sensitive to any byte change
+    assert(Bench.sha256Hex12(detailLine) == sha)
+    assert(Bench.sha256Hex12(detailLine + " ") != sha)
+  }
+
   test("artifactDest routes restricted and contended runs away from clean sidecars") {
     val p = "bench_detail.json"
     // clean full run replaces whatever is there

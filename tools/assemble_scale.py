@@ -15,6 +15,17 @@ ratio = float(sys.argv[4])
 large = json.load(open("bench_detail.json"))
 scale = json.load(open("BENCH_scale.json"))
 
+missing = [(n, side) for n in names
+           for side, d in (("small", small), ("large", large))
+           if n not in d.get("queries", {})]
+if missing:
+    for n, side in missing:
+        print(f"ERROR: {n!r} missing from the {side} detail "
+              f"({'partial' if side == 'small' else 'bench_detail.json'}); "
+              f"known: {sorted((small if side == 'small' else large).get('queries', {}))[:8]}...",
+              file=sys.stderr)
+    sys.exit(1)
+
 for n in names:
     ss, sl = small["queries"][n], large["queries"][n]
     shs = small["shuffle_read_mb"].get(n, 0.0)
