@@ -72,7 +72,8 @@ object PlanDump {
     "t26_cms_frequency",     // one-scan CMS counter build; probes join the broadcast bounded sketch
     "t27_quantile_maintenance", // 4-batch quantile-summary fold: bounded windows, no history rescan
     "t28_curation_chain",    // full curation pipeline as one program: per-signal scans join back by id
-    "t29_cms_maintenance"    // 4-batch CMS counter fold == whole-stream build
+    "t29_cms_maintenance",   // 4-batch CMS counter fold == whole-stream build
+    "t30_user_quantiles"     // single=false fold stays hash-partitioned: no single-partition exchange
   )
 
   def main(args: Array[String]): Unit = {
