@@ -542,9 +542,12 @@ object Bench {
     val detail =
       f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","protocol":"${protocolName(passes)}","load1":$load1End%.1f,"load1_start":$load1Start%.1f,"load15_start":$load15Start%.1f,"waited_sec":$waitedSec%.0f,"retries":$retriesTotal,"contended":$contended$warning,"queries":${fmt(_._2, 3)},"queries_min":$qmin,"queries_max":$qmax,"shuffle_read_mb":$shuf,"sf":"$sfDir"}"""
     // The stdout line pins the sidecar it summarizes: detail_sha is the
-    // truncated sha-256 of bench_detail.json's exact content, so a
-    // committed BENCH_rNN.json is verifiable against the committed
-    // sidecar (`sha256sum bench_detail.json | cut -c1-12`).
+    // truncated sha-256 of THIS run's detail content, wherever
+    // protectedWrite routes it — bench_detail.json for a clean full
+    // run, target/bench_detail.{partial,contended}.json for a
+    // restricted or demoted run (in which case bench_detail.json keeps
+    // its prior clean content and will NOT match this line's sha).
+    // Verify with `sha256sum <routed detail file> | cut -c1-12`.
     val compact = summaryLine(total, load1End, load1Start, load15Start, waitedSec,
       retriesTotal, contended, warnParts, results.map(r => (r._1, r._2)), sfDir,
       protocolName(passes), sha256Hex12(detail))

@@ -86,10 +86,19 @@ object IncrementalAgg {
     * the delete already ran — so renaming the temp dir into place
     * finishes the interrupted swap exactly. A temp dir WITHOUT
     * `_SUCCESS` is a crashed write-in-progress; it is left for the
-    * next fold's Overwrite (the old state, if any, is still live). */
+    * next fold's Overwrite (the old state, if any, is still live).
+    *
+    * Returns whether a temp dir was renamed into place — the identity
+    * guard needs to know, because recovery is only unambiguous when the
+    * swap was genuinely interrupted. A user who RESETS by deleting the
+    * state dir and sidecars (as the guard's error message instructs)
+    * but leaves a stale complete temp dir behind produces the same
+    * on-disk shape, and blindly adopting a new identity over the
+    * resurrected old state would be exactly the silent corruption the
+    * guard exists to prevent — see [[guardStateIdentity]]. */
   private def recoverInterruptedSwap(
       fs: org.apache.hadoop.fs.FileSystem,
-      statePath: String): Unit = {
+      statePath: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(statePath)
     val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
     val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
@@ -98,7 +107,8 @@ object IncrementalAgg {
         throw new java.io.IOException(s"incremental-agg recovery: failed to delete empty $path")
       if (!fs.rename(tmp, path))
         throw new java.io.IOException(s"incremental-agg recovery: failed to rename $tmp -> $path")
-    }
+      true
+    } else false
   }
 
   private val TmpSuffix = ".tmp-incagg"
@@ -109,7 +119,17 @@ object IncrementalAgg {
     * fold with a different identity fails loudly instead of silently
     * merging incompatible state. Fresh/empty state adopts (overwrites)
     * the sidecar — deleting the state dir legitimately resets the
-    * identity; a pre-sidecar legacy state adopts on first contact. */
+    * identity; a pre-sidecar legacy state adopts on first contact —
+    * with a visible warning, since the first guarded fold over a
+    * pre-sidecar state is exactly the run where a configuration drift
+    * is most likely and the guard has nothing to compare against.
+    *
+    * Adoption is REFUSED when [[recoverInterruptedSwap]] just renamed
+    * a temp dir into place: live state appearing out of a temp dir at
+    * the same moment the sidecars say "fresh" means a stale complete
+    * temp survived a reset (delete state + sidecars) and was
+    * resurrected — adopting the new identity over it would silently
+    * bless the old, deliberately-deleted state. */
   private[graft] def guardStateIdentity(
       spark: SparkSession,
       statePath: String,
@@ -117,7 +137,8 @@ object IncrementalAgg {
       identity: String,
       who: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    recoverInterruptedSwap(fs, statePath) // a swap-window crash must not read as "fresh state"
+    // a swap-window crash must not read as "fresh state"
+    val recovered = recoverInterruptedSwap(fs, statePath)
     val path = new org.apache.hadoop.fs.Path(statePath)
     val f = new org.apache.hadoop.fs.Path(statePath + suffix)
     val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
@@ -126,9 +147,21 @@ object IncrementalAgg {
       val stored = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
       require(stored == identity,
         s"$who: stored state at $statePath was built with [$stored] but this run uses " +
-          s"[$identity] — folding would silently corrupt the state. Delete the state dir " +
-          s"(and its sidecars) to start fresh, or restore the matching configuration.")
+          s"[$identity] — folding would silently corrupt the state. Delete the state dir, " +
+          s"its sidecars, AND any leftover $statePath$TmpSuffix dir to start fresh, or " +
+          "restore the matching configuration.")
     } else {
+      require(!recovered,
+        s"$who: swap recovery just restored $statePath from $statePath$TmpSuffix, but no " +
+          s"$suffix sidecar claims it — this looks like a reset (state dir + sidecars " +
+          s"deleted) that left a stale complete temp dir behind, and adopting [$identity] " +
+          s"over the resurrected state would silently corrupt it. Delete $statePath and " +
+          s"$statePath$TmpSuffix to really start fresh.")
+      if (stateLive)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$who: adopting identity [$identity] over live pre-sidecar state at $statePath — " +
+            "the guard cannot verify this first fold's configuration matches the one that " +
+            "built the state; verify against a from-scratch recompute if in doubt.")
       val out = fs.create(f, true)
       try out.write(identity.getBytes("UTF-8")) finally out.close()
     }

@@ -356,7 +356,21 @@ object EventStream {
     * `.stream-identity` sidecar next to the state dir records the
     * checkpoint the state is paired with, and a mismatch fails loudly
     * at start — statePath and checkpointDir live and die as a pair
-    * (delete both to start over). */
+    * (delete both to start over).
+    *
+    * The identity records the checkpoint's unique QUERY ID (the `id`
+    * field Spark mints into `checkpointDir/metadata` at checkpoint
+    * creation), not just its path: deleting and recreating the
+    * checkpoint dir at the SAME path also restarts batchIds at 0 —
+    * the path string alone would pass the check while the stored
+    * watermark silently skipped every new micro-batch as a replay.
+    * When the metadata file does not exist yet (first start) the id is
+    * pre-minted here in the same JSON shape; Spark adopts an existing
+    * metadata file verbatim, so the id the sidecar records is the id
+    * the query runs under. A legacy path-only sidecar (written before
+    * the id was part of the identity) upgrades in place — with a
+    * warning, since a same-path checkpoint recreation during the
+    * legacy window is exactly what the old identity could not see. */
   def quantileRollupSink(
       events: DataFrame,
       statePath: String,
@@ -369,9 +383,12 @@ object EventStream {
       single: Boolean = false): StreamingQuery = {
     val spark = events.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val ckptId = fs.makeQualified(new org.apache.hadoop.fs.Path(checkpointDir)).toUri.toString
+    val ckptPath = fs.makeQualified(new org.apache.hadoop.fs.Path(checkpointDir))
+    val ckptUri = ckptPath.toUri.toString
+    val identity = s"checkpoint=$ckptUri id=${checkpointQueryId(fs, ckptPath)}"
+    upgradeLegacyIdentity(fs, statePath, s"checkpoint=$ckptUri", identity)
     graft.operators.IncrementalAgg.guardStateIdentity(
-      spark, statePath, ".stream-identity", s"checkpoint=$ckptId", "quantileRollupSink")
+      spark, statePath, ".stream-identity", identity, "quantileRollupSink")
     events.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -385,6 +402,57 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** The unique query id of the checkpoint at `ckptPath` — read from
+    * `<ckpt>/metadata` (the one-line JSON Spark writes at checkpoint
+    * creation and reuses forever after), minted here first if the
+    * checkpoint does not exist yet. Spark's `StreamMetadata.read`
+    * adopts an existing file, so a pre-minted id IS the query's id. */
+  private[streaming] def checkpointQueryId(
+      fs: org.apache.hadoop.fs.FileSystem,
+      ckptPath: org.apache.hadoop.fs.Path): String = {
+    val metaFile = new org.apache.hadoop.fs.Path(ckptPath, "metadata")
+    val IdField = """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r
+    if (fs.exists(metaFile)) {
+      val in = fs.open(metaFile)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      IdField.findFirstMatchIn(txt).map(_.group(1)).getOrElse(
+        throw new IllegalStateException(
+          s"$metaFile exists but has no \"id\" field — not a Structured Streaming checkpoint?"))
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(metaFile, false) // no overwrite: never clobber a live checkpoint
+      try out.write(s"""{"id":"$id"}""".getBytes("UTF-8")) finally out.close()
+      id
+    }
+  }
+
+  /** One-time sidecar migration: a state written before the query id
+    * joined the identity carries `checkpoint=<uri>` only. If that
+    * exact legacy string is stored for the SAME checkpoint uri, rewrite
+    * it to the id-bearing form so the guard passes — the path matching
+    * is all the old contract ever promised. Warn, because a same-path
+    * checkpoint recreation during the legacy window is undetectable. */
+  private def upgradeLegacyIdentity(
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String,
+      legacy: String,
+      identity: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(statePath + ".stream-identity")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val stored = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      if (stored == legacy && stored != identity) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"quantileRollupSink: upgrading legacy path-only stream identity for $statePath " +
+            s"to [$identity]; if the checkpoint dir was ever deleted and recreated at this " +
+            "path before the upgrade, the stored applied-batch watermark may not match its " +
+            "batch numbering — verify the state against a batch recompute if in doubt.")
+        val out = fs.create(f, true)
+        try out.write(identity.getBytes("UTF-8")) finally out.close()
+      }
+    }
   }
 
   /** CDC upsert sink: maintain a keep-latest-per-key parquet table from

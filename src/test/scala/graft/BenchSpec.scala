@@ -95,9 +95,12 @@ class BenchSpec extends AnyFunSuite {
 
   test("summaryLine stamps the sidecar sha so the round artifact self-identifies") {
     // the r16 ask: BENCH_rNN.json carries only the worst-10 medians, so
-    // it must pin WHICH bench_detail.json holds the full map. The sha is
-    // over the sidecar's exact file bytes (content + trailing newline),
-    // checkable with `sha256sum bench_detail.json | cut -c1-12`.
+    // it must pin WHICH detail file holds the full map. The sha is over
+    // the run's detail bytes (content + trailing newline) at whatever
+    // destination protectedWrite routed them to — bench_detail.json for
+    // a clean full run, target/bench_detail.{partial,contended}.json
+    // for a restricted/demoted run — checkable with
+    // `sha256sum <routed detail file> | cut -c1-12`.
     val sha = Bench.sha256Hex12(detailLine)
     assert(sha.length == 12 && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)))
     val s = Bench.summaryLine(total = 1.0, load1End = 0.1, load1Start = 0.1,

@@ -123,4 +123,48 @@ class IncrementalAggSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("Relation") && plan.contains("parquet"))
   }
+
+  test("guardStateIdentity refuses to adopt over state resurrected from a stale temp dir") {
+    // the reset-resurrection hazard: a crash between the tmp write and
+    // the delete leaves a complete tmp BESIDE live state; the user then
+    // resets by deleting the state dir and sidecars (as the mismatch
+    // message instructs) but not the tmp — the next entry's recovery
+    // renames the stale tmp into place, and adopting the NEW identity
+    // over that resurrected old state would be silent corruption
+    val base = java.nio.file.Files.createTempDirectory("incagg").toString
+    val dir = s"$base/state"
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=A", "spec")
+    IncrementalAgg.update(spark, dir, batch(30, 200), spec, batchId = Some(0L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp-incagg")
+    // stale complete tmp (rename gives it _SUCCESS + marker), then "reset"
+    assert(fs.rename(p, tmp), "test setup: stale complete tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".test-id"), false)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=B", "spec")
+    }
+    assert(e.getMessage.contains(".tmp-incagg") && e.getMessage.contains("resurrected"))
+    // the refusal's own recovery already renamed the tmp into place; the
+    // instructed full reset (state dir + tmp) then really starts fresh
+    fs.delete(p, true); fs.delete(tmp, true)
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=B", "spec")
+    IncrementalAgg.update(spark, dir, batch(31, 100), spec, batchId = Some(0L))
+  }
+
+  test("guardStateIdentity adopts over live pre-sidecar legacy state, then enforces") {
+    // a state built before the guard existed has no sidecar: first
+    // guarded contact adopts (with a logged warning — unverifiable
+    // here, the adoption itself is the behavior under test), after
+    // which the identity is enforced like any other
+    val base = java.nio.file.Files.createTempDirectory("incagg").toString
+    val dir = s"$base/state"
+    IncrementalAgg.update(spark, dir, batch(32, 200), spec) // unguarded legacy build
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=L", "spec") // adopts
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=L", "spec") // matches
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=M", "spec")
+    }
+    assert(e.getMessage.contains("cfg=L"))
+  }
 }

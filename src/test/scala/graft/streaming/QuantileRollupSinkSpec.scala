@@ -126,6 +126,53 @@ class QuantileRollupSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("quantileRollupSink") && e.getMessage.contains("checkpoint"))
   }
 
+  test("a checkpoint deleted and recreated at the SAME path fails loudly") {
+    // same path, fresh checkpoint: batchIds restart at 0 and the stored
+    // watermark would silently skip every micro-batch — the path string
+    // alone cannot see this, the minted query id (checkpointDir/metadata)
+    // can: recreation mints a NEW id and the identity check fails
+    val base = java.nio.file.Files.createTempDirectory("qsink").toString
+    val in = s"$base/in"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    land(in, "b0.parquet", System.currentTimeMillis() - 60000,
+      (0 until 30).map(i => ("t0", i.toDouble)))
+    def sink() = EventStream.quantileRollupSink(
+      EventStream.readEvents(spark, in, schema), state, ckpt,
+      "value", "event_type", k = 8, seed = 7, salts = 2)
+    sink().awaitTermination(60000)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val e = intercept[IllegalArgumentException] { sink() }
+    assert(e.getMessage.contains("quantileRollupSink") && e.getMessage.contains("id="))
+  }
+
+  test("a legacy path-only stream identity upgrades in place and keeps folding") {
+    val base = java.nio.file.Files.createTempDirectory("qsink").toString
+    val in = s"$base/in"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = System.currentTimeMillis() - 60000
+    land(in, "b0.parquet", t0, (0 until 30).map(i => ("t0", i.toDouble)))
+    def sink() = EventStream.quantileRollupSink(
+      EventStream.readEvents(spark, in, schema), state, ckpt,
+      "value", "event_type", k = 8, seed = 7, salts = 2)
+    sink().awaitTermination(60000)
+    // rewrite the sidecar to the pre-upgrade form (checkpoint uri only)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val uri = fs.makeQualified(new org.apache.hadoop.fs.Path(ckpt)).toUri.toString
+    val sidecar = new org.apache.hadoop.fs.Path(state + ".stream-identity")
+    val out = fs.create(sidecar, true)
+    try out.write(s"checkpoint=$uri".getBytes("UTF-8")) finally out.close()
+    // next start must upgrade (same checkpoint, metadata id intact) and fold
+    val before = stateRows(state)
+    land(in, "b1.parquet", t0 + 1000, (0 until 30).map(i => ("t1", i.toDouble)))
+    sink().awaitTermination(60000)
+    assert(stateRows(state) != before, "post-upgrade start must keep folding")
+    val inS = fs.open(sidecar)
+    val stored = try scala.io.Source.fromInputStream(inS).mkString.trim finally inS.close()
+    assert(stored.contains(" id="), s"sidecar must carry the query id after upgrade: [$stored]")
+    assert(stored.contains(s"checkpoint=$uri"))
+  }
+
   test("changing sketch parameters between folds fails loudly") {
     val base = java.nio.file.Files.createTempDirectory("qsink").toString
     val state = s"$base/state"
