@@ -73,7 +73,9 @@ object PlanDump {
     "t27_quantile_maintenance", // 4-batch quantile-summary fold: bounded windows, no history rescan
     "t28_curation_chain",    // full curation pipeline as one program: per-signal scans join back by id
     "t29_cms_maintenance",   // 4-batch CMS counter fold == whole-stream build
-    "t30_user_quantiles"     // single=false fold stays hash-partitioned: no single-partition exchange
+    "t30_user_quantiles",    // single=false fold stays hash-partitioned: no single-partition exchange
+    "st09_stream_distinct",  // windowed KMV: one bounded-blob agg per window, estimate read off the sketch
+    "d10_kmv_maintenance"    // 4-batch k-minima fold == whole-corpus build; every fold stage ≤ 2k rows/group
   )
 
   def main(args: Array[String]): Unit = {

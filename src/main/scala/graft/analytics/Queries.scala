@@ -932,6 +932,53 @@ object Queries {
         .withColumn("exact_jaccard_e6", expr("(exact_inter * 1000000L) div exact_union"))
     }, Some(corpusOverlapSql(29, 256))),
 
+    QueryDef(
+      "d10_kmv_maintenance",
+      // the maintained DISTINCT sketch driven end-to-end through the
+      // gate (the t29 shape, k-minima edition): four disjoint document
+      // batches each build a per-language [[Sketch.kmvMinima]] token
+      // sketch and [[Sketch.kmvCombine]] folds them one at a time —
+      // one lazy plan, each input referenced once, no history rescan,
+      // every fold stage working on ≤ 2k rows per language. Because
+      // the KMV merge is a set union re-trimmed to the k smallest
+      // distinct hashes, the folded state must equal the whole-corpus
+      // build EXACTLY — so the oracle rebuilds the minima from scratch
+      // in one pass and the hash match proves fold ≡ whole (stronger
+      // than an estimate spot-check; q34 gates the estimator, st09 the
+      // streaming member). The state this query emits is the table a
+      // real ingest stores: [[Sketch.kmvEstimate]] reads per-language
+      // distinct-vocabulary counts off it and [[Sketch.kmvOverlap]]
+      // reads cross-corpus containment (the d09 question) — one
+      // maintained sketch, both answers, history never rescanned.
+      (s, d) => {
+        val k = 64
+        // ONE corpus pass (the t27 one-scan lesson): the tokenize +
+        // explode + distinct runs once and the cut materializes the
+        // (batch, lang, token) pairs — each batch sketch slices the
+        // materialized blocks, so the plan reads parquet once where
+        // the naive form rescanned the corpus per batch (and twice
+        // per batch through stratifiedCap's threshold pass). A real
+        // ingest sees each batch once, and so does this plan.
+        val pairs = Reliability.cut(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"),
+              explode(Text.tokens(lower(col("text")))).as("token"))
+            .select(pmod(col("doc_id"), lit(4)).as("batch"), col("lang"), col("token"))
+            .distinct())
+        def batchSketch(i: Int) = Sketch.kmvMinima(
+          pairs.filter(col("batch") === i).select("lang", "token"),
+          "token", "lang", seed = 31, k = k)
+        (1 to 3).foldLeft(batchSketch(0))(
+          (st, i) => Sketch.kmvCombine(st, batchSketch(i), "lang", k))
+      },
+      Some(s"""WITH toks AS (SELECT lang, unnest(${toksSql("lower(text)")}) AS token FROM documents),
+              |hs AS (SELECT DISTINCT lang,
+              |  ${Hashing.md5LongSql("concat('cap:', token)", 31)} AS h FROM toks),
+              |capped AS (SELECT * FROM hs
+              |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= 64)
+              |SELECT lang, h FROM capped""".stripMargin)
+    ),
+
     // ============== embedding aggregation (training-data ops) =============
     QueryDef(
       "s03_label_centroids",
@@ -2335,6 +2382,38 @@ object Queries {
              |c AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
              |SELECT window_start, CAST(phi_e6 AS BIGINT) AS phi_e6, n, TRUE AS rank_ok
              |FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]) AS phi_e6)""".stripMargin)
+    ),
+
+    QueryDef(
+      "st09_stream_distinct",
+      // per-hour distinct users via the mergeable KMV aggregate keyed
+      // by tumbling window ([[graft.streaming.EventStream
+      // .windowDistinctSketch]]) — the DISTINCT member of the windowed
+      // sketch family (st07 heavy hitters, st08 quantiles, this) and
+      // the streaming member of the distinct family (q22 HLL
+      // in-query, q34 KMV in-query, d10 stored fold). ONE (window,
+      // ≤ k longs) state row per hour regardless of user cardinality.
+      // The same aggregation runs as a real streaming query
+      // (spec-driven, state-store-backed); this batch execution is
+      // its oracle gate — and unlike st07/st08, as a FULL HASH MATCH:
+      // the KMV state is deterministic in the member set (no
+      // merge-order dependence), so the oracle recomputes the exact
+      // estimates from the same md5 minima instead of pinning
+      // contract booleans.
+      (s, d) => graft.streaming.EventStream.windowDistinctReport(
+        Tables.events(s, d), k = 16, seed = 23),
+      Some(s"""WITH pairs AS (SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, user_id
+              |  FROM events WHERE user_id IS NOT NULL),
+              |hs AS (SELECT DISTINCT window_start,
+              |  ${Hashing.md5LongSql("concat('cap:', CAST(user_id AS VARCHAR))", 23)} AS h FROM pairs),
+              |capped AS (SELECT * FROM hs
+              |  QUALIFY row_number() OVER (PARTITION BY window_start ORDER BY h) <= 16),
+              |sk AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS h_k
+              |  FROM capped GROUP BY 1)
+              |SELECT window_start, n_kept,
+              |CASE WHEN n_kept < 16 THEN n_kept
+              |ELSE CAST(floor(15 * 1152921504606846976.0 / h_k) AS BIGINT) END AS est_distinct
+              |FROM sk""".stripMargin)
     ),
 
     // ==================== SQL/temp-view layer (J4) ========================

@@ -145,6 +145,103 @@ object Sketch {
       .withColumn("contain_b_e6", expr("(inter_est * 1000000L) div greatest(d_b, 1L)"))
   }
 
+  /** Merge two [[kmvMinima]] tables — the maintenance fold of a
+    * distinct sketch: union the legs, dedupe hashes (a member present
+    * in both corpora is ONE member of the union — this dedup is what
+    * makes the fold a DISTINCT summary), keep the k smallest per
+    * group. Bounded by construction: each leg carries ≤ k rows per
+    * group, so the union, the distinct, and the rank window all work
+    * on ≤ 2k rows per group — never anything corpus-sized. The merge
+    * is idempotent, commutative, and associative on distinct-hash
+    * sets, so a fold over any batch partitioning of a corpus equals
+    * the whole-corpus [[kmvMinima]] build exactly (modulo cross-member
+    * hash collisions, which the KMV error model absorbs and 60-bit
+    * md5 never produces in practice) — the bit-for-bit property the
+    * d10 gate row pins, CMS-style, against a from-scratch oracle
+    * rebuild. */
+  def kmvCombine(a: DataFrame, b: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    requireMinima(a, groupCol, "kmvCombine left leg")
+    requireMinima(b, groupCol, "kmvCombine right leg")
+    import org.apache.spark.sql.expressions.Window
+    a.select(col(groupCol), col("h"))
+      .unionByName(b.select(col(groupCol), col("h")))
+      .distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(col("h").asc)))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Loud-failure guard (the [[qsCombine]] requireSummary convention):
+    * both fold legs must actually BE k-minima tables — group column
+    * present, `h` present and LONG — so a caller handing
+    * [[kmvCombine]] a raw (unsketched) DataFrame fails here with a
+    * named message instead of silently folding garbage hashes. */
+  private def requireMinima(df: DataFrame, groupCol: String, who: String): Unit = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(types.contains(groupCol), s"$who: missing group column '$groupCol'")
+    require(types.get("h").contains(org.apache.spark.sql.types.LongType),
+      s"$who: not a KMV minima table — 'h' missing or not LONG (build legs with kmvMinima)")
+  }
+
+  /** Fold one batch's k-minima into a STORED sketch table — the
+    * maintenance loop a real ingest runs ([[kmvCombine]] attached to
+    * [[IncrementalAgg.foldState]]'s atomic swap + applied-batch
+    * watermark, the [[qsFoldInto]] shape, distinct edition): sketch
+    * the batch, merge with the state read from `statePath`,
+    * materialize to a temp dir, rename in. `batchId` makes
+    * checkpointed replays a no-op. Returns the new state — ≤ k rows
+    * per group forever, each fold costing one batch k-minima pass +
+    * a bounded merge, history never rescanned. The state table is
+    * [[kmvMinima]]-shaped, so [[kmvEstimate]] reads distinct counts
+    * and [[kmvOverlap]] reads cross-corpus overlap off it directly.
+    * Streaming entry: [[graft.streaming.EventStream
+    * .distinctRollupSink]].
+    *
+    * Sketch-identity guard (the `.qs-params` convention): the first
+    * fold records (k, seed, group, elem) in a `.kmv-params` sidecar;
+    * later folds must match — two minima tables built with different
+    * seeds merge without an analysis error but estimate nothing. */
+  def kmvFoldInto(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      batch: DataFrame,
+      elemCol: String,
+      groupCol: String,
+      seed: Int,
+      k: Int,
+      batchId: Option[Long] = None): DataFrame = {
+    IncrementalAgg.guardStateIdentity(
+      spark, statePath, ".kmv-params",
+      s"k=$k;seed=$seed;group=$groupCol;elem=$elemCol", "kmvFoldInto")
+    IncrementalAgg.foldState(
+      spark, statePath,
+      kmvMinima(batch, elemCol, groupCol, seed, k),
+      (state, delta) => kmvCombine(state, delta, groupCol, k),
+      batchId)
+  }
+
+  /** Distinct-count estimates read off a [[kmvMinima]]-shaped table
+    * (a fresh build or a [[kmvFoldInto]] state): per group,
+    * `(groupCol, n_kept, est_distinct)` — exact below `k` (the
+    * sketch IS the member set there), else `⌊(k−1)·2⁶⁰ / h_k⌋` off
+    * the group's stored maximum (the q34 estimator). Runs entirely
+    * on the ≤ k-rows-per-group sketch. Deterministic, so emitted
+    * estimates hash-match an oracle that rebuilds the same minima. */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    requireMinima(sketch, groupCol, "kmvEstimate")
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+      .select(
+        col(groupCol),
+        col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_k) AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
   // ---- heavy-hitter (Misra–Gries) sketch maintenance ----------------------
 
   /** One batch's MG sketch as a (token, est) table — the

@@ -282,6 +282,47 @@ object EventStream {
         col("est"))
   }
 
+  /** Per-hour distinct-user sketch: the mergeable KMV aggregate
+    * ([[graft.functions.KmvSketch]]) keyed by tumbling window — the
+    * DISTINCT member of the windowed sketch family
+    * ([[windowHeavyHitterSketch]] counts dominant members,
+    * [[windowQuantileSketch]] ranks values, this one counts members).
+    * One (window, ≤ k longs) state row per hour regardless of user
+    * cardinality; in streaming the serialized minima set IS the
+    * state-store row, re-merged per micro-batch. Unlike its two
+    * siblings the state is DETERMINISTIC given the window's member
+    * set (no merge-order dependence), so the raw minima — and the
+    * estimate [[windowDistinctReport]] derives — cross the oracle
+    * gate as full hash matches, not contract booleans. The hash is
+    * the q34 recipe ([[graft.functions.Hashing.md5Long]] over
+    * `cap:<user_id>`), computed BEFORE the aggregate so the oracle
+    * can reproduce it. */
+  def windowDistinctSketch(events: DataFrame, k: Int, seed: Int): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.KmvSketchAgg.kmvSketch(
+        graft.functions.Hashing.md5Long(
+          concat(lit("cap:"), col("user_id").cast("string")), seed), k).as("mins"))
+      .select(col("window.start").as("window_start"), col("mins"))
+
+  /** Distinct-user estimate per hour read off
+    * [[windowDistinctSketch]] — `(window_start, n_kept,
+    * est_distinct)` in the q34 shape: exact below `k` (the sketch IS
+    * the member set there), else `⌊(k−1)·2⁶⁰ / h_k⌋` off the stored
+    * maximum. Deterministic end to end, so the st09 oracle row
+    * recomputes the identical values from scratch in DuckDB — the
+    * streaming-family member whose gate is a full hash match. */
+  def windowDistinctReport(events: DataFrame, k: Int, seed: Int): DataFrame =
+    windowDistinctSketch(events, k, seed)
+      .select(col("window_start"),
+        size(col("mins")).cast("long").as("n_kept"),
+        array_max(col("mins")).as("h_k"))
+      .select(col("window_start"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_k) AS BIGINT)"))
+          .as("est_distinct"))
+
   /** The q35 rank contract per window (batch; the st08 oracle row):
     * for each (window, φ), the estimate's exact rank interval
     * [#{x<est}+1, #{x≤est}] must intersect φ·n ± (n/accuracy + 1) —
@@ -382,13 +423,7 @@ object EventStream {
       salts: Int = 8,
       single: Boolean = false): StreamingQuery = {
     val spark = events.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val ckptPath = fs.makeQualified(new org.apache.hadoop.fs.Path(checkpointDir))
-    val ckptUri = ckptPath.toUri.toString
-    val identity = s"checkpoint=$ckptUri id=${checkpointQueryId(fs, ckptPath)}"
-    upgradeLegacyIdentity(fs, statePath, s"checkpoint=$ckptUri", identity)
-    graft.operators.IncrementalAgg.guardStateIdentity(
-      spark, statePath, ".stream-identity", identity, "quantileRollupSink")
+    guardStreamIdentity(spark, statePath, checkpointDir, "quantileRollupSink")
     events.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -409,6 +444,27 @@ object EventStream {
     * creation and reuses forever after), minted here first if the
     * checkpoint does not exist yet. Spark's `StreamMetadata.read`
     * adopts an existing file, so a pre-minted id IS the query's id. */
+  /** The state/checkpoint pairing guard shared by every stored-fold
+    * sink ([[quantileRollupSink]], [[distinctRollupSink]]): qualifies
+    * the checkpoint, builds the `checkpoint=<uri> id=<query-id>`
+    * identity, upgrades a legacy path-only sidecar in place, and
+    * hands the identity to [[graft.operators.IncrementalAgg
+    * .guardStateIdentity]] — see quantileRollupSink's scaladoc for
+    * the full hazard analysis the identity encodes. */
+  private def guardStreamIdentity(
+      spark: SparkSession,
+      statePath: String,
+      checkpointDir: String,
+      who: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val ckptPath = fs.makeQualified(new org.apache.hadoop.fs.Path(checkpointDir))
+    val ckptUri = ckptPath.toUri.toString
+    val identity = s"checkpoint=$ckptUri id=${checkpointQueryId(fs, ckptPath)}"
+    upgradeLegacyIdentity(fs, statePath, s"checkpoint=$ckptUri", identity)
+    graft.operators.IncrementalAgg.guardStateIdentity(
+      spark, statePath, ".stream-identity", identity, who)
+  }
+
   private[streaming] def checkpointQueryId(
       fs: org.apache.hadoop.fs.FileSystem,
       ckptPath: org.apache.hadoop.fs.Path): String = {
@@ -453,6 +509,50 @@ object EventStream {
         try out.write(identity.getBytes("UTF-8")) finally out.close()
       }
     }
+  }
+
+  /** Maintained STORED distinct-member state fed by a stream — the
+    * unbounded-history sibling of [[windowDistinctSketch]] (which
+    * keeps per-window state inside the state store) and the distinct
+    * edition of [[quantileRollupSink]]: every micro-batch folds its
+    * [[graft.operators.Sketch.kmvMinima]] into the parquet k-minima
+    * table at `statePath` via [[graft.operators.Sketch.kmvFoldInto]].
+    * Exactly-once from the same two layers (file-source checkpoint +
+    * the applied-batch watermark committed atomically with the
+    * state), under the same `.stream-identity` pairing guard — see
+    * [[quantileRollupSink]]'s scaladoc for the hazard analysis; both
+    * sinks share [[guardStreamIdentity]]. State stays ≤ k rows per
+    * group forever; each micro-batch costs one batch k-minima pass +
+    * a bounded merge, never a history rescan. Because the KMV merge
+    * is deterministic, the stored state after ANY crash/restart
+    * sequence is bit-identical to the clean batch fold of the same
+    * micro-batches (spec-gated: DistinctRollupSinkSpec), and the
+    * state table is directly consumable by
+    * [[graft.operators.Sketch.kmvOverlap]] — a maintained sketch
+    * serves both "how many distinct" and "how much of B is already
+    * in A" without touching history. */
+  def distinctRollupSink(
+      events: DataFrame,
+      statePath: String,
+      checkpointDir: String,
+      elemCol: String,
+      groupCol: String,
+      seed: Int,
+      k: Int): StreamingQuery = {
+    guardStreamIdentity(events.sparkSession, statePath, checkpointDir, "distinctRollupSink")
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Sketch.kmvFoldInto(
+            batch.sparkSession, statePath, batch,
+            elemCol, groupCol, seed, k, Some(batchId))
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 
   /** CDC upsert sink: maintain a keep-latest-per-key parquet table from

@@ -208,4 +208,77 @@ class SketchSpec extends SparkSpec {
     val inter = r.getAs[Long]("inter_est").toDouble
     assert(math.abs(inter - 2000) / 2000 < 0.35, s"intersection estimate $inter too far from 2000")
   }
+
+  test("kmvCombine: a fold over any batch split equals the whole-corpus build") {
+    // the d10 gate property, pinned across seeds and split shapes: the
+    // KMV merge is a set union re-trimmed to the k smallest distinct
+    // hashes, so fold ≡ whole bit-for-bit
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 300).map(i => (s"g${i % 3}", s"e${rnd.nextInt(120)}"))
+    val df = elems(rows: _*)
+    for (seed <- Seq(3, 17, 29); nBatches <- Seq(2, 4)) {
+      val whole = Sketch.kmvMinima(df, "gram", "corp", seed, k = 8)
+        .as[(String, Long)].collect().sorted.toSeq
+      val batches = (0 until nBatches).map(b =>
+        df.filter(abs(hash(col("gram"))) % nBatches === b))
+      val folded = batches.map(Sketch.kmvMinima(_, "gram", "corp", seed, k = 8))
+        .reduce((a, c) => Sketch.kmvCombine(a, c, "corp", 8))
+        .as[(String, Long)].collect().sorted.toSeq
+      assert(folded == whole, s"seed=$seed batches=$nBatches")
+    }
+  }
+
+  test("kmvCombine dedupes a member present in both legs (distinct, not count)") {
+    val a = Sketch.kmvMinima(elems(("A", "x"), ("A", "y")), "gram", "corp", 3, 8)
+    val merged = Sketch.kmvCombine(a, a, "corp", 8)
+    assert(merged.count() == 2, "self-merge must be idempotent")
+  }
+
+  test("kmvEstimate off kmvMinima equals Packing.kmvDistinct (same recipe, same digits)") {
+    val df = (1 to 200).map(i => (s"g${i % 2}", s"u${i % 90}")).toDF("grp", "id")
+    val viaState = Sketch.kmvEstimate(
+      Sketch.kmvMinima(df, "id", "grp", seed = 23, k = 16), "grp", 16)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val direct = Packing.kmvDistinct(df, "id", "grp", seed = 23, k = 16)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(viaState == direct && viaState.nonEmpty)
+  }
+
+  test("kmvCombine and kmvEstimate reject a raw (unsketched) DataFrame loudly") {
+    val sk = Sketch.kmvMinima(elems(("A", "x")), "gram", "corp", 3, 8)
+    val raw = elems(("A", "x"))
+    for ((bad, who) <- Seq(
+        (() => Sketch.kmvCombine(raw, sk, "corp", 8), "left leg"),
+        (() => Sketch.kmvCombine(sk, raw, "corp", 8), "right leg"),
+        (() => Sketch.kmvEstimate(raw, "corp", 8), "kmvEstimate"))) {
+      val e = intercept[IllegalArgumentException](bad())
+      assert(e.getMessage.contains("kmvMinima") && e.getMessage.contains(who.split(" ").head.take(4)),
+        s"$who: ${e.getMessage}")
+    }
+  }
+
+  test("kmvFoldInto: replay is a no-op and changed params fail loudly") {
+    val base = java.nio.file.Files.createTempDirectory("kmvfold").toString
+    val state = s"$base/state"
+    val b0 = elems((1 to 40).map(i => ("A", s"e$i")): _*)
+    val b1 = elems((20 to 60).map(i => ("A", s"e$i")): _*)
+    Sketch.kmvFoldInto(spark, state, b0, "gram", "corp", seed = 3, k = 8, batchId = Some(0L))
+    val after0 = spark.read.parquet(state).as[(String, Long)].collect().sorted.toSeq
+    // replayed batch id: the applied-batch watermark short-circuits
+    Sketch.kmvFoldInto(spark, state, b1, "gram", "corp", seed = 3, k = 8, batchId = Some(0L))
+    assert(spark.read.parquet(state).as[(String, Long)].collect().sorted.toSeq == after0)
+    // a real second batch folds, and equals the whole-corpus build
+    Sketch.kmvFoldInto(spark, state, b1, "gram", "corp", seed = 3, k = 8, batchId = Some(1L))
+    val whole = Sketch.kmvMinima(b0.unionByName(b1), "gram", "corp", 3, 8)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(spark.read.parquet(state).as[(String, Long)].collect().sorted.toSeq == whole)
+    // params recorded by the first fold are enforced forever after
+    for ((k, seed, grp, el) <- Seq((16, 3, "corp", "gram"), (8, 4, "corp", "gram"),
+        (8, 3, "gram", "gram"), (8, 3, "corp", "corp"))) {
+      val e = intercept[IllegalArgumentException] {
+        Sketch.kmvFoldInto(spark, state, b1, el, grp, seed, k, batchId = Some(2L))
+      }
+      assert(e.getMessage.contains("kmvFoldInto"), s"($k,$seed,$grp,$el): ${e.getMessage}")
+    }
+  }
 }

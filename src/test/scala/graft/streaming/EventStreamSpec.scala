@@ -114,6 +114,38 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("windowed KMV distinct sketch runs as a real stream and equals batch BIT-FOR-BIT") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
+    writeEvents(dir)
+    // complete mode: the serialized minima set is the state-store row,
+    // re-merged as micro-batches arrive (the st07/st08 mechanism,
+    // distinct edition). KMV is deterministic in the member set, so
+    // streamed == batch is exact array equality, not a contract bound —
+    // the property the st09 full-hash-match oracle row stands on.
+    val q = EventStream.runToMemory(
+      EventStream.windowDistinctSketch(EventStream.readEvents(spark, dir, schema), k = 4, seed = 5),
+      "wd", "complete")
+    q.awaitTermination(60000)
+    val streamed = spark.table("wd")
+      .as[(Timestamp, Seq[Long])].collect().toMap
+    val batch = EventStream.windowDistinctSketch(
+      spark.read.schema(schema).parquet(dir), k = 4, seed = 5)
+      .as[(Timestamp, Seq[Long])].collect().toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // k = 4 < 7 distinct users/window: the cap actually trims here
+    assert(streamed.values.forall(_.length == 4))
+    // and the derived report matches too (the st09 emission path)
+    val rStream = EventStream.windowDistinctReport(
+      EventStream.readEvents(spark, dir, schema), k = 4, seed = 5)
+    val qr = EventStream.runToMemory(rStream, "wdr", "complete")
+    qr.awaitTermination(60000)
+    val reportStreamed = spark.table("wdr").as[(Timestamp, Long, Long)].collect().sorted.toSeq
+    val reportBatch = EventStream.windowDistinctReport(
+      spark.read.schema(schema).parquet(dir), k = 4, seed = 5)
+      .as[(Timestamp, Long, Long)].collect().sorted.toSeq
+    assert(reportStreamed == reportBatch)
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("events").toString + "/in"
     writeEvents(dir)
