@@ -89,6 +89,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.FreqSketch].getName, "graft_freq_sketch"),
       (args: Seq[Expression]) =>
         graft.functions.FreqSketch(args(0), intArg(args(1), "graft_freq_sketch", 1))
+    ),
+    (
+      "graft_kmv_sketch",
+      new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "graft_kmv_sketch"),
+      (args: Seq[Expression]) =>
+        graft.functions.KmvSketch(args(0), intArg(args(1), "graft_kmv_sketch", 1))
     )
   )
 

@@ -56,6 +56,14 @@ class KmvSketchSpec extends SparkSpec {
     assert(out("g0") == Seq(2L, 4L, 6L) && out("g1") == Seq(1L, 3L, 5L))
   }
 
+  test("the SQL surface serves the same sketch: graft_kmv_sketch") {
+    graft.plans.GraftExtensions.install(spark)
+    Seq(9L, 2L, 9L, 5L, 2L).toDF("h").createOrReplaceTempView("kmv_in")
+    val out = spark.sql("SELECT graft_kmv_sketch(h, 2) AS m FROM kmv_in")
+      .select(explode(col("m")).as("v")).as[Long].collect().toSeq
+    assert(out == Seq(2L, 5L))
+  }
+
   test("k >= 2 is required") {
     val df = Seq(1L).toDF("h")
     val e = intercept[IllegalArgumentException] {
