@@ -295,6 +295,40 @@ object Sketch {
       .filter(col("est") > 0)
   }
 
+  /** Fold one batch's MG sketch into a STORED heavy-hitter table —
+    * [[mgSketch]] + [[mgCombine]] attached to [[IncrementalAgg
+    * .foldState]]'s atomic swap + applied-batch watermark (the
+    * [[qsFoldInto]] shape, heavy-hitter edition). The stored state
+    * stays ≤ capacity rows forever; each fold costs one batch sketch
+    * pass + a ≤ 2×capacity-row merge, history never rescanned, and
+    * the PODS'12 reduction preserves the whole-stream MG guarantee
+    * across the fold chain (estimates undershoot by ≤ n_total/
+    * (capacity+1); every token above that bound survives). Counter
+    * VALUES remain merge-order dependent (see [[graft.functions
+    * .FreqSketch]]) — read the state through the guarantee, never as
+    * exact counts. Streaming entry: [[graft.streaming.EventStream
+    * .heavyHitterRollupSink]].
+    *
+    * The `.mg-params` sidecar pins (capacity, token column): folding
+    * a sketch built with a different capacity would silently weaken
+    * the bound the state's readers assume. */
+  def mgFoldInto(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      batch: DataFrame,
+      tokenCol: String,
+      capacity: Int,
+      batchId: Option[Long] = None): DataFrame = {
+    IncrementalAgg.guardStateIdentity(
+      spark, statePath, ".mg-params",
+      s"capacity=$capacity;token=$tokenCol", "mgFoldInto")
+    IncrementalAgg.foldState(
+      spark, statePath,
+      mgSketch(batch, tokenCol, capacity),
+      (state, delta) => mgCombine(state, delta, capacity),
+      batchId)
+  }
+
   // ---- count-min sketch (point-frequency estimates) ------------------------
 
   /** Salt base for the CMS hash rows — row d hashes with salt
@@ -336,6 +370,40 @@ object Sketch {
     a.select(col("d"), col("bucket"), col("n"))
       .unionByName(b.select(col("d"), col("bucket"), col("n")))
       .groupBy("d", "bucket").agg(sum(col("n")).as("n"))
+
+  /** Fold one batch's CMS counter table into a STORED sketch —
+    * [[cmsSketch]] + [[cmsCombine]] attached to [[IncrementalAgg
+    * .foldState]] (the [[qsFoldInto]] shape, point-frequency
+    * edition). Counters are plain sums, so the folded state equals
+    * the whole-stream build BIT-FOR-BIT (the t29 gate property) and
+    * stays ≤ depth×width rows forever; each fold costs one linear
+    * batch scan + a bounded re-aggregation. Streaming entry:
+    * [[graft.streaming.EventStream.frequencyRollupSink]].
+    *
+    * The `.cms-params` sidecar pins (depth, width, token column) —
+    * THE guard [[cmsEstimate]]'s scaladoc asks the caller to carry:
+    * two counter tables with different widths merge without an
+    * analysis error (same 3-column shape) into a table that
+    * UNDERESTIMATES on probe, the one failure mode CMS promises
+    * never to produce. Here the mismatch fails loudly at fold time
+    * instead. */
+  def cmsFoldInto(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      batch: DataFrame,
+      tokenCol: String,
+      depth: Int,
+      width: Int,
+      batchId: Option[Long] = None): DataFrame = {
+    IncrementalAgg.guardStateIdentity(
+      spark, statePath, ".cms-params",
+      s"depth=$depth;width=$width;token=$tokenCol", "cmsFoldInto")
+    IncrementalAgg.foldState(
+      spark, statePath,
+      cmsSketch(batch, tokenCol, depth, width),
+      (state, delta) => cmsCombine(state, delta),
+      batchId)
+  }
 
   /** Point-frequency estimates for `probes(tokenCol)` against a
     * [[cmsSketch]] counter table: est = min over the depth rows of the

@@ -555,6 +555,68 @@ object EventStream {
       .start()
   }
 
+  /** Maintained STORED heavy-hitter state fed by a stream —
+    * [[graft.operators.Sketch.mgFoldInto]] driven from `foreachBatch`
+    * under the shared [[guardStreamIdentity]] pairing guard: the
+    * stored ≤ capacity-row counter table carries the whole-stream MG
+    * guarantee after any crash/restart sequence (the PODS'12
+    * reduction holds at every fold node; counter VALUES stay
+    * merge-order dependent, so readers go through the guarantee, the
+    * t24 contract form). Completes the streaming-sink row of the
+    * sketch matrix alongside [[quantileRollupSink]] and
+    * [[distinctRollupSink]]. */
+  def heavyHitterRollupSink(
+      events: DataFrame,
+      statePath: String,
+      checkpointDir: String,
+      tokenCol: String,
+      capacity: Int): StreamingQuery = {
+    guardStreamIdentity(events.sparkSession, statePath, checkpointDir, "heavyHitterRollupSink")
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Sketch.mgFoldInto(
+            batch.sparkSession, statePath, batch, tokenCol, capacity, Some(batchId))
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Maintained STORED point-frequency state fed by a stream —
+    * [[graft.operators.Sketch.cmsFoldInto]] driven from
+    * `foreachBatch` under the shared [[guardStreamIdentity]] pairing
+    * guard. CMS counters are plain sums, so the stored ≤ depth×width
+    * counter table after ANY crash/restart sequence is bit-identical
+    * to the whole-stream [[graft.operators.Sketch.cmsSketch]] build
+    * (spec-gated), and [[graft.operators.Sketch.cmsEstimate]] serves
+    * probes off it directly — the `.cms-params` sidecar carries the
+    * (depth, width) the estimator's contract needs. */
+  def frequencyRollupSink(
+      events: DataFrame,
+      statePath: String,
+      checkpointDir: String,
+      tokenCol: String,
+      depth: Int,
+      width: Int): StreamingQuery = {
+    guardStreamIdentity(events.sparkSession, statePath, checkpointDir, "frequencyRollupSink")
+    events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Sketch.cmsFoldInto(
+            batch.sparkSession, statePath, batch, tokenCol, depth, width, Some(batchId))
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** CDC upsert sink: maintain a keep-latest-per-key parquet table from
     * a stream via foreachBatch + the engine upsert (ST1/ST3/ST4). */
   def upsertSink(events: DataFrame, tablePath: String, checkpointDir: String): StreamingQuery =
