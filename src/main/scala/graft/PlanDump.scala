@@ -75,7 +75,8 @@ object PlanDump {
     "t29_cms_maintenance",   // 4-batch CMS counter fold == whole-stream build
     "t30_user_quantiles",    // single=false fold stays hash-partitioned: no single-partition exchange
     "st09_stream_distinct",  // windowed KMV: one bounded-blob agg per window, estimate read off the sketch
-    "d10_kmv_maintenance"    // 4-batch k-minima fold == whole-corpus build; every fold stage ≤ 2k rows/group
+    "d10_kmv_maintenance",   // 4-batch k-minima fold == whole-corpus build; every fold stage ≤ 2k rows/group
+    "s16_ivf_incremental"    // 4-batch posting fold == whole-corpus assignment; quantizer broadcast per batch, corpus cut once
   )
 
   def main(args: Array[String]): Unit = {

@@ -1260,6 +1260,45 @@ object Queries {
         .withColumn("rk", col("rk").cast("long"))
     }, Some(ivfIndexedSql(8, 2, 13, 5))),
 
+    QueryDef("s16_ivf_incremental", (s, d) => {
+      // the maintained ANN INDEX driven through the gate (the d10/t29
+      // shape, inverted-file edition): four disjoint embedding batches
+      // each assign against the FROZEN quantizer (one broadcast-argmax
+      // pass per batch — the corpus is never re-assigned, the index
+      // never rebuilt) and [[Similarity.ivfAppend]] folds the postings
+      // one at a time. Assignment is per-row independent, so the
+      // folded inverted file must equal the whole-corpus
+      // [[Similarity.prepareIvfIndexWith]] assignment EXACTLY — the
+      // oracle recomputes it from scratch and the hash match proves
+      // fold ≡ rebuild. The corpus is read ONCE (the cut), each batch
+      // slicing materialized blocks. The stored-state twin
+      // ([[Similarity.ivfFoldInto]]: atomic swap, replay idempotence,
+      // quantizer-digest drift guard) and serving equality off the
+      // folded state are SimilaritySpec-pinned; s08 gates the serve
+      // path itself.
+      val base = Reliability.cut(
+        Tables.embeddings(s, d).select(
+          col("vec_id"), col("embedding"), pmod(col("vec_id"), lit(4)).as("batch")))
+      val cents = base.filter(col("vec_id") < 8).select(
+        col("vec_id").as("cid"), col("embedding").as("cvec"),
+        graft.functions.VectorExpressions.normF(col("embedding")).as("cnrm"))
+      def assign(i: Int) = Similarity.prepareIvfIndexWith(
+        base.filter(col("batch") === i).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cents).assigned
+      (1 to 3).foldLeft(assign(0))((st, i) => Similarity.ivfAppend(st, assign(i)))
+        .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
+    }, Some {
+      val dot = Vectors.dotSql("b.vec", "c.cvec")
+      s"""WITH base AS (SELECT vec_id AS id, embedding AS vec,
+         |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |cents AS (SELECT id AS cid, vec AS cvec, nrm AS cnrm FROM base WHERE id < 8),
+         |scored AS (SELECT b.id, c.cid,
+         |  CASE WHEN b.nrm * c.cnrm = 0 THEN 0.0 ELSE $dot / (b.nrm * c.cnrm) END AS csim
+         |  FROM base b CROSS JOIN cents c),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid ASC) AS r FROM scored)
+         |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster FROM ranked WHERE r = 1""".stripMargin
+    }),
+
     // ============================ text analysis ===========================
     QueryDef(
       "t01_lang_id",

@@ -273,6 +273,76 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), round(col("cosine"), 5).as("cosine"), col("rk"))
   }
 
+  /** Merge one batch's inverted-file postings into an existing
+    * assigned table — the maintenance algebra of a served ANN index:
+    * keep-latest upsert on id (a re-ingested document's embedding may
+    * have changed, so its new posting REPLACES the old one — the
+    * engine upsert convention, postings edition). Deterministic, so a
+    * fold over any batch partitioning of a corpus equals the
+    * whole-corpus [[prepareIvfIndexWith]] assignment exactly (per-row
+    * independent argmax against the same frozen quantizer) — the s16
+    * gate property. Each fold touches the state once (one anti-join +
+    * union); at serving scale the anti-join's shuffle carries ids
+    * only, never vectors, when AQE plans the small batch side as the
+    * broadcast. */
+  def ivfAppend(state: DataFrame, delta: DataFrame): DataFrame =
+    state
+      .join(delta.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(delta)
+
+  /** Fold one embedding batch into a STORED inverted file — the
+    * index-maintenance loop a production ANN deployment runs
+    * ([[prepareIvfIndexWith]] on the batch + [[ivfAppend]] attached
+    * to [[IncrementalAgg.foldState]]'s atomic swap + applied-batch
+    * watermark): assign the batch against the FROZEN broadcast
+    * quantizer (one pass over the batch — the corpus is never
+    * re-assigned, the index never rebuilt), upsert the postings,
+    * swap. The stored state is exactly [[IvfIndex.assigned]]'s
+    * shape, so `IvfIndex(cents, <state>)` serves queries via
+    * [[ivfTopKIndexed]] directly after any number of folds.
+    *
+    * The `.ivf-params` sidecar pins a digest of the QUANTIZER
+    * (content, not identity: cid + vector bytes, order-independent)
+    * alongside the column names — the guard that matters here,
+    * because postings assigned against a drifted or retrained
+    * quantizer merge without any schema error into an index whose
+    * cells silently stop meaning the same thing (probes then miss
+    * exactly the candidates the new assignment would have put
+    * elsewhere). Retraining the quantizer legitimately requires a
+    * rebuild: delete the state dir and sidecars, re-fold. The digest
+    * collects the quantizer to the driver — bounded by contract: the
+    * quantizer is broadcast on every assignment pass anyway. */
+  def ivfFoldInto(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      batchId: Option[Long] = None): DataFrame = {
+    IncrementalAgg.guardStateIdentity(
+      spark, statePath, ".ivf-params",
+      s"quantizer=${centroidDigest(cents)};id=$idCol;vec=$vecCol", "ivfFoldInto")
+    IncrementalAgg.foldState(
+      spark, statePath,
+      prepareIvfIndexWith(batch, idCol, vecCol, cents).assigned,
+      (state, delta) => ivfAppend(state, delta),
+      batchId)
+  }
+
+  /** Content digest of a (cid, cvec, cnrm) quantizer table: sha-256
+    * over the cid-sorted (cid, vector values) rows, truncated to 16
+    * hex chars. Two quantizers digest equal iff they assign
+    * identically. */
+  private def centroidDigest(cents: DataFrame): String = {
+    val rows = cents.select(col("cid").cast("long"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).mkString(",")))
+      .sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { case (cid, v) => md.update(s"$cid:$v;".getBytes("UTF-8")) }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Shared IVF search core: assignment, probe selection, and cell
     * search against a given (cid, cvec, cnrm) quantizer. */
   private def ivfSearch(base: DataFrame, cents: DataFrame, nProbe: Int, nQueries: Int, k: Int): DataFrame = {

@@ -159,4 +159,93 @@ class SimilaritySpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(meta, 3)
     assert(frames.filter($"media_id" === 1L).count() == 4) // n_frames=12 → 0,3,6,9
   }
+
+  // ---- maintained inverted file (ivfAppend / ivfFoldInto) ----------------
+
+  private def bigEmb(n: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+  }
+
+  private def cents(of: org.apache.spark.sql.DataFrame, n: Int) =
+    of.filter($"vec_id" < n).select(
+      $"vec_id".as("cid"), $"embedding".as("cvec"),
+      graft.functions.VectorExpressions.normF($"embedding").as("cnrm"))
+
+  test("ivfAppend: a fold over any batch split equals the whole-corpus assignment") {
+    val all = bigEmb(60)
+    val q = cents(all, 4)
+    val whole = Similarity.prepareIvfIndexWith(all, "vec_id", "embedding", q).assigned
+      .select("id", "cluster").as[(Long, Long)].collect().sorted.toSeq
+    for (nBatches <- Seq(2, 5)) {
+      val folded = (0 until nBatches)
+        .map(b => Similarity.prepareIvfIndexWith(
+          all.filter($"vec_id" % nBatches === b), "vec_id", "embedding", q).assigned)
+        .reduce(Similarity.ivfAppend)
+        .select("id", "cluster").as[(Long, Long)].collect().sorted.toSeq
+      assert(folded == whole, s"nBatches=$nBatches")
+    }
+  }
+
+  test("ivfAppend: a re-ingested id's posting replaces the old one (keep-latest)") {
+    val all = bigEmb(20)
+    val q = cents(all, 4)
+    val v0 = Similarity.prepareIvfIndexWith(all, "vec_id", "embedding", q).assigned
+    // doc 7 re-ingested with a different embedding: its posting must
+    // carry the NEW vector (and whatever cell it now lands in)
+    val moved = Seq((7L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val v1 = Similarity.ivfAppend(
+      v0, Similarity.prepareIvfIndexWith(moved, "vec_id", "embedding", q).assigned)
+    assert(v1.count() == 20, "upsert, not append: id count unchanged")
+    val row = v1.filter($"id" === 7L).select("vec").as[Array[Float]].head()
+    assert(row.toSeq == Seq(0.0f, 0.0f, 0.0f, 1.0f))
+  }
+
+  test("ivfFoldInto: stored fold serves identically to a from-scratch index; replay is a no-op") {
+    val all = bigEmb(60)
+    val q = cents(all, 4)
+    val base = java.nio.file.Files.createTempDirectory("ivf").toString
+    val state = s"$base/state"
+    (0 until 3).foreach { b =>
+      Similarity.ivfFoldInto(spark, state,
+        all.filter($"vec_id" % 3 === b), "vec_id", "embedding", q, Some(b.toLong))
+    }
+    val before = spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq
+    // replayed batch id: the applied-batch watermark short-circuits
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" % 3 === 1), "vec_id", "embedding", q, Some(1L))
+    assert(spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq == before)
+    // serving equality: queries answered off the folded state match
+    // the from-scratch prepare bit-for-bit
+    val queries = all.filter($"vec_id" % 10 === 0)
+    val servedFolded = Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+      Similarity.IvfIndex(q, spark.read.parquet(state)), nProbe = 2, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val servedFresh = Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+      Similarity.prepareIvfIndexWith(all, "vec_id", "embedding", q), nProbe = 2, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(servedFolded == servedFresh && servedFolded.nonEmpty)
+  }
+
+  test("ivfFoldInto: a drifted or retrained quantizer fails loudly, not silently corrupts") {
+    val all = bigEmb(30)
+    val base = java.nio.file.Files.createTempDirectory("ivf").toString
+    val state = s"$base/state"
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" % 2 === 0), "vec_id", "embedding", cents(all, 4), Some(0L))
+    // same shape, different content: 5 centroids instead of 4 — the
+    // content digest, not the schema, is what the sidecar pins
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfFoldInto(spark, state,
+        all.filter($"vec_id" % 2 === 1), "vec_id", "embedding", cents(all, 5), Some(1L))
+    }
+    assert(e.getMessage.contains("ivfFoldInto"))
+    // the matching quantizer still folds
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" % 2 === 1), "vec_id", "embedding", cents(all, 4), Some(1L))
+    assert(spark.read.parquet(state).count() == 30)
+  }
 }
