@@ -88,17 +88,16 @@ object IncrementalAgg {
     * `_SUCCESS` is a crashed write-in-progress; it is left for the
     * next fold's Overwrite (the old state, if any, is still live).
     *
-    * Returns whether a temp dir was renamed into place — the identity
-    * guard needs to know, because recovery is only unambiguous when the
-    * swap was genuinely interrupted. A user who RESETS by deleting the
-    * state dir and sidecars (as the guard's error message instructs)
-    * but leaves a stale complete temp dir behind produces the same
-    * on-disk shape, and blindly adopting a new identity over the
-    * resurrected old state would be exactly the silent corruption the
-    * guard exists to prevent — see [[guardStateIdentity]]. */
+    * A stale complete temp dir left behind by a RESET (state dir +
+    * sidecars deleted) produces the same on-disk shape; identity-
+    * guarded callers refuse that shape BEFORE entering here — see
+    * [[guardStateIdentity]] — so this function recovers only swaps
+    * that were genuinely interrupted (unguarded callers like
+    * [[update]] have no identity to protect, so recovery is always
+    * the right call for them). */
   private def recoverInterruptedSwap(
       fs: org.apache.hadoop.fs.FileSystem,
-      statePath: String): Boolean = {
+      statePath: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(statePath)
     val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
     val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
@@ -107,8 +106,7 @@ object IncrementalAgg {
         throw new java.io.IOException(s"incremental-agg recovery: failed to delete empty $path")
       if (!fs.rename(tmp, path))
         throw new java.io.IOException(s"incremental-agg recovery: failed to rename $tmp -> $path")
-      true
-    } else false
+    }
   }
 
   private val TmpSuffix = ".tmp-incagg"
@@ -124,12 +122,17 @@ object IncrementalAgg {
     * pre-sidecar state is exactly the run where a configuration drift
     * is most likely and the guard has nothing to compare against.
     *
-    * Adoption is REFUSED when [[recoverInterruptedSwap]] just renamed
-    * a temp dir into place: live state appearing out of a temp dir at
-    * the same moment the sidecars say "fresh" means a stale complete
-    * temp survived a reset (delete state + sidecars) and was
-    * resurrected — adopting the new identity over it would silently
-    * bless the old, deliberately-deleted state. */
+    * Recovery is REFUSED — before the temp dir is touched, so the
+    * refusal is retry-safe — when the shape says "reset left a stale
+    * temp behind": a complete temp dir beside EMPTY state with NO
+    * sidecar. A genuinely interrupted swap always has the sidecar
+    * (it is written before any fold runs), so refusing the
+    * sidecar-less shape never blocks legitimate crash recovery.
+    * Refusing BEFORE the rename matters: if recovery ran first and
+    * the refusal threw after (the original r18 ordering), a
+    * supervisor retry would find live state, no temp, no sidecar —
+    * and the pre-sidecar adoption branch below would silently adopt
+    * the deliberately-deleted state the first attempt refused. */
   private[graft] def guardStateIdentity(
       spark: SparkSession,
       statePath: String,
@@ -137,10 +140,19 @@ object IncrementalAgg {
       identity: String,
       who: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    // a swap-window crash must not read as "fresh state"
-    val recovered = recoverInterruptedSwap(fs, statePath)
     val path = new org.apache.hadoop.fs.Path(statePath)
     val f = new org.apache.hadoop.fs.Path(statePath + suffix)
+    val tmpComplete = fs.exists(
+      new org.apache.hadoop.fs.Path(statePath + TmpSuffix + "/_SUCCESS"))
+    val stateEmpty = !(fs.exists(path) && fs.listStatus(path).nonEmpty)
+    require(!(tmpComplete && stateEmpty && !fs.exists(f)),
+      s"$who: $statePath$TmpSuffix holds a complete state but no $suffix sidecar claims " +
+        s"it and $statePath is empty — this looks like a reset (state dir + sidecars " +
+        s"deleted) that left a stale complete temp dir behind, and recovering it under " +
+        s"the new identity [$identity] would silently resurrect the old, deliberately-" +
+        s"deleted state. Delete $statePath$TmpSuffix (and $statePath) to really start fresh.")
+    // a swap-window crash must not read as "fresh state"
+    recoverInterruptedSwap(fs, statePath)
     val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
     if (stateLive && fs.exists(f)) {
       val in = fs.open(f)
@@ -151,12 +163,6 @@ object IncrementalAgg {
           s"its sidecars, AND any leftover $statePath$TmpSuffix dir to start fresh, or " +
           "restore the matching configuration.")
     } else {
-      require(!recovered,
-        s"$who: swap recovery just restored $statePath from $statePath$TmpSuffix, but no " +
-          s"$suffix sidecar claims it — this looks like a reset (state dir + sidecars " +
-          s"deleted) that left a stale complete temp dir behind, and adopting [$identity] " +
-          s"over the resurrected state would silently corrupt it. Delete $statePath and " +
-          s"$statePath$TmpSuffix to really start fresh.")
       if (stateLive)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"$who: adopting identity [$identity] over live pre-sidecar state at $statePath — " +

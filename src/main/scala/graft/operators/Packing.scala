@@ -256,8 +256,6 @@ object Packing {
       .select(
         col(groupCol),
         col("n_kept"),
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_k) AS BIGINT)"))
-          .as("est_distinct"))
+        Sketch.kmvEstExpr(k, "n_kept", "h_k").as("est_distinct"))
   }
 }

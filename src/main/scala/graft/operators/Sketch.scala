@@ -102,9 +102,7 @@ object Sketch {
     val perCorpus = sk.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_c"), max(col("h")).as("h_c"))
       .select(col(groupCol),
-        when(col("n_c") < k, col("n_c"))
-          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_c) AS BIGINT)"))
-          .as("d_c"))
+        kmvEstExpr(k, "n_c", "h_c").as("d_c"))
     // fail loudly on a typo'd/empty group: the crossJoins below would
     // otherwise silently produce ZERO rows instead of an estimate. The
     // check collects at most two rows of the (groups-sized, already-cut)
@@ -136,14 +134,28 @@ object Sketch {
         col("n_k"),
         col("matches"),
         expr("matches * 1000000L div n_k").as("jaccard_e6"),
-        when(col("n_k") < k, col("n_k"))
-          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_k) AS BIGINT)"))
-          .as("d_union"))
+        kmvEstExpr(k, "n_k", "h_k").as("d_union"))
       .withColumn("inter_est", expr("(matches * d_union) div n_k"))
       .crossJoin(da).crossJoin(db)
       .withColumn("contain_a_e6", expr("(inter_est * 1000000L) div greatest(d_a, 1L)"))
       .withColumn("contain_b_e6", expr("(inter_est * 1000000L) div greatest(d_b, 1L)"))
   }
+
+  /** THE KMV estimator column — the one expression every distinct
+    * read-off shares (kmvEstimate, kmvOverlap's per-corpus and union
+    * estimates, Packing.kmvDistinct, EventStream
+    * .windowDistinctReport): exact count below `k` (the sketch IS the
+    * member set there), else `⌊(k−1)·2⁶⁰ / h_k⌋` off the group's
+    * stored maximum. The arithmetic is DECIMAL on purpose — the SQL
+    * literal `1152921504606846976.0` parses as decimal in Spark AND
+    * DuckDB, and every oracle carries the character-identical
+    * expression — so all call sites MUST go through this helper: a
+    * drift in one copy (a double literal, a changed factor) silently
+    * breaks the hash-match contract the others gate. `nKept`/`hk`
+    * are column names resolved in the caller's frame. */
+  private[graft] def kmvEstExpr(k: Int, nKept: String, hk: String): org.apache.spark.sql.Column =
+    when(col(nKept) < k, col(nKept))
+      .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / $hk) AS BIGINT)"))
 
   /** Merge two [[kmvMinima]] tables — the maintenance fold of a
     * distinct sketch: union the legs, dedupe hashes (a member present
@@ -237,9 +249,7 @@ object Sketch {
       .select(
         col(groupCol),
         col("n_kept"),
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_k) AS BIGINT)"))
-          .as("est_distinct"))
+        kmvEstExpr(k, "n_kept", "h_k").as("est_distinct"))
   }
 
   // ---- heavy-hitter (Misra–Gries) sketch maintenance ----------------------

@@ -319,9 +319,7 @@ object EventStream {
         size(col("mins")).cast("long").as("n_kept"),
         array_max(col("mins")).as("h_k"))
       .select(col("window_start"), col("n_kept"),
-        when(col("n_kept") < k, col("n_kept"))
-          .otherwise(expr(s"CAST(floor(${k - 1} * 1152921504606846976.0 / h_k) AS BIGINT)"))
-          .as("est_distinct"))
+        graft.operators.Sketch.kmvEstExpr(k, "n_kept", "h_k").as("est_distinct"))
 
   /** The q35 rank contract per window (batch; the st08 oracle row):
     * for each (window, φ), the estimate's exact rank interval
@@ -439,13 +437,9 @@ object EventStream {
       .start()
   }
 
-  /** The unique query id of the checkpoint at `ckptPath` — read from
-    * `<ckpt>/metadata` (the one-line JSON Spark writes at checkpoint
-    * creation and reuses forever after), minted here first if the
-    * checkpoint does not exist yet. Spark's `StreamMetadata.read`
-    * adopts an existing file, so a pre-minted id IS the query's id. */
   /** The state/checkpoint pairing guard shared by every stored-fold
-    * sink ([[quantileRollupSink]], [[distinctRollupSink]]): qualifies
+    * sink ([[quantileRollupSink]], [[distinctRollupSink]],
+    * [[heavyHitterRollupSink]], [[frequencyRollupSink]]): qualifies
     * the checkpoint, builds the `checkpoint=<uri> id=<query-id>`
     * identity, upgrades a legacy path-only sidecar in place, and
     * hands the identity to [[graft.operators.IncrementalAgg
@@ -459,12 +453,53 @@ object EventStream {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val ckptPath = fs.makeQualified(new org.apache.hadoop.fs.Path(checkpointDir))
     val ckptUri = ckptPath.toUri.toString
-    val identity = s"checkpoint=$ckptUri id=${checkpointQueryId(fs, ckptPath)}"
-    upgradeLegacyIdentity(fs, statePath, s"checkpoint=$ckptUri", identity)
+    val legacy = s"checkpoint=$ckptUri"
+    val sidecar = new org.apache.hadoop.fs.Path(statePath + ".stream-identity")
+    val stored =
+      if (fs.exists(sidecar)) {
+        val in = fs.open(sidecar)
+        Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
+      } else None
+    // Legacy-sidecar upgrade gate, checked BEFORE checkpointQueryId
+    // may mint a metadata file (refuse-before-mint keeps the refusal
+    // retry-safe — minting first would hand the retry a "pre-existing"
+    // id this same guard created): a legacy path-only sidecar was
+    // necessarily written by a running query, so its checkpoint had
+    // metadata; an absent file means the checkpoint was deleted and
+    // recreated at the same path — batch ids restart at 0 and the
+    // stored applied-batch watermark would silently skip every
+    // micro-batch as a replay. That recreation IS detectable at
+    // upgrade time (the r19 review fix: the original upgrade blessed
+    // it with only a warning).
+    require(!(stored.contains(legacy) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(ckptPath, "metadata"))),
+      s"$who: the sidecar at $sidecar is the legacy path-only identity for this " +
+        "checkpoint, but the checkpoint has no metadata — it was deleted and recreated " +
+        "at the same path, so batch ids restart at 0 and the stored applied-batch " +
+        "watermark would silently skip every micro-batch as a replay. Delete the state " +
+        "dir and its sidecars to rebuild, or restore the original checkpoint.")
+    val identity = s"$legacy id=${checkpointQueryId(fs, ckptPath)}"
+    if (stored.contains(legacy)) {
+      // one-time migration to the id-bearing form: path matching is
+      // all the old contract promised. Warn, because a same-path
+      // recreation EARLIER in the legacy window is undetectable.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$who: upgrading legacy path-only stream identity for $statePath " +
+          s"to [$identity]; if the checkpoint dir was ever deleted and recreated at this " +
+          "path before the upgrade, the stored applied-batch watermark may not match its " +
+          "batch numbering — verify the state against a batch recompute if in doubt.")
+      val out = fs.create(sidecar, true)
+      try out.write(identity.getBytes("UTF-8")) finally out.close()
+    }
     graft.operators.IncrementalAgg.guardStateIdentity(
       spark, statePath, ".stream-identity", identity, who)
   }
 
+  /** The unique query id of the checkpoint at `ckptPath` — read from
+    * `<ckpt>/metadata` (the one-line JSON Spark writes at checkpoint
+    * creation and reuses forever after), minted here first if the
+    * checkpoint does not exist yet. Spark's `StreamMetadata.read`
+    * adopts an existing file, so a pre-minted id IS the query's id. */
   private[streaming] def checkpointQueryId(
       fs: org.apache.hadoop.fs.FileSystem,
       ckptPath: org.apache.hadoop.fs.Path): String = {
@@ -481,33 +516,6 @@ object EventStream {
       val out = fs.create(metaFile, false) // no overwrite: never clobber a live checkpoint
       try out.write(s"""{"id":"$id"}""".getBytes("UTF-8")) finally out.close()
       id
-    }
-  }
-
-  /** One-time sidecar migration: a state written before the query id
-    * joined the identity carries `checkpoint=<uri>` only. If that
-    * exact legacy string is stored for the SAME checkpoint uri, rewrite
-    * it to the id-bearing form so the guard passes — the path matching
-    * is all the old contract ever promised. Warn, because a same-path
-    * checkpoint recreation during the legacy window is undetectable. */
-  private def upgradeLegacyIdentity(
-      fs: org.apache.hadoop.fs.FileSystem,
-      statePath: String,
-      legacy: String,
-      identity: String): Unit = {
-    val f = new org.apache.hadoop.fs.Path(statePath + ".stream-identity")
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      val stored = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      if (stored == legacy && stored != identity) {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"quantileRollupSink: upgrading legacy path-only stream identity for $statePath " +
-            s"to [$identity]; if the checkpoint dir was ever deleted and recreated at this " +
-            "path before the upgrade, the stored applied-batch watermark may not match its " +
-            "batch numbering — verify the state against a batch recompute if in doubt.")
-        val out = fs.create(f, true)
-        try out.write(identity.getBytes("UTF-8")) finally out.close()
-      }
     }
   }
 

@@ -144,10 +144,19 @@ class IncrementalAggSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=B", "spec")
     }
-    assert(e.getMessage.contains(".tmp-incagg") && e.getMessage.contains("resurrected"))
-    // the refusal's own recovery already renamed the tmp into place; the
-    // instructed full reset (state dir + tmp) then really starts fresh
-    fs.delete(p, true); fs.delete(tmp, true)
+    assert(e.getMessage.contains(".tmp-incagg") && e.getMessage.contains("resurrect"))
+    // the refusal fires BEFORE recovery touches the temp dir, so it is
+    // RETRY-SAFE: a supervisor re-running the job hits the same loud
+    // failure instead of finding recovered state that the pre-sidecar
+    // adoption branch would then silently bless (the r19 review fix —
+    // under the old order a single retry defeated the guard)
+    assert(!fs.exists(p), "refusal must not resurrect the state dir")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=B", "spec")
+    }
+    assert(e2.getMessage.contains(".tmp-incagg"))
+    // the instructed full reset (tmp dir) then really starts fresh
+    fs.delete(tmp, true)
     IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=B", "spec")
     IncrementalAgg.update(spark, dir, batch(31, 100), spec, batchId = Some(0L))
   }

@@ -173,6 +173,36 @@ class QuantileRollupSinkSpec extends SparkSpec {
     assert(stored.contains(s"checkpoint=$uri"))
   }
 
+  test("a legacy sidecar with a RECREATED checkpoint refuses loudly, before minting an id") {
+    // a legacy state was necessarily built by a running query, so its
+    // checkpoint had metadata; metadata absent at upgrade time means
+    // the checkpoint was deleted and recreated — detectable, so the
+    // upgrade must refuse, and must refuse BEFORE checkpointQueryId
+    // mints a fresh metadata file (else a retry would find the id
+    // "pre-existing" and upgrade right past the hazard)
+    val base = java.nio.file.Files.createTempDirectory("qsink").toString
+    val in = s"$base/in"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    land(in, "b0.parquet", System.currentTimeMillis() - 60000,
+      (0 until 30).map(i => ("t0", i.toDouble)))
+    def sink() = EventStream.quantileRollupSink(
+      EventStream.readEvents(spark, in, schema), state, ckpt,
+      "value", "event_type", k = 8, seed = 7, salts = 2)
+    sink().awaitTermination(60000)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val uri = fs.makeQualified(new org.apache.hadoop.fs.Path(ckpt)).toUri.toString
+    val sidecar = new org.apache.hadoop.fs.Path(state + ".stream-identity")
+    val out = fs.create(sidecar, true)
+    try out.write(s"checkpoint=$uri".getBytes("UTF-8")) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true) // the recreation hazard
+    val e = intercept[IllegalArgumentException] { sink() }
+    assert(e.getMessage.contains("legacy") && e.getMessage.contains("metadata"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ckpt/metadata")),
+      "refusal must not mint a metadata file — the retry needs the same evidence")
+    val e2 = intercept[IllegalArgumentException] { sink() } // retry-safe
+    assert(e2.getMessage.contains("legacy"))
+  }
+
   test("changing sketch parameters between folds fails loudly") {
     val base = java.nio.file.Files.createTempDirectory("qsink").toString
     val state = s"$base/state"
