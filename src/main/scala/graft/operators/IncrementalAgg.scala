@@ -124,15 +124,33 @@ object IncrementalAgg {
     *
     * Recovery is REFUSED — before the temp dir is touched, so the
     * refusal is retry-safe — when the shape says "reset left a stale
-    * temp behind": a complete temp dir beside EMPTY state with NO
-    * sidecar. A genuinely interrupted swap always has the sidecar
-    * (it is written before any fold runs), so refusing the
-    * sidecar-less shape never blocks legitimate crash recovery.
-    * Refusing BEFORE the rename matters: if recovery ran first and
-    * the refusal threw after (the original r18 ordering), a
-    * supervisor retry would find live state, no temp, no sidecar —
-    * and the pre-sidecar adoption branch below would silently adopt
-    * the deliberately-deleted state the first attempt refused. */
+    * temp behind": a complete temp dir beside EMPTY state with no
+    * sidecar of ANY suffix surviving. The reset the mismatch message
+    * instructs deletes the state dir and every sidecar, so a
+    * surviving sidecar — even one written under a different guard's
+    * suffix, as when a stream sink first contacts a state a batch
+    * fold built — means no reset happened and recovery is safe; a
+    * guarded state always has at least its own sidecar from before
+    * its first fold. Refusing BEFORE the rename matters: if recovery
+    * ran first and the refusal threw after (the original r18
+    * ordering), a supervisor retry would find live state, no temp,
+    * no sidecar — and the pre-sidecar adoption branch below would
+    * silently adopt the deliberately-deleted state the first attempt
+    * refused. The refusal message offers the rename escape hatch for
+    * the one ambiguous shape (a never-guarded state's interrupted
+    * swap) so following instructions never destroys the only copy. */
+  /** The trimmed content of a small sidecar file, or None if absent —
+    * the one read idiom every identity guard shares. */
+  private[graft] def readSidecar(
+      fs: org.apache.hadoop.fs.FileSystem,
+      filePath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(filePath)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
+    } else None
+  }
+
   private[graft] def guardStateIdentity(
       spark: SparkSession,
       statePath: String,
@@ -145,18 +163,27 @@ object IncrementalAgg {
     val tmpComplete = fs.exists(
       new org.apache.hadoop.fs.Path(statePath + TmpSuffix + "/_SUCCESS"))
     val stateEmpty = !(fs.exists(path) && fs.listStatus(path).nonEmpty)
-    require(!(tmpComplete && stateEmpty && !fs.exists(f)),
-      s"$who: $statePath$TmpSuffix holds a complete state but no $suffix sidecar claims " +
-        s"it and $statePath is empty — this looks like a reset (state dir + sidecars " +
-        s"deleted) that left a stale complete temp dir behind, and recovering it under " +
-        s"the new identity [$identity] would silently resurrect the old, deliberately-" +
-        s"deleted state. Delete $statePath$TmpSuffix (and $statePath) to really start fresh.")
+    def anySidecar: Boolean = {
+      val parent = path.getParent
+      val tmpName = path.getName + TmpSuffix
+      parent != null && fs.exists(parent) && fs.listStatus(parent).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith(path.getName + ".") && n != tmpName
+      }
+    }
+    require(!(tmpComplete && stateEmpty && !anySidecar),
+      s"$who: $statePath$TmpSuffix holds a complete state but no sidecar of any kind " +
+        s"claims it and $statePath is empty — this looks like a reset (state dir + " +
+        s"sidecars deleted) that left a stale complete temp dir behind, and recovering " +
+        s"it under the new identity [$identity] would silently resurrect the old, " +
+        s"deliberately-deleted state. Delete $statePath$TmpSuffix to really start " +
+        s"fresh — or, if this temp dir is a crash-interrupted swap of a never-guarded " +
+        s"state you need back, rename it to $statePath yourself and re-run.")
     // a swap-window crash must not read as "fresh state"
     recoverInterruptedSwap(fs, statePath)
     val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
     if (stateLive && fs.exists(f)) {
-      val in = fs.open(f)
-      val stored = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      val stored = readSidecar(fs, statePath + suffix).getOrElse("")
       require(stored == identity,
         s"$who: stored state at $statePath was built with [$stored] but this run uses " +
           s"[$identity] — folding would silently corrupt the state. Delete the state dir, " +
