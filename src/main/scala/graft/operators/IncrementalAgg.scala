@@ -111,6 +111,18 @@ object IncrementalAgg {
 
   private val TmpSuffix = ".tmp-incagg"
 
+  /** The trimmed content of a small sidecar file, or None if absent —
+    * the one read idiom every identity guard shares. */
+  private[graft] def readSidecar(
+      fs: org.apache.hadoop.fs.FileSystem,
+      filePath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(filePath)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
+    } else None
+  }
+
   /** Sidecar identity guard (the qsFoldInto/quantileRollupSink misuse
     * gates): a small text file NEXT to the state dir (inside it would
     * not survive the swap) records how the state was built; a later
@@ -131,7 +143,12 @@ object IncrementalAgg {
     * suffix, as when a stream sink first contacts a state a batch
     * fold built — means no reset happened and recovery is safe; a
     * guarded state always has at least its own sidecar from before
-    * its first fold. Refusing BEFORE the rename matters: if recovery
+    * its first fold. Sidecars are plain FILES, so only dotted sibling
+    * files count as survivors: a colocated dotted DIRECTORY (a
+    * `<state>.ckpt` checkpoint, a `<state>.bak` copy, a fold's own
+    * temp dir) is not a sidecar and must not suppress the refusal —
+    * counting one would let a reset's stale temp resurrect under it.
+    * Refusing BEFORE the rename matters: if recovery
     * ran first and the refusal threw after (the original r18
     * ordering), a supervisor retry would find live state, no temp,
     * no sidecar — and the pre-sidecar adoption branch below would
@@ -139,18 +156,6 @@ object IncrementalAgg {
     * refused. The refusal message offers the rename escape hatch for
     * the one ambiguous shape (a never-guarded state's interrupted
     * swap) so following instructions never destroys the only copy. */
-  /** The trimmed content of a small sidecar file, or None if absent —
-    * the one read idiom every identity guard shares. */
-  private[graft] def readSidecar(
-      fs: org.apache.hadoop.fs.FileSystem,
-      filePath: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(filePath)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
-    } else None
-  }
-
   private[graft] def guardStateIdentity(
       spark: SparkSession,
       statePath: String,
@@ -165,10 +170,10 @@ object IncrementalAgg {
     val stateEmpty = !(fs.exists(path) && fs.listStatus(path).nonEmpty)
     def anySidecar: Boolean = {
       val parent = path.getParent
-      val tmpName = path.getName + TmpSuffix
+      // files only: dotted sibling DIRECTORIES (checkpoints, backups,
+      // temp dirs) are not sidecars — see the scaladoc hazard note
       parent != null && fs.exists(parent) && fs.listStatus(parent).exists { st =>
-        val n = st.getPath.getName
-        n.startsWith(path.getName + ".") && n != tmpName
+        st.isFile && st.getPath.getName.startsWith(path.getName + ".")
       }
     }
     require(!(tmpComplete && stateEmpty && !anySidecar),

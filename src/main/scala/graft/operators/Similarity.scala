@@ -333,15 +333,27 @@ object Similarity {
   /** Content digest of a (cid, cvec, cnrm) quantizer table: sha-256
     * over the cid-sorted (cid, vector values) rows, truncated to 16
     * hex chars. Two quantizers digest equal iff they assign
-    * identically. */
-  private def centroidDigest(cents: DataFrame): String = {
-    val rows = cents.select(col("cid").cast("long"), col("cvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).mkString(",")))
-      .sortBy(_._1)
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    rows.foreach { case (cid, v) => md.update(s"$cid:$v;".getBytes("UTF-8")) }
-    md.digest().map("%02x".format(_)).mkString.take(16)
-  }
+    * identically. The element type is normalized to double BEFORE
+    * formatting — an array<double> quantizer would otherwise collect
+    * under erasure without error yet format differently than its
+    * float twin, digesting two identical quantizers unequal. Digests
+    * are memoized per quantizer DataFrame instance (weakly, so the
+    * cache never outlives the plan), because a fold loop re-presents
+    * the same quantizer object on every batch and the collect —
+    * bounded but a driver round trip — is pure given the instance. */
+  private val digestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, String]())
+
+  private[operators] def centroidDigest(cents: DataFrame): String =
+    digestCache.computeIfAbsent(cents, c => {
+      val rows = c.select(col("cid").cast("long"), col("cvec").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).mkString(",")))
+        .sortBy(_._1)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.foreach { case (cid, v) => md.update(s"$cid:$v;".getBytes("UTF-8")) }
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    })
 
   /** Shared IVF search core: assignment, probe selection, and cell
     * search against a given (cid, cvec, cnrm) quantizer. */

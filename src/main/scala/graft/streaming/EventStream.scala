@@ -426,12 +426,12 @@ object EventStream {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.Sketch.qsFoldInto(
-            batch.sparkSession, statePath, batch,
-            valueCol, groupCol, k, seed, salts, single, Some(batchId))
-          ()
-        }
+        // no emptiness probe: that's a full extra job per micro-batch;
+        // an empty delta folds to the identity on state VALUES anyway
+        graft.operators.Sketch.qsFoldInto(
+          batch.sparkSession, statePath, batch,
+          valueCol, groupCol, k, seed, salts, single, Some(batchId))
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -455,11 +455,26 @@ object EventStream {
     val ckptUri = ckptPath.toUri.toString
     val legacy = s"checkpoint=$ckptUri"
     val sidecar = new org.apache.hadoop.fs.Path(statePath + ".stream-identity")
-    val stored =
-      if (fs.exists(sidecar)) {
-        val in = fs.open(sidecar)
-        Some(try scala.io.Source.fromInputStream(in).mkString.trim finally in.close())
-      } else None
+    val stored = graft.operators.IncrementalAgg.readSidecar(fs, statePath + ".stream-identity")
+    // The pair-mismatch hazard is symmetric: a FRESH state (no sidecar)
+    // against a checkpoint that already COMMITTED batches would adopt
+    // silently — and stay permanently missing every micro-batch those
+    // commits cover (the source never re-reads committed offsets). The
+    // sidecar is written before .start() on the first guarded run, and
+    // commits only appear after batches run, so this shape can only
+    // mean the state (or its sidecars) was deleted out from under a
+    // live checkpoint. Commits — not metadata — are the signal: a
+    // first start that crashed after minting metadata but before the
+    // sidecar write committed nothing, and must be free to retry.
+    val commitsDir = new org.apache.hadoop.fs.Path(ckptPath, "commits")
+    require(!(stored.isEmpty && fs.exists(commitsDir) &&
+        fs.listStatus(commitsDir).exists(st => !st.getPath.getName.startsWith("."))),
+      s"$who: no .stream-identity sidecar claims the state at $statePath, but the " +
+        s"checkpoint at $ckptUri has already committed batches — pairing a fresh state " +
+        "with a spent checkpoint would silently lose every micro-batch those commits " +
+        "cover (committed offsets are never re-read). Delete the checkpoint dir too to " +
+        "rebuild from the source, or restore the state and sidecars this checkpoint " +
+        "was paired with.")
     // Legacy-sidecar upgrade gate, checked BEFORE checkpointQueryId
     // may mint a metadata file (refuse-before-mint keeps the refusal
     // retry-safe — minting first would hand the retry a "pre-existing"
@@ -552,12 +567,10 @@ object EventStream {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.Sketch.kmvFoldInto(
-            batch.sparkSession, statePath, batch,
-            elemCol, groupCol, seed, k, Some(batchId))
-          ()
-        }
+        graft.operators.Sketch.kmvFoldInto(
+          batch.sparkSession, statePath, batch,
+          elemCol, groupCol, seed, k, Some(batchId))
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -584,11 +597,9 @@ object EventStream {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.Sketch.mgFoldInto(
-            batch.sparkSession, statePath, batch, tokenCol, capacity, Some(batchId))
-          ()
-        }
+        graft.operators.Sketch.mgFoldInto(
+          batch.sparkSession, statePath, batch, tokenCol, capacity, Some(batchId))
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -615,11 +626,9 @@ object EventStream {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.Sketch.cmsFoldInto(
-            batch.sparkSession, statePath, batch, tokenCol, depth, width, Some(batchId))
-          ()
-        }
+        graft.operators.Sketch.cmsFoldInto(
+          batch.sparkSession, statePath, batch, tokenCol, depth, width, Some(batchId))
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -161,6 +161,32 @@ class IncrementalAggSpec extends SparkSpec {
     IncrementalAgg.update(spark, dir, batch(31, 100), spec, batchId = Some(0L))
   }
 
+  test("a dotted sibling DIRECTORY does not suppress the reset refusal") {
+    // a colocated non-sidecar artifact — a checkpoint dir at
+    // <state>.ckpt, a <state>.bak copy — is a DIRECTORY; only sidecar
+    // FILES count as "the reset never happened", else the stale tmp
+    // resurrects under exactly the cover the r19 review flagged
+    val base = java.nio.file.Files.createTempDirectory("incagg").toString
+    val dir = s"$base/state"
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=A", "spec")
+    IncrementalAgg.update(spark, dir, batch(33, 200), spec, batchId = Some(0L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(dir + ".tmp-incagg")))
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".test-id"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".ckpt")) // the decoy
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=B", "spec")
+    }
+    assert(e.getMessage.contains("resurrect"))
+    // a surviving sidecar FILE (another guard's suffix) still means no
+    // reset happened, and recovery remains the right call
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir + ".other-id"), true)
+    try out.write("x".getBytes("UTF-8")) finally out.close()
+    IncrementalAgg.guardStateIdentity(spark, dir, ".test-id", "cfg=A", "spec")
+    assert(fs.exists(p), "recovery should complete under a surviving sidecar file")
+  }
+
   test("guardStateIdentity adopts over live pre-sidecar legacy state, then enforces") {
     // a state built before the guard existed has no sidecar: first
     // guarded contact adopts (with a logged warning — unverifiable

@@ -103,6 +103,34 @@ class SketchRollupSinksSpec extends SparkSpec {
       "event_type", depth = 3, width = 16, batchId = Some(1L)) // matching params still fold
   }
 
+  test("fresh state against a checkpoint that already committed batches is refused") {
+    // the symmetric pairing hazard: deleting the STATE (and sidecars)
+    // but keeping the checkpoint would adopt silently and permanently
+    // miss every committed micro-batch — committed offsets are never
+    // re-read. Detectable at start: commits exist, no sidecar claims
+    // the state.
+    val base = java.nio.file.Files.createTempDirectory("fsink").toString
+    val in = s"$base/in"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    land(in, "b0.parquet", System.currentTimeMillis() - 60000, Seq.fill(12)("a"))
+    def sink() = EventStream.frequencyRollupSink(
+      EventStream.readEvents(spark, in, schema), state, ckpt,
+      "event_type", depth = 3, width = 16)
+    sink().awaitTermination(60000)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // reset the state side only: state dir + every sidecar, ckpt kept
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    fs.listStatus(new org.apache.hadoop.fs.Path(base)).foreach { st =>
+      if (st.getPath.getName.startsWith("state.")) fs.delete(st.getPath, true)
+    }
+    val e = intercept[IllegalArgumentException] { sink() }
+    assert(e.getMessage.contains("committed") && e.getMessage.contains("frequencyRollupSink"))
+    // deleting the checkpoint too really starts the pair over
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    sink().awaitTermination(60000)
+    assert(cmsRows(state).map(_._3).sum == 3L * 12)
+  }
+
   test("MG sink: restarts + replay keep the whole-stream guarantee; state stays bounded") {
     val base = java.nio.file.Files.createTempDirectory("msink").toString
     val in = s"$base/in"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
