@@ -968,8 +968,11 @@ object Queries {
         def batchSketch(i: Int) = Sketch.kmvMinima(
           pairs.filter(col("batch") === i).select("lang", "token"),
           "token", "lang", seed = 31, k = k)
-        (1 to 3).foldLeft(batchSketch(0))(
-          (st, i) => Sketch.kmvCombine(st, batchSketch(i), "lang", k))
+        // chainCombine: 4 folds stay one uncut lazy plan (the default
+        // cut-every-8 only engages on longer simulated chains)
+        Sketch.chainCombine(
+          (0 to 3).map(batchSketch),
+          (st, b) => Sketch.kmvCombine(st, b, "lang", k))
       },
       Some(s"""WITH toks AS (SELECT lang, unnest(${toksSql("lower(text)")}) AS token FROM documents),
               |hs AS (SELECT DISTINCT lang,
@@ -1272,10 +1275,13 @@ object Queries {
       // oracle recomputes it from scratch and the hash match proves
       // fold ≡ rebuild. The corpus is read ONCE (the cut), each batch
       // slicing materialized blocks. The stored-state twin
-      // ([[Similarity.ivfFoldInto]]: atomic swap, replay idempotence,
-      // quantizer-digest drift guard) and serving equality off the
-      // folded state are SimilaritySpec-pinned; s08 gates the serve
-      // path itself.
+      // ([[Similarity.ivfFoldInto]]: per-bucket partition swap with
+      // write cost ∝ batch, replay idempotence, quantizer-digest
+      // drift guard) and serving equality off the folded state are
+      // SimilaritySpec-pinned; s08 gates the serve path itself. The
+      // LAST fold also retires a delete set (vec_id ≡ 3 mod 17 — the
+      // d08 non-canonical-drop shape) in the same anti-join pass, so
+      // the gate pins fold-with-deletes ≡ rebuild-from-survivors.
       val base = Reliability.cut(
         Tables.embeddings(s, d).select(
           col("vec_id"), col("embedding"), pmod(col("vec_id"), lit(4)).as("batch")))
@@ -1285,7 +1291,10 @@ object Queries {
       def assign(i: Int) = Similarity.prepareIvfIndexWith(
         base.filter(col("batch") === i).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", cents).assigned
-      (1 to 3).foldLeft(assign(0))((st, i) => Similarity.ivfAppend(st, assign(i)))
+      val dels = base.select(col("vec_id").as("id"))
+        .filter(pmod(col("id"), lit(17)) === 3)
+      val upTo2 = (1 to 2).foldLeft(assign(0))((st, i) => Similarity.ivfAppend(st, assign(i)))
+      Similarity.ivfAppend(upTo2, assign(3), Some(dels))
         .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
     }, Some {
       val dot = Vectors.dotSql("b.vec", "c.cvec")
@@ -1296,7 +1305,53 @@ object Queries {
          |  CASE WHEN b.nrm * c.cnrm = 0 THEN 0.0 ELSE $dot / (b.nrm * c.cnrm) END AS csim
          |  FROM base b CROSS JOIN cents c),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid ASC) AS r FROM scored)
-         |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster FROM ranked WHERE r = 1""".stripMargin
+         |SELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster FROM ranked
+         |WHERE r = 1 AND NOT (id % 17 = 3)""".stripMargin
+    }),
+
+    QueryDef("s17_pq_incremental", (s, d) => {
+      // the maintained PQ ENCODED CORPUS driven through the gate (the
+      // s16 shape, codes edition): four disjoint embedding batches
+      // each encode against the FROZEN data-point codebook (one
+      // broadcast argmin pass per batch — the corpus is never
+      // re-encoded, the codebook never re-derived) and
+      // [[Quantize.pqAppend]] folds the (cand_id, sub, code) rows one
+      // at a time; the last fold retires a delete set (vec_id ≡ 5
+      // mod 19) in the same anti-join pass. Encoding is per-row
+      // independent, so the folded codes must equal the whole-corpus
+      // [[Quantize.pqEncode]] minus the deletions EXACTLY — the
+      // oracle recomputes from scratch and the hash match proves
+      // fold ≡ rebuild. The stored twin ([[Quantize.pqFoldInto]]:
+      // bucket-partitioned state with write cost ∝ batch, atomic
+      // per-bucket swap, replay idempotence, `.pq-params`
+      // codebook-digest drift guard) and ADC serving equality off the
+      // folded state are QuantizeSpec-pinned; s14 gates the serve
+      // path itself.
+      val base = Reliability.cut(
+        graft.core.Par.widen(Tables.embeddings(s, d)).select(
+          col("vec_id"), col("embedding"), pmod(col("vec_id"), lit(4)).as("batch")))
+      val codebook = Quantize.pqCodebook(base, "vec_id", "embedding", nSub = 4, subDim = 16, nCent = 8)
+      def encode(i: Int) = Quantize.pqEncodeWith(
+        base.filter(col("batch") === i).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", codebook, nSub = 4, subDim = 16)
+        .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+      val dels = base.select(col("vec_id").as("cand_id"))
+        .filter(pmod(col("cand_id"), lit(19)) === 5)
+      val upTo2 = (1 to 2).foldLeft(encode(0))((st, i) => Quantize.pqAppend(st, encode(i)))
+      Quantize.pqAppend(upTo2, encode(3), Some(dels))
+        .select(col("cand_id").as("vec_id"), col("sub"), col("code"))
+    }, Some {
+      def dot(a: String, b: String) = Vectors.dotSql(a, b)
+      s"""WITH sv AS (SELECT vec_id, CAST(m AS BIGINT) AS sub,
+         |  list_slice(embedding, m * 16 + 1, m * 16 + 16) AS sv
+         |  FROM embeddings, (SELECT unnest(generate_series(0, 3)) AS m) g),
+         |cents AS (SELECT vec_id AS cid, sub, sv AS cv FROM sv WHERE vec_id < 8),
+         |scored AS (SELECT s.vec_id, s.sub, c.cid,
+         |  round(${dot("s.sv", "s.sv")} + ${dot("c.cv", "c.cv")} - 2 * ${dot("s.sv", "c.cv")}, 5) AS dist
+         |  FROM sv s JOIN cents c ON s.sub = c.sub)
+         |SELECT vec_id, sub, cid AS code FROM
+         |(SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn FROM scored)
+         |WHERE rn = 1 AND NOT (vec_id % 19 = 5)""".stripMargin
     }),
 
     // ============================ text analysis ===========================
@@ -1800,8 +1855,12 @@ object Queries {
         // chain past the distributed local prunes plans exchange-free
         def summ(i: Int) = Sketch.qsSummarizeCounted(
           counted.filter(col("batch") === i).drop("batch"), "event_type", k, single = true)
-        val state = (1 to 3).foldLeft(summ(0))(
-          (st, i) => Sketch.qsCombine(st, summ(i), "event_type", k, single = true))
+        // chainCombine = the same foldLeft plus depth insurance: a cut
+        // every 8 folds, so 4 folds stay ONE uncut lazy plan (bench
+        // shape unchanged) while a long simulated chain stays bounded
+        val state = Sketch.chainCombine(
+          (0 to 3).map(summ),
+          (st, b) => Sketch.qsCombine(st, b, "event_type", k, single = true))
         val est = Sketch.qsQuantiles(state, "event_type", Seq(500000L, 900000L, 990000L))
         ev.select(col("event_type"), col("value").as("x"))
           .join(broadcast(est), Seq("event_type"))

@@ -72,7 +72,7 @@ object IncrementalAgg {
     }
   }
 
-  private val MarkerFile = "_applied_batch" // leading '_': parquet readers skip it
+  private[operators] val MarkerFile = "_applied_batch" // leading '_': parquet readers skip it
 
   /** Crash recovery for the delete→rename swap window: a crash between
     * `fs.delete(statePath)` and `fs.rename(tmp, statePath)` leaves the
@@ -109,7 +109,7 @@ object IncrementalAgg {
     }
   }
 
-  private val TmpSuffix = ".tmp-incagg"
+  private[operators] val TmpSuffix = ".tmp-incagg"
 
   /** The trimmed content of a small sidecar file, or None if absent —
     * the one read idiom every identity guard shares. */
@@ -236,6 +236,154 @@ object IncrementalAgg {
     * idempotence for checkpointed `foreachBatch` callers), and both
     * failure modes are loud. `combine(state, delta)` must be the
     * algebra's merge; `delta` is evaluated lazily inside the fold. */
+  private val TmpPartSuffix = ".tmp-incpart"
+
+  /** Crash recovery for [[foldStatePartitioned]]'s per-partition swap
+    * window: the touched-slice temp dir is written (with `_SUCCESS`)
+    * before any swap, and each partition's rename removes it FROM the
+    * temp dir — so after a crash, the partitions still inside a
+    * COMPLETE temp dir are exactly the swaps that never ran (or died
+    * between their stale-delete and their rename, which would
+    * otherwise lose that bucket outright). Completing them is safe at
+    * any point: the slice was merged from the pre-swap state, the
+    * marker (written last) still names the previous batch, and the
+    * delta's re-application on the healed state is idempotent by the
+    * caller's contract. A temp dir without `_SUCCESS` is a crashed
+    * write — the state was never touched; drop it. A complete temp
+    * beside an ABSENT state dir is reset leftovers, not a crash (a
+    * genuine mid-swap crash always leaves the state dir with at least
+    * its root `_SUCCESS`/marker files): a partial slice of a deleted
+    * state must not resurrect — drop it too. */
+  private def completeInterruptedPartitionSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(statePath + TmpPartSuffix)
+    if (!fs.exists(tmp)) return
+    val path = new org.apache.hadoop.fs.Path(statePath)
+    val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
+    if (stateLive && fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      fs.listStatus(tmp).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.contains("=")) {
+          val dst = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+          if (fs.exists(dst) && !fs.delete(dst, true))
+            throw new java.io.IOException(s"partition-swap recovery: failed to delete stale $dst")
+          if (!fs.rename(st.getPath, dst))
+            throw new java.io.IOException(s"partition-swap recovery: failed to rename ${st.getPath} -> $dst")
+        }
+      }
+    }
+    fs.delete(tmp, true)
+  }
+
+  /** Run both crash recoveries (the flat whole-dir swap and the
+    * per-partition swap) for callers that manage their own state
+    * rewrite on top of this machinery (e.g. `Similarity.ivfReassign`). */
+  private[operators] def healState(spark: SparkSession, statePath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwap(fs, statePath)
+    completeInterruptedPartitionSwap(fs, statePath)
+  }
+
+  /** [[foldState]] for CORPUS-SIZED state: the stored table is
+    * partitioned on `partitionCol` and a fold rewrites ONLY the
+    * partitions the delta (plus `extraTouched`) lands in — write I/O
+    * is ∝ batch, not state. [[foldState]]'s whole-state rewrite is the
+    * right contract for sketch states bounded at k rows per group
+    * forever; for a state that grows with the corpus (an ANN inverted
+    * file, an encoded-codes table) it charges every fold O(corpus)
+    * write cost, which at 100 TB dwarfs the O(batch) compute — the
+    * same reasoning that makes [[Upsert.upsertIntoParquet]]
+    * partition-scoped, applied to the fold/watermark machinery.
+    *
+    * Guarantees, and how they differ from the flat protocol:
+    *  - BOOTSTRAP (no live state) is the flat protocol exactly: the
+    *    delta materializes to the `.tmp-incagg` dir, the marker is
+    *    written INTO it, one rename commits both — so
+    *    [[recoverInterruptedSwap]] and [[guardStateIdentity]]'s
+    *    reset-resurrection refusal cover a bootstrap crash unchanged.
+    *  - INCREMENTAL folds write the touched partitions to a separate
+    *    `.tmp-incpart` dir (never renamed wholesale — it holds only a
+    *    SLICE of the state), swap them in per-partition directory
+    *    rename, and write the applied-batch marker LAST. A crash
+    *    anywhere in that window leaves the marker at the previous
+    *    batch, so the replay re-applies the whole delta — which is
+    *    why `combine` here MUST be idempotent on a re-applied delta
+    *    (keep-latest upserts and delete retirements are; additive
+    *    algebras like [[combine]]'s sums are NOT — those stay on
+    *    [[foldState]], whose swap commits state and marker in one
+    *    rename). Re-application converges per partition: an
+    *    already-swapped partition merged with the same delta yields
+    *    itself.
+    *  - The partition column should be a pure function of the merge
+    *    KEY (an id bucket), so a re-ingested key can never move
+    *    partitions and "touched" is exactly the delta's buckets — no
+    *    stale-partition tracking, no keymap.
+    *
+    * `extraTouched` adds partitions the delta's rows alone don't
+    * reveal (e.g. the buckets of a delete-id set, which contributes
+    * no delta rows but must have its postings retired). A touched
+    * partition whose merged result is EMPTY is removed, not left
+    * stale. The delta is cached for the fold's duration — it is read
+    * twice (touched discovery + the merge) and recomputing a
+    * broadcast-assignment batch twice is the costlier alternative. */
+  def foldStatePartitioned(
+      spark: SparkSession,
+      statePath: String,
+      delta: DataFrame,
+      partitionCol: String,
+      combine: (DataFrame, DataFrame) => DataFrame,
+      batchId: Option[Long] = None,
+      extraTouched: Seq[Any] = Nil): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwap(fs, statePath) // a bootstrap-swap crash has the flat shape
+    completeInterruptedPartitionSwap(fs, statePath)
+    val path = new org.apache.hadoop.fs.Path(statePath)
+    val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    if (batchId.exists(_ <= appliedBatchId(spark, statePath)) && exists)
+      return read(spark, statePath) // replayed batch: already folded in
+    val d = delta.cache()
+    try {
+      val touched =
+        (d.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq ++
+          extraTouched).distinct
+      if (!exists) {
+        // bootstrap = the flat protocol: tmp + marker + one rename
+        val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
+        d.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
+        batchId.foreach { id =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerFile), true)
+          try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+        }
+        if (fs.exists(path) && !fs.delete(path, true)) // empty husk dir
+          throw new java.io.IOException(s"incremental-agg bootstrap: failed to delete empty $path")
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(s"incremental-agg bootstrap: failed to rename $tmp -> $path")
+        return read(spark, statePath)
+      }
+      if (touched.isEmpty) { // empty delta, nothing to retire
+        batchId.foreach { id =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(path, MarkerFile), true)
+          try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+        }
+        return read(spark, statePath)
+      }
+      // read ONLY the touched slice of the state (partition pruning),
+      // merge, write the new slice, swap per-partition, marker last
+      val statePart = read(spark, statePath)
+        .filter(Upsert.partitionFilter(partitionCol, touched))
+      val next = combine(statePart, d)
+      val tmp = statePath + TmpPartSuffix
+      next.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+      Upsert.swapPartitions(fs, statePath, tmp, partitionCol, touched)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      batchId.foreach { id =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(path, MarkerFile), true)
+        try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      }
+      read(spark, statePath)
+    } finally d.unpersist()
+  }
+
   def foldState(
       spark: SparkSession,
       statePath: String,

@@ -105,16 +105,31 @@ object Quantize {
     * cid tie-break an oracle window replicates. Distances are rounded
     * to 5 decimals BEFORE the argmin so ties are decided on equal
     * ground in both engines. */
-  def pqEncode(emb: DataFrame, idCol: String, vecCol: String, nSub: Int, subDim: Int, nCent: Int): DataFrame = {
-    val subs = subvectors(emb, idCol, vecCol, nSub, subDim)
-    val cents = subs.filter(col(idCol) < nCent)
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String, nSub: Int, subDim: Int, nCent: Int): DataFrame =
+    pqEncodeWith(emb, idCol, vecCol, pqCodebook(emb, idCol, vecCol, nSub, subDim, nCent), nSub, subDim)
+
+  /** The data-point PQ codebook (sub, cid, cv): the subvectors of the
+    * first `nCent` ids — the s10/s11 determinism contract, exposed so
+    * maintenance folds can FREEZE it while batches keep arriving. */
+  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      nSub: Int, subDim: Int, nCent: Int): DataFrame =
+    subvectors(emb.filter(col(idCol) < nCent), idCol, vecCol, nSub, subDim)
       .select(col(idCol).as("cid"), col("sub"), col("sv").as("cv"))
-    subs.join(broadcast(cents), Seq("sub"))
+
+  /** [[pqEncode]] against an externally supplied (frozen or trained)
+    * codebook — the encode pass of index MAINTENANCE: a new ingest
+    * batch is encoded without the codebook being re-derived, so its
+    * codes merge bit-compatibly into a stored corpus encoded earlier.
+    * One broadcast join over the batch's subvectors; the min-struct
+    * argmin collapses the nCent candidates map-side. */
+  def pqEncodeWith(emb: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    subvectors(emb, idCol, vecCol, nSub, subDim)
+      .join(broadcast(codebook), Seq("sub"))
       .withColumn("dist", round(l2sq(col("sv"), col("cv")), 5))
       .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("dist"), col("cid"))).as("st"))
       .select(col(idCol), col("sub"), col("st.cid").as("code"), col("st.dist").as("dist"))
-  }
 
   /** The persistable PQ serving artifact — the [[Similarity.IvfIndex]]
     * story for product quantization: `codebook` (sub, cid, cv) is the
@@ -137,6 +152,109 @@ object Quantize {
       .select(col(idCol).as("cand_id"), col("sub"), col("code"))
     PqIndex(cents, codes, nSub, subDim)
   }
+
+  /** Merge one batch's PQ codes into an existing encoded-corpus table —
+    * [[graft.operators.Similarity.ivfAppend]]'s algebra, codes edition:
+    * keep-latest upsert on `cand_id` (a re-ingested document's NEW
+    * codes replace ALL `nSub` of its old rows — codes are only
+    * meaningful as a complete set against one codebook), optional
+    * delete-id retirement in the same anti-join pass, idempotent under
+    * re-application. Deterministic given a frozen codebook, so a fold
+    * over any batch partitioning equals the whole-corpus [[pqEncode]]
+    * exactly — the s17 gate property. */
+  def pqAppend(
+      state: DataFrame,
+      delta: DataFrame,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val deltaIds = delta.select(col("cand_id")).distinct()
+    val retired = deletes match {
+      case Some(ids) => deltaIds.unionByName(ids.select(col("cand_id")))
+      case None      => deltaIds
+    }
+    val kept = state.join(retired, Seq("cand_id"), "left_anti")
+    val added = deletes match {
+      case Some(ids) => delta.join(ids.select(col("cand_id")), Seq("cand_id"), "left_anti")
+      case None      => delta
+    }
+    kept.unionByName(added)
+  }
+
+  /** Fold one embedding batch into a STORED encoded corpus — PQ index
+    * maintenance ([[pqEncodeWith]] against the FROZEN codebook +
+    * [[pqAppend]] on [[graft.operators.IncrementalAgg
+    * .foldStatePartitioned]]): the batch is encoded in one broadcast
+    * pass, its (cand_id, sub, code) rows upsert into the stored codes
+    * table, and ONLY the id-buckets the batch (and delete set) lands
+    * in are rewritten — write I/O ∝ batch, never corpus; the encoded
+    * corpus is the one corpus-sized table of the PQ serving
+    * architecture ([[PqIndex.codes]]), exactly the table a per-fold
+    * whole rewrite would make O(corpus) per ingest. The stored state
+    * is `codes`-shaped plus the bucket column, so
+    * `PqIndex(codebook, <state>, nSub, subDim)` serves ADC queries
+    * via [[pqAdcTopKIndexed]] directly after any number of folds.
+    *
+    * The `.pq-params` sidecar pins a content digest of the CODEBOOK
+    * (the quantizer of this family) plus the slicing geometry and the
+    * bucket count: codes encoded against a drifted/retrained codebook,
+    * or sliced differently, merge without any schema error into a
+    * table whose codes silently stop meaning the same thing at ADC
+    * time. Retraining the codebook requires a re-encode of the raw
+    * corpus (codes, unlike IVF postings, do not carry their vectors —
+    * that lossiness is the point of PQ), so the refusal's remedy is
+    * a rebuild: delete state + sidecars, re-fold. */
+  def pqFoldInto(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: DataFrame,
+      nSub: Int,
+      subDim: Int,
+      batchId: Option[Long] = None,
+      nBuckets: Int = 64,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    require(nBuckets >= 1, "nBuckets >= 1")
+    IncrementalAgg.guardStateIdentity(
+      spark, statePath, ".pq-params",
+      s"codebook=${codebookDigest(codebook)};id=$idCol;vec=$vecCol;" +
+        s"nsub=$nSub;subdim=$subDim;buckets=$nBuckets",
+      "pqFoldInto")
+    val delIds = deletes.map(_.select(col(idCol).cast("long").as("cand_id")))
+    val delta = pqEncodeWith(batch, idCol, vecCol, codebook, nSub, subDim)
+      .select(col(idCol).as("cand_id"), col("sub"), col("code"))
+      .withColumn("pbucket", pmod(col("cand_id"), lit(nBuckets)).cast("int"))
+    val deleteBuckets: Seq[Any] = delIds match {
+      case Some(ids) =>
+        ids.select(pmod(col("cand_id"), lit(nBuckets)).cast("int").as("pbucket"))
+          .distinct().collect().map(_.get(0)).toSeq
+      case None => Nil
+    }
+    IncrementalAgg.foldStatePartitioned(
+      spark, statePath, delta, "pbucket",
+      (state, d) => pqAppend(state, d, delIds),
+      batchId, deleteBuckets)
+  }
+
+  /** Content digest of a (sub, cid, cv) codebook: sha-256 over the
+    * (sub, cid)-sorted rows with elements normalized to double (the
+    * [[Similarity]] centroid-digest convention), truncated to 16 hex
+    * chars; memoized weakly per codebook instance for fold loops. */
+  private val cbDigestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, String]())
+
+  private def codebookDigest(codebook: DataFrame): String =
+    cbDigestCache.computeIfAbsent(codebook, cb => {
+      val rows = cb.select(
+          col("sub").cast("long"), col("cid").cast("long"), col("cv").cast("array<double>"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2).mkString(",")))
+        .sortBy(_._1)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      rows.foreach { case ((s, c), v) => md.update(s"$s:$c:$v;".getBytes("UTF-8")) }
+      md.digest().map("%02x".format(_)).mkString.take(16)
+    })
 
   /** Serve an ADC query batch from a stored [[PqIndex]]: queries build
     * their codeword distance tables against the broadcast codebook

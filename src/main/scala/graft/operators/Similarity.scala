@@ -284,22 +284,66 @@ object Similarity {
     * gate property. Each fold touches the state once (one anti-join +
     * union); at serving scale the anti-join's shuffle carries ids
     * only, never vectors, when AQE plans the small batch side as the
-    * broadcast. */
-  def ivfAppend(state: DataFrame, delta: DataFrame): DataFrame =
-    state
-      .join(delta.select(col("id")), Seq("id"), "left_anti")
-      .unionByName(delta)
+    * broadcast.
+    *
+    * `deletes` retires postings in the SAME anti-join pass — the
+    * curation feedback loop: the non-canonical members a dedup pass
+    * drops (d08) or a curation chain rejects (t28) must leave the
+    * serving index too, or probes keep surfacing documents the corpus
+    * no longer contains. A delete-id column (`id`) wins over a
+    * same-batch re-ingest (delete means gone), unknown ids no-op, and
+    * the whole merge stays idempotent under re-application — the
+    * contract [[graft.operators.IncrementalAgg.foldStatePartitioned]]
+    * replays rest on. */
+  def ivfAppend(
+      state: DataFrame,
+      delta: DataFrame,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    val retired = deletes match {
+      case Some(ids) => delta.select(col("id")).unionByName(ids.select(col("id")))
+      case None      => delta.select(col("id"))
+    }
+    val kept = state.join(retired, Seq("id"), "left_anti")
+    val added = deletes match {
+      case Some(ids) => delta.join(ids.select(col("id")), Seq("id"), "left_anti")
+      case None      => delta
+    }
+    kept.unionByName(added)
+  }
 
   /** Fold one embedding batch into a STORED inverted file — the
     * index-maintenance loop a production ANN deployment runs
     * ([[prepareIvfIndexWith]] on the batch + [[ivfAppend]] attached
-    * to [[IncrementalAgg.foldState]]'s atomic swap + applied-batch
-    * watermark): assign the batch against the FROZEN broadcast
-    * quantizer (one pass over the batch — the corpus is never
-    * re-assigned, the index never rebuilt), upsert the postings,
-    * swap. The stored state is exactly [[IvfIndex.assigned]]'s
-    * shape, so `IvfIndex(cents, <state>)` serves queries via
-    * [[ivfTopKIndexed]] directly after any number of folds.
+    * to [[IncrementalAgg.foldStatePartitioned]]'s per-partition swap
+    * + applied-batch watermark): assign the batch against the FROZEN
+    * broadcast quantizer (one pass over the batch — the corpus is
+    * never re-assigned, the index never rebuilt), upsert the
+    * postings, swap. The stored state is [[IvfIndex.assigned]]'s
+    * shape plus the bucket column, so `IvfIndex(cents, <state>)`
+    * serves queries via [[ivfTopKIndexed]] directly after any number
+    * of folds.
+    *
+    * The state is partitioned by ID BUCKET (`pbucket = id mod
+    * nBuckets`), and a fold rewrites ONLY the buckets the batch's
+    * (and delete set's) ids land in — write I/O ∝ batch, not corpus.
+    * The inverted file is the one corpus-sized table of the serving
+    * architecture, so the whole-state rewrite [[IncrementalAgg
+    * .foldState]] performs per fold — correct for sketch states
+    * bounded at k rows forever — would charge every ingest batch
+    * O(corpus) write cost here. Bucketing by id rather than by
+    * cluster keeps the upsert partition-stable: a re-ingested id may
+    * move CLUSTERS (its embedding changed) but never buckets, so
+    * "touched" is exactly the batch's buckets and no stale-partition
+    * tracking is needed ([[Upsert.upsertIntoParquet]]'s keymap
+    * machinery exists to solve precisely the problem this layout
+    * avoids). Cluster stays a data column, which the probe join
+    * filters on as before. `nBuckets` is pinned in the sidecar — two
+    * bucket counts scatter the same id to different partitions and
+    * the keep-latest anti-join would stop seeing its older version.
+    *
+    * `deletes` (optional, an `idCol` column) retires postings in the
+    * same fold — see [[ivfAppend]]; their buckets count as touched
+    * even when the batch contributes no rows there.
     *
     * The `.ivf-params` sidecar pins a digest of the QUANTIZER
     * (content, not identity: cid + vector bytes, order-independent)
@@ -308,10 +352,9 @@ object Similarity {
     * quantizer merge without any schema error into an index whose
     * cells silently stop meaning the same thing (probes then miss
     * exactly the candidates the new assignment would have put
-    * elsewhere). Retraining the quantizer legitimately requires a
-    * rebuild: delete the state dir and sidecars, re-fold. The digest
-    * collects the quantizer to the driver — bounded by contract: the
-    * quantizer is broadcast on every assignment pass anyway. */
+    * elsewhere). Retraining the quantizer no longer forces a corpus
+    * rescan: [[ivfReassign]] rotates the stored state (which carries
+    * the vectors) onto a new quantizer in one state-sized pass. */
   def ivfFoldInto(
       spark: org.apache.spark.sql.SparkSession,
       statePath: String,
@@ -319,15 +362,95 @@ object Similarity {
       idCol: String,
       vecCol: String,
       cents: DataFrame,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None,
+      nBuckets: Int = 64,
+      deletes: Option[DataFrame] = None): DataFrame = {
+    require(nBuckets >= 1, "nBuckets >= 1")
     IncrementalAgg.guardStateIdentity(
       spark, statePath, ".ivf-params",
-      s"quantizer=${centroidDigest(cents)};id=$idCol;vec=$vecCol", "ivfFoldInto")
-    IncrementalAgg.foldState(
-      spark, statePath,
-      prepareIvfIndexWith(batch, idCol, vecCol, cents).assigned,
-      (state, delta) => ivfAppend(state, delta),
-      batchId)
+      s"quantizer=${centroidDigest(cents)};id=$idCol;vec=$vecCol;buckets=$nBuckets",
+      "ivfFoldInto")
+    val delIds = deletes.map(_.select(col(idCol).cast("long").as("id")))
+    val delta = prepareIvfIndexWith(batch, idCol, vecCol, cents).assigned
+      .withColumn("pbucket", pmod(col("id"), lit(nBuckets)).cast("int"))
+    // delete-only buckets contribute no delta rows but must be rewritten
+    val deleteBuckets: Seq[Any] = delIds match {
+      case Some(ids) =>
+        ids.select(pmod(col("id"), lit(nBuckets)).cast("int").as("pbucket"))
+          .distinct().collect().map(_.get(0)).toSeq
+      case None => Nil
+    }
+    IncrementalAgg.foldStatePartitioned(
+      spark, statePath, delta, "pbucket",
+      (state, d) => ivfAppend(state, d, delIds),
+      batchId, deleteBuckets)
+  }
+
+  /** Rotate a STORED inverted file onto a RETRAINED quantizer in one
+    * state-sized pass — the migration the digest guard's refusal used
+    * to answer only with "delete the state, re-fold the raw corpus".
+    * The stored postings carry their vectors, so re-assignment needs
+    * nothing but the state itself: one broadcast-argmax pass over the
+    * posting table recomputes `cluster` against `newCents`, the new
+    * state swaps in atomically under the flat whole-dir protocol
+    * (same bucket layout — buckets key on id, which doesn't change),
+    * and the `.ivf-params` sidecar rotates to the new quantizer's
+    * digest LAST. The applied-batch watermark is preserved through
+    * the swap: reassignment is not a batch, and the fold sequence
+    * resumes where it left off. Reassign-from-state equals a fresh
+    * [[prepareIvfIndexWith]] over the same corpus exactly (the
+    * assignment is a pure per-row function of vec and quantizer) —
+    * the spec-pinned contract.
+    *
+    * Crash anywhere: re-run `ivfReassign` — it is idempotent. A crash
+    * inside the swap is healed at the next entry (the flat recovery;
+    * the old `.ivf-params` still names the state, so the reset
+    * refusal stays out of the way); a crash after the swap but before
+    * the sidecar rotation leaves folds refusing loudly (stored digest
+    * ≠ new quantizer's) until the re-run rotates it. The raw corpus
+    * is never rescanned. */
+  def ivfReassign(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      newCents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    IncrementalAgg.healState(spark, statePath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tail = s";id=$idCol;vec=$vecCol;buckets=$nBuckets"
+    val stored = IncrementalAgg.readSidecar(fs, statePath + ".ivf-params")
+    require(stored.forall(_.endsWith(tail)),
+      s"ivfReassign: stored state at $statePath was built with [${stored.getOrElse("")}] " +
+        s"but this reassign uses [...$tail] — id/vec/bucket layout must match; only the " +
+        "quantizer may change.")
+    val path = new org.apache.hadoop.fs.Path(statePath)
+    require(fs.exists(path) && fs.listStatus(path).nonEmpty,
+      s"ivfReassign: no state at $statePath — nothing to reassign")
+    val applied = IncrementalAgg.appliedBatchId(spark, statePath)
+    // one pass over the state: vectors ride along, so assignment is
+    // the same broadcast argmax as a fresh prepare — corpus untouched
+    val next = prepareIvfIndexWith(
+      IncrementalAgg.read(spark, statePath).select(col("id"), col("vec")),
+      "id", "vec", newCents).assigned
+      .withColumn("pbucket", pmod(col("id"), lit(nBuckets)).cast("int"))
+    val tmp = new org.apache.hadoop.fs.Path(statePath + IncrementalAgg.TmpSuffix)
+    next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("pbucket").parquet(tmp.toString)
+    if (applied >= 0L) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, IncrementalAgg.MarkerFile), true)
+      try out.write(applied.toString.getBytes("UTF-8")) finally out.close()
+    }
+    if (!fs.delete(path, true))
+      throw new java.io.IOException(s"ivfReassign swap: failed to delete stale $path")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"ivfReassign swap: failed to rename $tmp -> $path")
+    // rotate the identity last: until this write, folds refuse loudly
+    // rather than merge old-cell postings into the new geometry
+    val out = fs.create(new org.apache.hadoop.fs.Path(statePath + ".ivf-params"), true)
+    try out.write(
+      s"quantizer=${centroidDigest(newCents)}$tail".getBytes("UTF-8")) finally out.close()
+    IncrementalAgg.read(spark, statePath)
   }
 
   /** Content digest of a (cid, cvec, cnrm) quantizer table: sha-256

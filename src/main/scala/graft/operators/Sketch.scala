@@ -185,6 +185,33 @@ object Sketch {
       .drop("rn")
   }
 
+  /** Fold a sequence of mergeable sketch legs into one state with a
+    * lineage cut every `cutEvery` folds — depth insurance for IN-QUERY
+    * chained folds (the t27/d10 shape): each [[qsCombine]] /
+    * [[kmvCombine]] / [[mgCombine]] stage composes lazily, so a long
+    * simulated chain builds a physical plan whose analysis/AQE cost
+    * grows with every fold even though the DATA stays bounded at k
+    * rows per group. A cut under the session checkpoint policy
+    * ([[graft.core.Reliability.cut]]) materializes the bounded state
+    * and restarts the plan; results are bit-identical with or without
+    * the cut (SketchProps pins that), so `cutEvery` is purely a
+    * plan-size/latency knob. The default leaves short chains (t27's 4
+    * folds) uncut — their single lazy plan is the cheaper shape — and
+    * bounds anything longer at `cutEvery` fold stages per plan.
+    * Stored-state folds don't need this: [[graft.operators
+    * .IncrementalAgg.foldState]] materializes every fold by design. */
+  def chainCombine(
+      legs: Seq[DataFrame],
+      combine: (DataFrame, DataFrame) => DataFrame,
+      cutEvery: Int = 8): DataFrame = {
+    require(legs.nonEmpty, "chainCombine: at least one leg")
+    require(cutEvery >= 1, "chainCombine: cutEvery >= 1")
+    legs.tail.zipWithIndex.foldLeft(legs.head) { case (st, (leg, i)) =>
+      val next = combine(st, leg)
+      if ((i + 1) % cutEvery == 0) graft.core.Reliability.cut(next) else next
+    }
+  }
+
   /** Loud-failure guard (the [[qsCombine]] requireSummary convention):
     * both fold legs must actually BE k-minima tables — group column
     * present, `h` present and LONG — so a caller handing

@@ -118,7 +118,7 @@ object Upsert {
     * their freshly-written counterparts under `tmpPath` (a touched
     * partition absent from tmp lost all its rows — its stale directory
     * is removed). */
-  private def swapPartitions(
+  private[operators] def swapPartitions(
       fs: org.apache.hadoop.fs.FileSystem,
       basePath: String,
       tmpPath: String,

@@ -634,6 +634,42 @@ object EventStream {
       .start()
   }
 
+  /** Maintained STORED ANN inverted file fed by a stream — the
+    * streaming-sink row for the INDEX family, completing the matrix
+    * the four sketch sinks fill for theirs: every micro-batch of
+    * (id, vector) rows assigns against the FROZEN quantizer and folds
+    * its postings via [[graft.operators.Similarity.ivfFoldInto]] —
+    * bucket-partitioned state (write I/O ∝ micro-batch, never
+    * corpus), applied-batch watermark, `.ivf-params` quantizer-digest
+    * drift guard — under the shared [[guardStreamIdentity]]
+    * state/checkpoint pairing guard (see [[quantileRollupSink]]'s
+    * scaladoc for the hazard analysis). Assignment is deterministic
+    * and the fold idempotent, so the stored index after ANY
+    * crash/restart sequence is bit-identical to the clean batch fold
+    * of the same micro-batches (spec-gated: IvfRollupSinkSpec), and
+    * `IvfIndex(cents, <state>)` serves queries off it directly. */
+  def ivfRollupSink(
+      vectors: DataFrame,
+      statePath: String,
+      checkpointDir: String,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame,
+      nBuckets: Int = 64): StreamingQuery = {
+    guardStreamIdentity(vectors.sparkSession, statePath, checkpointDir, "ivfRollupSink")
+    vectors.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfFoldInto(
+          batch.sparkSession, statePath, batch, idCol, vecCol, cents,
+          Some(batchId), nBuckets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** CDC upsert sink: maintain a keep-latest-per-key parquet table from
     * a stream via foreachBatch + the engine upsert (ST1/ST3/ST4). */
   def upsertSink(events: DataFrame, tablePath: String, checkpointDir: String): StreamingQuery =

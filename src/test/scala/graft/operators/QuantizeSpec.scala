@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class QuantizeSpec extends SparkSpec {
   import spark.implicits._
@@ -121,5 +122,121 @@ class QuantizeSpec extends SparkSpec {
     val cold = Quantize.PqIndex(
       spark.read.parquet(s"$dir/codebook"), spark.read.parquet(s"$dir/codes"), 2, 4)
     assert(served(cold) == inline)
+  }
+
+  // ---- maintained encoded corpus (pqAppend / pqFoldInto) -----------------
+
+  private def pqEmb(n: Int) = {
+    val rnd = new scala.util.Random(11)
+    (0 until n).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+  }
+
+  /** (relative path -> byte length) of a state dir's data files — the
+    * fold-write-footprint probe (the SimilaritySpec convention). */
+  private def stateFiles(state: String): Map[String, Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(state), true)
+    val out = scala.collection.mutable.Map[String, Long]()
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(state)).toString)
+      if (!rel.contains("_SUCCESS") && !rel.contains("_applied_batch"))
+        out(rel) = st.getLen
+    }
+    out.toMap
+  }
+
+  test("pqAppend: a fold over any batch split equals the whole-corpus encode") {
+    val all = pqEmb(40)
+    val cb = Quantize.pqCodebook(all, "vec_id", "embedding", 2, 4, 6)
+    val whole = Quantize.pqEncode(all, "vec_id", "embedding", 2, 4, 6)
+      .select("vec_id", "sub", "code").as[(Long, Long, Long)].collect().sorted.toSeq
+    for (nBatches <- Seq(2, 5)) {
+      val folded = (0 until nBatches)
+        .map(b => Quantize.pqEncodeWith(
+          all.filter($"vec_id" % nBatches === b), "vec_id", "embedding", cb, 2, 4)
+          .select($"vec_id".as("cand_id"), $"sub", $"code"))
+        .reduce(Quantize.pqAppend(_, _))
+        .select($"cand_id".as("vec_id"), $"sub", $"code")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(folded == whole, s"nBatches=$nBatches")
+    }
+  }
+
+  test("pqFoldInto: bucket-scoped writes, replay no-op, deletes, serving off the folded state") {
+    val all = pqEmb(48)
+    val cb = Quantize.pqCodebook(all, "vec_id", "embedding", 2, 4, 6)
+    val base = java.nio.file.Files.createTempDirectory("pqf").toString
+    val state = s"$base/state"
+    (0 until 3).foreach { b =>
+      Quantize.pqFoldInto(spark, state, all.filter($"vec_id" % 3 === b),
+        "vec_id", "embedding", cb, 2, 4, Some(b.toLong), nBuckets = 8)
+    }
+    def rows() = spark.read.parquet(state).select("cand_id", "sub", "code")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val whole = Quantize.pqEncode(all, "vec_id", "embedding", 2, 4, 6)
+      .select("vec_id", "sub", "code").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(rows() == whole, "stored fold == whole-corpus encode")
+    // replayed batch id short-circuits on the watermark
+    val before = rows()
+    Quantize.pqFoldInto(spark, state, all.filter($"vec_id" % 3 === 1),
+      "vec_id", "embedding", cb, 2, 4, Some(1L), nBuckets = 8)
+    assert(rows() == before)
+    // a re-ingest fold touches ONLY its ids' buckets (ids 2 and 10 are
+    // both bucket 2 mod 8): write cost ~ batch, not corpus
+    val files0 = stateFiles(state)
+    Quantize.pqFoldInto(spark, state, all.filter($"vec_id".isin(2L, 10L)),
+      "vec_id", "embedding", cb, 2, 4, Some(3L), nBuckets = 8)
+    val files1 = stateFiles(state)
+    val changed = (files0.keySet ++ files1.keySet).filter(k => files0.get(k) != files1.get(k))
+    assert(changed.nonEmpty && changed.forall(_.contains("pbucket=2")),
+      s"only bucket 2 may change, got: $changed")
+    // a delete fold retires ALL nSub rows of the victims, rebuild-equal
+    Quantize.pqFoldInto(spark, state, all.filter(lit(false)),
+      "vec_id", "embedding", cb, 2, 4, Some(4L), nBuckets = 8,
+      deletes = Some(Seq(7L, 9L).toDF("vec_id")))
+    val survivors = Quantize.pqEncode(all, "vec_id", "embedding", 2, 4, 6)
+      .filter($"vec_id" =!= 7L && $"vec_id" =!= 9L)
+      .select("vec_id", "sub", "code").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(rows() == survivors)
+    // ADC serving off the folded state == serving off a fresh prepare
+    // (on the surviving corpus), bit for bit
+    val corpus = all.filter($"vec_id" =!= 7L && $"vec_id" =!= 9L)
+    val queries = all.filter($"vec_id" % 7 === 0)
+    val servedFold = Quantize.pqAdcTopKIndexed(queries, "vec_id", "embedding",
+      Quantize.PqIndex(cb, spark.read.parquet(state)
+        .select($"cand_id", $"sub", $"code"), 2, 4), k = 4)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val servedFresh = Quantize.pqAdcTopKIndexed(queries, "vec_id", "embedding",
+      Quantize.preparePqIndex(corpus, "vec_id", "embedding", 2, 4, 6).copy(codebook = cb), k = 4)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(servedFold == servedFresh && servedFold.nonEmpty)
+  }
+
+  test("pqFoldInto: a drifted codebook or changed geometry fails loudly") {
+    val all = pqEmb(24)
+    val base = java.nio.file.Files.createTempDirectory("pqd").toString
+    val state = s"$base/state"
+    val cb = Quantize.pqCodebook(all, "vec_id", "embedding", 2, 4, 6)
+    Quantize.pqFoldInto(spark, state, all.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cb, 2, 4, Some(0L), nBuckets = 8)
+    // same geometry, different codebook content (7 codewords, not 6)
+    val cb7 = Quantize.pqCodebook(all, "vec_id", "embedding", 2, 4, 7)
+    val e = intercept[IllegalArgumentException] {
+      Quantize.pqFoldInto(spark, state, all.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", cb7, 2, 4, Some(1L), nBuckets = 8)
+    }
+    assert(e.getMessage.contains("pqFoldInto"))
+    // a changed bucket count scatters ids across incompatible layouts
+    intercept[IllegalArgumentException] {
+      Quantize.pqFoldInto(spark, state, all.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", cb, 2, 4, Some(1L), nBuckets = 16)
+    }
+    // the matching parameters still fold
+    Quantize.pqFoldInto(spark, state, all.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", cb, 2, 4, Some(1L), nBuckets = 8)
+    assert(spark.read.parquet(state).select("cand_id").distinct().count() == 24)
   }
 }

@@ -182,7 +182,7 @@ class SimilaritySpec extends SparkSpec {
       val folded = (0 until nBatches)
         .map(b => Similarity.prepareIvfIndexWith(
           all.filter($"vec_id" % nBatches === b), "vec_id", "embedding", q).assigned)
-        .reduce(Similarity.ivfAppend)
+        .reduce(Similarity.ivfAppend(_, _))
         .select("id", "cluster").as[(Long, Long)].collect().sorted.toSeq
       assert(folded == whole, s"nBatches=$nBatches")
     }
@@ -228,6 +228,154 @@ class SimilaritySpec extends SparkSpec {
       Similarity.prepareIvfIndexWith(all, "vec_id", "embedding", q), nProbe = 2, k = 3)
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(servedFolded == servedFresh && servedFolded.nonEmpty)
+  }
+
+  /** (relative file path -> byte length) of every data file under a
+    * state dir — the fold-write-footprint probe: an UNTOUCHED bucket's
+    * files keep their exact paths and sizes across a fold, a rewritten
+    * bucket's files change names (new job UUIDs). */
+  private def stateFiles(state: String): Map[String, Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(state), true)
+    val out = scala.collection.mutable.Map[String, Long]()
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(state)).toString)
+      if (!rel.contains("_SUCCESS") && !rel.contains("_applied_batch"))
+        out(rel) = st.getLen
+    }
+    out.toMap
+  }
+
+  test("ivfFoldInto rewrites ONLY the buckets a batch touches — write cost ~ batch") {
+    val all = bigEmb(60)
+    val q = cents(all, 4)
+    val base = java.nio.file.Files.createTempDirectory("ivfp").toString
+    val state = s"$base/state"
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" < 50), "vec_id", "embedding", q, Some(0L), nBuckets = 8)
+    val before = stateFiles(state)
+    assert(before.keys.exists(_.contains("pbucket=7")), "bootstrap lays out all 8 buckets")
+    // batch of 3 ids, all congruent 2 mod 8: exactly one bucket touched
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id".isin(50L, 58L, 2L)), "vec_id", "embedding", q, Some(1L), nBuckets = 8)
+    val after = stateFiles(state)
+    val changed = (before.keySet ++ after.keySet).filter(k => before.get(k) != after.get(k))
+    assert(changed.nonEmpty && changed.forall(_.contains("pbucket=2")),
+      s"only bucket 2 may change, got: $changed")
+    // and the folded content still equals the whole-corpus assignment
+    val whole = Similarity.prepareIvfIndexWith(
+      all.filter($"vec_id" < 50 || $"vec_id".isin(50L, 58L)), "vec_id", "embedding", q).assigned
+      .select("id", "cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq == whole)
+  }
+
+  test("ivfFoldInto with deletes: retired postings leave the index; fold ≡ rebuild-from-survivors") {
+    val all = bigEmb(40)
+    val q = cents(all, 4)
+    val base = java.nio.file.Files.createTempDirectory("ivfd").toString
+    val state = s"$base/state"
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" < 30), "vec_id", "embedding", q, Some(0L), nBuckets = 8)
+    // one fold carries new postings AND a delete set (the d08
+    // non-canonical drop shape); a deleted id in neither set no-ops
+    val dels = Seq(5L, 13L, 999L).toDF("vec_id")
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" >= 30), "vec_id", "embedding", q, Some(1L), nBuckets = 8,
+      deletes = Some(dels))
+    val survivors = all.filter($"vec_id" =!= 5L && $"vec_id" =!= 13L)
+    val whole = Similarity.prepareIvfIndexWith(survivors, "vec_id", "embedding", q).assigned
+      .select("id", "cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq == whole)
+    // a delete-only fold touches (and rewrites) only the victims' buckets
+    val before = stateFiles(state)
+    Similarity.ivfFoldInto(spark, state,
+      all.filter(lit(false)), "vec_id", "embedding", q, Some(2L), nBuckets = 8,
+      deletes = Some(Seq(17L).toDF("vec_id")))
+    val after = stateFiles(state)
+    val changed = (before.keySet ++ after.keySet).filter(k => before.get(k) != after.get(k))
+    assert(changed.nonEmpty && changed.forall(_.contains("pbucket=1")),
+      s"delete of id 17 may only rewrite bucket 1, got: $changed")
+    assert(spark.read.parquet(state).filter($"id" === 17L).count() == 0)
+    // delete wins over a same-batch re-ingest: delete means gone
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" === 19L), "vec_id", "embedding", q, Some(3L), nBuckets = 8,
+      deletes = Some(Seq(19L).toDF("vec_id")))
+    assert(spark.read.parquet(state).filter($"id" === 19L).count() == 0)
+  }
+
+  test("a crash inside the per-partition swap heals at the next fold entry") {
+    val all = bigEmb(40)
+    val q = cents(all, 4)
+    val base = java.nio.file.Files.createTempDirectory("ivfc").toString
+    val state = s"$base/state"
+    Similarity.ivfFoldInto(spark, state,
+      all, "vec_id", "embedding", q, Some(0L), nBuckets = 8)
+    val expect = spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq
+    // fabricate the worst crash shape: bucket 3's stale dir deleted,
+    // its replacement still in a COMPLETE tmp slice, marker unwritten
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(state + ".tmp-incpart")
+    fs.mkdirs(tmp)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(state, "pbucket=3"),
+      new org.apache.hadoop.fs.Path(tmp, "pbucket=3")))
+    val ok = fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true); ok.close()
+    assert(spark.read.parquet(state).filter($"id" % 8 === 3).count() == 0, "bucket gone")
+    // the next fold (a replayed batch id, even) heals before anything else
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" === 0L), "vec_id", "embedding", q, Some(0L), nBuckets = 8)
+    assert(!fs.exists(tmp))
+    assert(spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq == expect)
+  }
+
+  test("ivfReassign rotates the stored index onto a retrained quantizer without a corpus rescan") {
+    val all = bigEmb(48)
+    val qA = cents(all, 4)
+    val base = java.nio.file.Files.createTempDirectory("ivfr").toString
+    val state = s"$base/state"
+    (0 until 3).foreach { b =>
+      Similarity.ivfFoldInto(spark, state,
+        all.filter($"vec_id" % 3 === b), "vec_id", "embedding", qA, Some(b.toLong), nBuckets = 8)
+    }
+    // retrain: 6 centroids — folding against it refuses (digest guard)
+    val qB = cents(all, 6)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfFoldInto(spark, state,
+        all.filter($"vec_id" === 1L), "vec_id", "embedding", qB, Some(3L), nBuckets = 8)
+    }
+    // the migration: one pass over the STATE, sidecar rotates
+    Similarity.ivfReassign(spark, state, qB, "vec_id", "embedding", nBuckets = 8)
+    val fresh = Similarity.prepareIvfIndexWith(all, "vec_id", "embedding", qB).assigned
+      .select("id", "cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq == fresh)
+    // folds against the NEW quantizer now pass; the OLD one refuses;
+    // the watermark survived the rotation (batch 2 replays as a no-op)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfFoldInto(spark, state,
+        all.filter($"vec_id" === 1L), "vec_id", "embedding", qA, Some(3L), nBuckets = 8)
+    }
+    val before = spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq
+    Similarity.ivfFoldInto(spark, state,
+      all.filter($"vec_id" === 1L), "vec_id", "embedding", qB, Some(2L), nBuckets = 8)
+    assert(spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq == before, "replayed batch skips")
+    // and serving off the rotated state matches a fresh index
+    val queries = all.filter($"vec_id" % 10 === 0)
+    val servedRot = Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+      Similarity.IvfIndex(qB, spark.read.parquet(state)), nProbe = 2, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val servedFresh = Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+      Similarity.prepareIvfIndexWith(all, "vec_id", "embedding", qB), nProbe = 2, k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(servedRot == servedFresh && servedRot.nonEmpty)
   }
 
   test("ivfFoldInto: a drifted or retrained quantizer fails loudly, not silently corrupts") {

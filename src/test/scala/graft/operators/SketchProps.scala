@@ -176,6 +176,34 @@ class SketchProps extends SparkSpec {
     assert(build() == build())
   }
 
+  test("chainCombine's periodic cut is bit-invisible: cut chains equal uncut chains") {
+    // the depth-insurance contract: Reliability.cut materializes the
+    // bounded state and restarts the plan, but the VALUES are exactly
+    // the foldLeft's — for both the quantile and the k-minima algebra,
+    // at a cut cadence (2) that fires mid-chain, twice, over 6 legs
+    val vals = (0 until 900).map(i => (s"g${i % 3}", (i * 41 % 173).toLong))
+    val qLegs = (0 until 6).map(b => Sketch.qsSummarize(
+      vals.zipWithIndex.filter(_._2 % 6 == b).map(_._1).toDF("grp", "v"),
+      "v", "grp", 12, seed = 7, salts = 3, single = true))
+    def qKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "value", "w", "carry").as[(String, Long, Long, Long)]
+        .collect().sorted.toSeq
+    val qCombine = (a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      Sketch.qsCombine(a, b, "grp", 12, single = true)
+    assert(qKey(Sketch.chainCombine(qLegs, qCombine, cutEvery = 2)) ==
+      qKey(qLegs.reduce(qCombine)))
+    val toks = (0 until 900).map(i => (s"g${i % 2}", s"tok${i * 13 % 301}"))
+    val kLegs = (0 until 6).map(b => Sketch.kmvMinima(
+      toks.zipWithIndex.filter(_._2 % 6 == b).map(_._1).toDF("grp", "t"),
+      "t", "grp", seed = 3, k = 16))
+    def kKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "h").as[(String, Long)].collect().sorted.toSeq
+    val kCombine = (a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      Sketch.kmvCombine(a, b, "grp", 16)
+    assert(kKey(Sketch.chainCombine(kLegs, kCombine, cutEvery = 2)) ==
+      kKey(kLegs.reduce(kCombine)))
+  }
+
   test("the single-partition quantile fold path is bit-equal and plans fewer exchanges") {
     // single = true changes ONLY the physical placement of the bounded
     // state (repartition(1) after the distributed local prune, narrow
