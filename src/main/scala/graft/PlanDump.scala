@@ -76,7 +76,8 @@ object PlanDump {
     "t30_user_quantiles",    // single=false fold stays hash-partitioned: no single-partition exchange
     "st09_stream_distinct",  // windowed KMV: one bounded-blob agg per window, estimate read off the sketch
     "d10_kmv_maintenance",   // 4-batch k-minima fold == whole-corpus build; every fold stage ≤ 2k rows/group
-    "s16_ivf_incremental"    // 4-batch posting fold == whole-corpus assignment; quantizer broadcast per batch, corpus cut once
+    "s16_ivf_incremental",   // 4-batch posting fold == whole-corpus assignment; quantizer broadcast per batch, corpus cut once
+    "s17_pq_incremental"     // 4-batch code fold == whole-corpus encode; codebook broadcast per batch, last fold retires deletes
   )
 
   def main(args: Array[String]): Unit = {

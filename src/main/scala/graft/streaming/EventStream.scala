@@ -670,6 +670,42 @@ object EventStream {
       .start()
   }
 
+  /** Maintained STORED PQ encoded corpus fed by a stream — the PQ
+    * sibling of [[ivfRollupSink]], completing the streaming-sink
+    * matrix for BOTH maintained-index families: every micro-batch
+    * encodes against the FROZEN codebook and folds its (cand_id, sub,
+    * code) rows via [[graft.operators.Quantize.pqFoldInto]]
+    * (bucket-partitioned state, applied-batch watermark, `.pq-params`
+    * codebook-digest guard) under the shared [[guardStreamIdentity]]
+    * pairing guard. Encoding is deterministic, so the stored codes
+    * after any crash/restart sequence are bit-identical to the clean
+    * batch fold (spec-gated beside the IVF sink), and
+    * `PqIndex(codebook, <state>, nSub, subDim)` serves ADC queries
+    * off the state directly. */
+  def pqRollupSink(
+      vectors: DataFrame,
+      statePath: String,
+      checkpointDir: String,
+      idCol: String,
+      vecCol: String,
+      codebook: DataFrame,
+      nSub: Int,
+      subDim: Int,
+      nBuckets: Int = 64): StreamingQuery = {
+    guardStreamIdentity(vectors.sparkSession, statePath, checkpointDir, "pqRollupSink")
+    vectors.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quantize.pqFoldInto(
+          batch.sparkSession, statePath, batch, idCol, vecCol, codebook,
+          nSub, subDim, Some(batchId), nBuckets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** CDC upsert sink: maintain a keep-latest-per-key parquet table from
     * a stream via foreachBatch + the engine upsert (ST1/ST3/ST4). */
   def upsertSink(events: DataFrame, tablePath: String, checkpointDir: String): StreamingQuery =

@@ -98,4 +98,45 @@ class IvfRollupSinkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ivfRollupSink") && e.getMessage.contains("checkpoint"))
   }
+
+  test("PQ sink: restarts + replay ≡ clean batch fold ≡ whole-corpus encode; serves ADC directly") {
+    import graft.operators.Quantize
+    val base = java.nio.file.Files.createTempDirectory("pqsink").toString
+    val in = s"$base/in"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val corpus = vecs(0 until 60)
+    val cb = Quantize.pqCodebook(corpus, "vec_id", "embedding", 2, 2, 6)
+    def sink() = EventStream.pqRollupSink(
+      EventStream.readEvents(spark, in, schema), state, ckpt,
+      "vec_id", "embedding", cb, nSub = 2, subDim = 2, nBuckets = 8)
+    def rows(path: String) = spark.read.parquet(path).select("cand_id", "sub", "code")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val t0 = System.currentTimeMillis() - 60000
+
+    land(in, "b0.parquet", t0, 0 until 30)
+    sink().awaitTermination(60000)
+    // restart with a new file, then the injected replay
+    land(in, "b1.parquet", t0 + 1000, 30 until 60)
+    sink().awaitTermination(60000)
+    val beforeReplay = rows(state)
+    Quantize.pqFoldInto(spark, state, vecs(30 until 60),
+      "vec_id", "embedding", cb, 2, 2, Some(1L), nBuckets = 8)
+    assert(rows(state) == beforeReplay, "replayed batch must not re-fold")
+
+    val whole = Quantize.pqEncode(corpus, "vec_id", "embedding", 2, 2, 6)
+      .select($"vec_id".as("cand_id"), $"sub", $"code")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(rows(state) == whole, "streamed fold == whole-corpus encode, bit for bit")
+
+    // the streamed state IS the ADC serving index
+    val queries = corpus.filter($"vec_id" % 9 === 0)
+    val servedStream = Quantize.pqAdcTopKIndexed(queries, "vec_id", "embedding",
+      Quantize.PqIndex(cb, spark.read.parquet(state)
+        .select($"cand_id", $"sub", $"code"), 2, 2), k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val servedFresh = Quantize.pqAdcTopKIndexed(queries, "vec_id", "embedding",
+      Quantize.preparePqIndex(corpus, "vec_id", "embedding", 2, 2, 6), k = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(servedStream == servedFresh && servedStream.nonEmpty)
+  }
 }
