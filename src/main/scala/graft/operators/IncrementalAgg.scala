@@ -347,9 +347,15 @@ object IncrementalAgg {
         (d.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq ++
           extraTouched).distinct
       if (!exists) {
-        // bootstrap = the flat protocol: tmp + marker + one rename
+        // bootstrap = the flat protocol: tmp + marker + one rename.
+        // The very first batch still folds THROUGH the combine —
+        // against an empty state (the Upsert bootstrap convention) —
+        // because the combine may carry semantics beyond the merge
+        // (ivfAppend's delete retirement applies to the delta too);
+        // writing the raw delta would silently skip them on batch 0.
         val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
-        d.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
+        combine(d.filter(lit(false)), d)
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
         batchId.foreach { id =>
           val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerFile), true)
           try out.write(id.toString.getBytes("UTF-8")) finally out.close()
