@@ -165,25 +165,7 @@ object IncrementalAgg {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(statePath)
     val f = new org.apache.hadoop.fs.Path(statePath + suffix)
-    val tmpComplete = fs.exists(
-      new org.apache.hadoop.fs.Path(statePath + TmpSuffix + "/_SUCCESS"))
-    val stateEmpty = !(fs.exists(path) && fs.listStatus(path).nonEmpty)
-    def anySidecar: Boolean = {
-      val parent = path.getParent
-      // files only: dotted sibling DIRECTORIES (checkpoints, backups,
-      // temp dirs) are not sidecars — see the scaladoc hazard note
-      parent != null && fs.exists(parent) && fs.listStatus(parent).exists { st =>
-        st.isFile && st.getPath.getName.startsWith(path.getName + ".")
-      }
-    }
-    require(!(tmpComplete && stateEmpty && !anySidecar),
-      s"$who: $statePath$TmpSuffix holds a complete state but no sidecar of any kind " +
-        s"claims it and $statePath is empty — this looks like a reset (state dir + " +
-        s"sidecars deleted) that left a stale complete temp dir behind, and recovering " +
-        s"it under the new identity [$identity] would silently resurrect the old, " +
-        s"deliberately-deleted state. Delete $statePath$TmpSuffix to really start " +
-        s"fresh — or, if this temp dir is a crash-interrupted swap of a never-guarded " +
-        s"state you need back, rename it to $statePath yourself and re-run.")
+    refuseResetResurrection(spark, statePath, who)
     // a swap-window crash must not read as "fresh state"
     recoverInterruptedSwap(fs, statePath)
     val stateLive = fs.exists(path) && fs.listStatus(path).nonEmpty
@@ -225,17 +207,6 @@ object IncrementalAgg {
       batchId: Option[Long] = None): DataFrame =
     foldState(spark, statePath, partial(batch, spec), combine(_, _, spec), batchId)
 
-  /** The state-maintenance machinery of [[update]] with the aggregate
-    * algebra abstracted out — any mergeable state (this rollup's
-    * partials, [[Sketch.qsFoldInto]]'s quantile summaries) folds one
-    * batch delta into a stored parquet state with the SAME guarantees:
-    * the new state materializes to a temp dir first (the combine plan
-    * reads the old state lazily), the applied-batch marker commits
-    * atomically WITH the state via one rename, a `batchId` ≤ the
-    * recorded watermark short-circuits to the existing state (replay
-    * idempotence for checkpointed `foreachBatch` callers), and both
-    * failure modes are loud. `combine(state, delta)` must be the
-    * algebra's merge; `delta` is evaluated lazily inside the fold. */
   private val TmpPartSuffix = ".tmp-incpart"
 
   /** Crash recovery for [[foldStatePartitioned]]'s per-partition swap
@@ -284,6 +255,82 @@ object IncrementalAgg {
     completeInterruptedPartitionSwap(fs, statePath)
   }
 
+  /** The reset-resurrection refusal extracted from
+    * [[guardStateIdentity]] so that state-rewriting entry points that
+    * do NOT mint an identity (`Similarity.ivfReassign`) can refuse the
+    * same shape BEFORE their heal would rename a stale temp into
+    * place — see guardStateIdentity's scaladoc for the full hazard
+    * analysis. */
+  private[operators] def refuseResetResurrection(
+      spark: SparkSession,
+      statePath: String,
+      who: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(statePath)
+    val tmpComplete = fs.exists(
+      new org.apache.hadoop.fs.Path(statePath + TmpSuffix + "/_SUCCESS"))
+    val stateEmpty = !(fs.exists(path) && fs.listStatus(path).nonEmpty)
+    def anySidecar: Boolean = {
+      val parent = path.getParent
+      // files only: dotted sibling DIRECTORIES (checkpoints, backups,
+      // temp dirs) are not sidecars — see guardStateIdentity's doc
+      parent != null && fs.exists(parent) && fs.listStatus(parent).exists { st =>
+        st.isFile && st.getPath.getName.startsWith(path.getName + ".")
+      }
+    }
+    require(!(tmpComplete && stateEmpty && !anySidecar),
+      s"$who: $statePath$TmpSuffix holds a complete state but no sidecar of any kind " +
+        s"claims it and $statePath is empty — this looks like a reset (state dir + " +
+        s"sidecars deleted) that left a stale complete temp dir behind, and recovering " +
+        s"it would silently resurrect the old, deliberately-deleted state. Delete " +
+        s"$statePath$TmpSuffix to really start fresh — or, if this temp dir is a " +
+        s"crash-interrupted swap of a never-guarded state you need back, rename it to " +
+        s"$statePath yourself and re-run.")
+  }
+
+  /** True when the state dir holds at least one partition directory —
+    * the partitioned protocol's "has data" test. A dir carrying only
+    * its root `_SUCCESS`/marker files is a legitimate EMPTY state (a
+    * delete fold can retire every posting) but is unreadable by
+    * parquet schema inference, so the fold paths below substitute the
+    * delta's empty frame for it instead of calling [[read]]. */
+  private def stateHasData(
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(statePath)
+    fs.exists(path) && fs.listStatus(path).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+  }
+
+  /** Atomically (re)write the applied-batch marker INSIDE a live state
+    * dir: tmp file + delete + rename, so a crash can only leave the
+    * marker absent (replay re-applies — idempotent by the partitioned
+    * protocol's contract), never torn (a zero-length marker would make
+    * [[appliedBatchId]] throw on every subsequent entry). The flat
+    * protocol doesn't need this — its marker commits with the state in
+    * one dir rename. */
+  private def writeMarkerAtomic(
+      fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String,
+      id: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(statePath, MarkerFile + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(statePath, MarkerFile)
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst) && !fs.delete(dst, false))
+      throw new java.io.IOException(s"marker swap: failed to delete stale $dst")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"marker swap: failed to rename $tmp -> $dst")
+  }
+
+  /** Distinct bucket values of a key column under `pmod(key,
+    * nBuckets)` — the extraTouched computation shared by the delete
+    * paths of the bucketed index folds ([[foldStatePartitioned]]
+    * callers). One bounded collect (≤ nBuckets values). */
+  private[operators] def keyBuckets(ids: DataFrame, keyCol: String, nBuckets: Int): Seq[Any] =
+    ids.select(pmod(col(keyCol), lit(nBuckets)).cast("int").as("pbucket"))
+      .distinct().collect().map(_.get(0)).toSeq
+
   /** [[foldState]] for CORPUS-SIZED state: the stored table is
     * partitioned on `partitionCol` and a fold rewrites ONLY the
     * partitions the delta (plus `extraTouched`) lands in — write I/O
@@ -296,36 +343,50 @@ object IncrementalAgg {
     * partition-scoped, applied to the fold/watermark machinery.
     *
     * Guarantees, and how they differ from the flat protocol:
-    *  - BOOTSTRAP (no live state) is the flat protocol exactly: the
-    *    delta materializes to the `.tmp-incagg` dir, the marker is
-    *    written INTO it, one rename commits both — so
-    *    [[recoverInterruptedSwap]] and [[guardStateIdentity]]'s
+    *  - BOOTSTRAP (no state dir) is the flat protocol exactly: the
+    *    first batch folds THROUGH the combine against an empty state
+    *    (the Upsert bootstrap convention — the combine may carry
+    *    semantics beyond the merge, e.g. ivfAppend retiring delete
+    *    ids from the delta itself), materializes to the `.tmp-incagg`
+    *    dir, the marker is written INTO it, one rename commits both —
+    *    so [[recoverInterruptedSwap]] and [[guardStateIdentity]]'s
     *    reset-resurrection refusal cover a bootstrap crash unchanged.
+    *    An all-empty bootstrap (no delta rows, nothing to retire)
+    *    creates NO state — the next data-carrying fold bootstraps.
     *  - INCREMENTAL folds write the touched partitions to a separate
     *    `.tmp-incpart` dir (never renamed wholesale — it holds only a
     *    SLICE of the state), swap them in per-partition directory
-    *    rename, and write the applied-batch marker LAST. A crash
-    *    anywhere in that window leaves the marker at the previous
-    *    batch, so the replay re-applies the whole delta — which is
-    *    why `combine` here MUST be idempotent on a re-applied delta
-    *    (keep-latest upserts and delete retirements are; additive
-    *    algebras like [[combine]]'s sums are NOT — those stay on
-    *    [[foldState]], whose swap commits state and marker in one
-    *    rename). Re-application converges per partition: an
-    *    already-swapped partition merged with the same delta yields
-    *    itself.
+    *    rename, and write the applied-batch marker LAST (atomically —
+    *    [[writeMarkerAtomic]]). A crash anywhere in that window
+    *    leaves the marker at the previous batch, so the replay
+    *    re-applies the whole delta — which is why `combine` here MUST
+    *    be idempotent on a re-applied delta (keep-latest upserts and
+    *    delete retirements are; additive algebras like [[combine]]'s
+    *    sums are NOT — those stay on [[foldState]], whose swap commits
+    *    state and marker in one rename). Re-application converges per
+    *    partition: an already-swapped partition merged with the same
+    *    delta yields itself.
     *  - The partition column should be a pure function of the merge
     *    KEY (an id bucket), so a re-ingested key can never move
     *    partitions and "touched" is exactly the delta's buckets — no
     *    stale-partition tracking, no keymap.
+    *  - A state whose rows are ALL retired (a delete fold covering
+    *    everything) keeps its dir, marker and identity but holds no
+    *    partition directories; the fold paths treat that shape as an
+    *    empty state of the delta's schema and later folds repopulate
+    *    it. External readers of a fully-empty index fail loudly on
+    *    parquet schema inference — the honest signal that there is
+    *    nothing to serve.
     *
-    * `extraTouched` adds partitions the delta's rows alone don't
-    * reveal (e.g. the buckets of a delete-id set, which contributes
-    * no delta rows but must have its postings retired). A touched
-    * partition whose merged result is EMPTY is removed, not left
-    * stale. The delta is cached for the fold's duration — it is read
-    * twice (touched discovery + the merge) and recomputing a
-    * broadcast-assignment batch twice is the costlier alternative. */
+    * `extraTouched` (by-name, evaluated only when a fold actually
+    * runs — a replayed batch never pays for it) adds partitions the
+    * delta's rows alone don't reveal (e.g. the buckets of a delete-id
+    * set, which contributes no delta rows but must have its postings
+    * retired). A touched partition whose merged result is EMPTY is
+    * removed, not left stale. The delta is cached for the fold's
+    * duration — it is read twice (touched discovery + the merge) and
+    * recomputing a broadcast-assignment batch twice is the costlier
+    * alternative. */
   def foldStatePartitioned(
       spark: SparkSession,
       statePath: String,
@@ -333,29 +394,36 @@ object IncrementalAgg {
       partitionCol: String,
       combine: (DataFrame, DataFrame) => DataFrame,
       batchId: Option[Long] = None,
-      extraTouched: Seq[Any] = Nil): DataFrame = {
+      extraTouched: => Seq[Any] = Nil): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedSwap(fs, statePath) // a bootstrap-swap crash has the flat shape
     completeInterruptedPartitionSwap(fs, statePath)
     val path = new org.apache.hadoop.fs.Path(statePath)
-    val exists = fs.exists(path) && fs.listStatus(path).nonEmpty
-    if (batchId.exists(_ <= appliedBatchId(spark, statePath)) && exists)
-      return read(spark, statePath) // replayed batch: already folded in
+    val dirExists = fs.exists(path) && fs.listStatus(path).nonEmpty
+    def current(): DataFrame =
+      if (stateHasData(fs, statePath)) read(spark, statePath)
+      else delta.filter(lit(false)) // empty state: the delta's schema IS the state schema
+    if (batchId.exists(_ <= appliedBatchId(spark, statePath)) && dirExists)
+      return current() // replayed batch: already folded in
     val d = delta.cache()
     try {
-      val touched =
-        (d.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq ++
-          extraTouched).distinct
-      if (!exists) {
-        // bootstrap = the flat protocol: tmp + marker + one rename.
-        // The very first batch still folds THROUGH the combine —
-        // against an empty state (the Upsert bootstrap convention) —
-        // because the combine may carry semantics beyond the merge
-        // (ivfAppend's delete retirement applies to the delta too);
-        // writing the raw delta would silently skip them on batch 0.
+      val deltaBuckets = d.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq
+      val touched = (deltaBuckets ++ extraTouched).distinct
+      if (!dirExists) {
+        if (touched.isEmpty) return current() // nothing to fold, nothing to retire
         val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
         combine(d.filter(lit(false)), d)
           .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp.toString)
+        // a bootstrap whose folded content is EMPTY (a delete-only
+        // batch, or a batch fully retired by its own delete set) must
+        // not commit: an empty partitioned dir has no readable schema
+        // and would poison the path. No state, no watermark — the
+        // replay recomputes the same empty no-op.
+        if (!fs.listStatus(tmp).exists(st =>
+            st.isDirectory && st.getPath.getName.contains("="))) {
+          fs.delete(tmp, true)
+          return current()
+        }
         batchId.foreach { id =>
           val out = fs.create(new org.apache.hadoop.fs.Path(tmp, MarkerFile), true)
           try out.write(id.toString.getBytes("UTF-8")) finally out.close()
@@ -364,32 +432,39 @@ object IncrementalAgg {
           throw new java.io.IOException(s"incremental-agg bootstrap: failed to delete empty $path")
         if (!fs.rename(tmp, path))
           throw new java.io.IOException(s"incremental-agg bootstrap: failed to rename $tmp -> $path")
-        return read(spark, statePath)
+        return current()
       }
-      if (touched.isEmpty) { // empty delta, nothing to retire
-        batchId.foreach { id =>
-          val out = fs.create(new org.apache.hadoop.fs.Path(path, MarkerFile), true)
-          try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-        }
-        return read(spark, statePath)
+      if (touched.isEmpty) { // empty delta: a watermark-only fold
+        batchId.foreach(writeMarkerAtomic(fs, statePath, _))
+        return current()
       }
       // read ONLY the touched slice of the state (partition pruning),
       // merge, write the new slice, swap per-partition, marker last
-      val statePart = read(spark, statePath)
-        .filter(Upsert.partitionFilter(partitionCol, touched))
+      val statePart =
+        if (stateHasData(fs, statePath))
+          read(spark, statePath).filter(Upsert.partitionFilter(partitionCol, touched))
+        else d.filter(lit(false)) // all rows previously retired
       val next = combine(statePart, d)
       val tmp = statePath + TmpPartSuffix
       next.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
       Upsert.swapPartitions(fs, statePath, tmp, partitionCol, touched)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      batchId.foreach { id =>
-        val out = fs.create(new org.apache.hadoop.fs.Path(path, MarkerFile), true)
-        try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-      }
-      read(spark, statePath)
+      batchId.foreach(writeMarkerAtomic(fs, statePath, _))
+      current()
     } finally d.unpersist()
   }
 
+  /** The state-maintenance machinery of [[update]] with the aggregate
+    * algebra abstracted out — any mergeable state (this rollup's
+    * partials, [[Sketch.qsFoldInto]]'s quantile summaries) folds one
+    * batch delta into a stored parquet state with the SAME guarantees:
+    * the new state materializes to a temp dir first (the combine plan
+    * reads the old state lazily), the applied-batch marker commits
+    * atomically WITH the state via one rename, a `batchId` ≤ the
+    * recorded watermark short-circuits to the existing state (replay
+    * idempotence for checkpointed `foreachBatch` callers), and both
+    * failure modes are loud. `combine(state, delta)` must be the
+    * algebra's merge; `delta` is evaluated lazily inside the fold. */
   def foldState(
       spark: SparkSession,
       statePath: String,

@@ -220,41 +220,38 @@ object Quantize {
       s"codebook=${codebookDigest(codebook)};id=$idCol;vec=$vecCol;" +
         s"nsub=$nSub;subdim=$subDim;buckets=$nBuckets",
       "pqFoldInto")
-    val delIds = deletes.map(_.select(col(idCol).cast("long").as("cand_id")))
+    // cached + by-name buckets: the ivfFoldInto conventions (the
+    // delete frame feeds the bucket collect and two anti-joins; a
+    // replayed batch never pays the collect)
+    val delIds = deletes.map(_.select(col(idCol).cast("long").as("cand_id")).cache())
     val delta = pqEncodeWith(batch, idCol, vecCol, codebook, nSub, subDim)
       .select(col(idCol).as("cand_id"), col("sub"), col("code"))
       .withColumn("pbucket", pmod(col("cand_id"), lit(nBuckets)).cast("int"))
-    val deleteBuckets: Seq[Any] = delIds match {
-      case Some(ids) =>
-        ids.select(pmod(col("cand_id"), lit(nBuckets)).cast("int").as("pbucket"))
-          .distinct().collect().map(_.get(0)).toSeq
-      case None => Nil
-    }
-    IncrementalAgg.foldStatePartitioned(
-      spark, statePath, delta, "pbucket",
-      (state, d) => pqAppend(state, d, delIds),
-      batchId, deleteBuckets)
+    try
+      IncrementalAgg.foldStatePartitioned(
+        spark, statePath, delta, "pbucket",
+        (state, d) => pqAppend(state, d, delIds),
+        batchId,
+        delIds.map(IncrementalAgg.keyBuckets(_, "cand_id", nBuckets)).getOrElse(Nil))
+    finally delIds.foreach(_.unpersist())
   }
 
   /** Content digest of a (sub, cid, cv) codebook: sha-256 over the
     * (sub, cid)-sorted rows with elements normalized to double (the
     * [[Similarity]] centroid-digest convention), truncated to 16 hex
-    * chars; memoized weakly per codebook instance for fold loops. */
-  private val cbDigestCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[DataFrame, String]())
-
-  private def codebookDigest(codebook: DataFrame): String =
-    cbDigestCache.computeIfAbsent(codebook, cb => {
-      val rows = cb.select(
-          col("sub").cast("long"), col("cid").cast("long"), col("cv").cast("array<double>"))
-        .collect()
-        .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2).mkString(",")))
-        .sortBy(_._1)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      rows.foreach { case ((s, c), v) => md.update(s"$s:$c:$v;".getBytes("UTF-8")) }
-      md.digest().map("%02x".format(_)).mkString.take(16)
-    })
+    * chars. Recomputed per fold, never memoized per instance — see
+    * `Similarity.centroidDigest` for why a cached digest can mask a
+    * re-evaluating source's drift. */
+  private def codebookDigest(codebook: DataFrame): String = {
+    val rows = codebook.select(
+        col("sub").cast("long"), col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2).mkString(",")))
+      .sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { case ((s, c), v) => md.update(s"$s:$c:$v;".getBytes("UTF-8")) }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
 
   /** Serve an ADC query batch from a stored [[PqIndex]]: queries build
     * their codeword distance tables against the broadcast codebook

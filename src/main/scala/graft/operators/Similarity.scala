@@ -370,20 +370,21 @@ object Similarity {
       spark, statePath, ".ivf-params",
       s"quantizer=${centroidDigest(cents)};id=$idCol;vec=$vecCol;buckets=$nBuckets",
       "ivfFoldInto")
-    val delIds = deletes.map(_.select(col(idCol).cast("long").as("id")))
+    // cached: the delete frame is read by the bucket collect AND the
+    // combine's two anti-joins, and may itself be an expensive query
+    // (the d08 non-canonical drop); released when the fold returns
+    val delIds = deletes.map(_.select(col(idCol).cast("long").as("id")).cache())
     val delta = prepareIvfIndexWith(batch, idCol, vecCol, cents).assigned
       .withColumn("pbucket", pmod(col("id"), lit(nBuckets)).cast("int"))
-    // delete-only buckets contribute no delta rows but must be rewritten
-    val deleteBuckets: Seq[Any] = delIds match {
-      case Some(ids) =>
-        ids.select(pmod(col("id"), lit(nBuckets)).cast("int").as("pbucket"))
-          .distinct().collect().map(_.get(0)).toSeq
-      case None => Nil
-    }
-    IncrementalAgg.foldStatePartitioned(
-      spark, statePath, delta, "pbucket",
-      (state, d) => ivfAppend(state, d, delIds),
-      batchId, deleteBuckets)
+    try
+      IncrementalAgg.foldStatePartitioned(
+        spark, statePath, delta, "pbucket",
+        (state, d) => ivfAppend(state, d, delIds),
+        batchId,
+        // by-name: delete-only buckets contribute no delta rows but
+        // must be rewritten; a replayed batch never pays this collect
+        delIds.map(IncrementalAgg.keyBuckets(_, "id", nBuckets)).getOrElse(Nil))
+    finally delIds.foreach(_.unpersist())
   }
 
   /** Rotate a STORED inverted file onto a RETRAINED quantizer in one
@@ -416,6 +417,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nBuckets: Int = 64): DataFrame = {
+    // the reset-resurrection shape must refuse HERE too: healState's
+    // recovery would otherwise rename a stale post-reset temp into
+    // place, the absent sidecar would pass the forall below, and the
+    // reassign would re-bless the deliberately-deleted state under a
+    // freshly minted identity
+    IncrementalAgg.refuseResetResurrection(spark, statePath, "ivfReassign")
     IncrementalAgg.healState(spark, statePath)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tail = s";id=$idCol;vec=$vecCol;buckets=$nBuckets"
@@ -424,6 +431,11 @@ object Similarity {
       s"ivfReassign: stored state at $statePath was built with [${stored.getOrElse("")}] " +
         s"but this reassign uses [...$tail] — id/vec/bucket layout must match; only the " +
         "quantizer may change.")
+    if (stored.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ivfReassign: no .ivf-params sidecar claims the state at $statePath — " +
+          "reassigning a never-guarded state adopts the new quantizer's identity; " +
+          "verify against a from-scratch rebuild if in doubt.")
     val path = new org.apache.hadoop.fs.Path(statePath)
     require(fs.exists(path) && fs.listStatus(path).nonEmpty,
       s"ivfReassign: no state at $statePath — nothing to reassign")
@@ -459,24 +471,23 @@ object Similarity {
     * identically. The element type is normalized to double BEFORE
     * formatting — an array<double> quantizer would otherwise collect
     * under erasure without error yet format differently than its
-    * float twin, digesting two identical quantizers unequal. Digests
-    * are memoized per quantizer DataFrame instance (weakly, so the
-    * cache never outlives the plan), because a fold loop re-presents
-    * the same quantizer object on every batch and the collect —
-    * bounded but a driver round trip — is pure given the instance. */
-  private val digestCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[DataFrame, String]())
-
-  private[operators] def centroidDigest(cents: DataFrame): String =
-    digestCache.computeIfAbsent(cents, c => {
-      val rows = c.select(col("cid").cast("long"), col("cvec").cast("array<double>")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).mkString(",")))
-        .sortBy(_._1)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      rows.foreach { case (cid, v) => md.update(s"$cid:$v;".getBytes("UTF-8")) }
-      md.digest().map("%02x".format(_)).mkString.take(16)
-    })
+    * float twin, digesting two identical quantizers unequal.
+    * Deliberately NOT memoized per DataFrame instance: a plan over a
+    * re-evaluating source (a JDBC relation, a refreshed table) can
+    * return different rows from the same instance, and a cached digest
+    * would keep matching the sidecar while the assignment pass reads
+    * the DRIFTED rows — the exact silent mixing the guard exists to
+    * refuse. The collect is bounded (nCentroids rows) and the
+    * quantizer is broadcast-collected on every assignment pass
+    * anyway. */
+  private[operators] def centroidDigest(cents: DataFrame): String = {
+    val rows = cents.select(col("cid").cast("long"), col("cvec").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).mkString(",")))
+      .sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { case (cid, v) => md.update(s"$cid:$v;".getBytes("UTF-8")) }
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
 
   /** Shared IVF search core: assignment, probe selection, and cell
     * search against a given (cid, cvec, cnrm) quantizer. */

@@ -8,6 +8,25 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** (relative file path -> byte length) of every data file under a
+    * stored-state dir — the fold-write-footprint probe shared by the
+    * partitioned-fold specs: an UNTOUCHED bucket's files keep their
+    * exact paths and sizes across a fold; a rewritten bucket's files
+    * change names (new job UUIDs). */
+  protected def stateFiles(state: String): Map[String, Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(state), true)
+    val out = scala.collection.mutable.Map[String, Long]()
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(state)).toString)
+      if (!rel.contains("_SUCCESS") && !rel.contains("_applied_batch"))
+        out(rel) = st.getLen
+    }
+    out.toMap
+  }
 }
 
 object SparkSpec {

@@ -73,6 +73,82 @@ class FoldStatePartitionedProps extends SparkSpec {
     }
   }
 
+  test("an all-empty first batch creates no state; the next data fold bootstraps cleanly") {
+    // an empty partitioned parquet write produces a schema-less dir
+    // (only _SUCCESS), which would permanently poison the state path —
+    // the fold must decline to create state from nothing instead
+    val all = emb(20, 9)
+    val q = cents(all, 4)
+    val state = java.nio.file.Files.createTempDirectory("ivfempty").toString + "/state"
+    val out = Similarity.ivfFoldInto(spark, state,
+      all.filter(lit(false)), "vec_id", "embedding", q, Some(0L), nBuckets = 8)
+    assert(out.count() == 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state)),
+      "an all-empty bootstrap must not create a state dir")
+    // delete-only against nonexistent state is likewise a no-op
+    Similarity.ivfFoldInto(spark, state, all.filter(lit(false)),
+      "vec_id", "embedding", q, Some(1L), nBuckets = 8,
+      deletes = Some(Seq(3L).toDF("vec_id")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state)))
+    // the next data-carrying fold bootstraps and is fully usable
+    Similarity.ivfFoldInto(spark, state, all, "vec_id", "embedding", q,
+      Some(2L), nBuckets = 8)
+    assert(spark.read.parquet(state).count() == 20)
+  }
+
+  test("a delete fold retiring EVERY posting leaves a usable empty state that refills") {
+    val all = emb(16, 13)
+    val q = cents(all, 4)
+    val state = java.nio.file.Files.createTempDirectory("ivfall").toString + "/state"
+    Similarity.ivfFoldInto(spark, state, all, "vec_id", "embedding", q,
+      Some(0L), nBuckets = 4)
+    // retire everything: the state keeps its dir/marker/identity but
+    // holds no partition dirs; the fold must return empty, not throw
+    val wiped = Similarity.ivfFoldInto(spark, state, all.filter(lit(false)),
+      "vec_id", "embedding", q, Some(1L), nBuckets = 4,
+      deletes = Some(all.select($"vec_id")))
+    assert(wiped.count() == 0)
+    assert(IncrementalAgg.appliedBatchId(spark, state) == 1L, "deletion committed")
+    // replay of the wipe short-circuits (returns the empty state)
+    assert(Similarity.ivfFoldInto(spark, state, all.filter(lit(false)),
+      "vec_id", "embedding", q, Some(1L), nBuckets = 4,
+      deletes = Some(all.select($"vec_id"))).count() == 0)
+    // and the state refills from later folds, gate-equal to a rebuild
+    Similarity.ivfFoldInto(spark, state, all.filter($"vec_id" < 10),
+      "vec_id", "embedding", q, Some(2L), nBuckets = 4)
+    val expect = Similarity.prepareIvfIndexWith(
+      all.filter($"vec_id" < 10), "vec_id", "embedding", q).assigned
+      .select("id", "cluster").as[(Long, Long)].collect().sorted.toSeq
+    assert(spark.read.parquet(state).select("id", "cluster")
+      .as[(Long, Long)].collect().sorted.toSeq == expect)
+  }
+
+  test("ivfReassign refuses the reset-resurrection shape instead of re-blessing deleted state") {
+    val all = emb(20, 17)
+    val q = cents(all, 4)
+    val base = java.nio.file.Files.createTempDirectory("ivfres").toString
+    val state = s"$base/state"
+    Similarity.ivfFoldInto(spark, state, all, "vec_id", "embedding", q,
+      Some(0L), nBuckets = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // fabricate the post-reset shape: a stale complete flat tmp, state
+    // dir and ALL sidecars deleted (the drift-refusal remedy)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + ".tmp-incagg")))
+    fs.listStatus(new org.apache.hadoop.fs.Path(base)).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("state."))
+        fs.delete(st.getPath, false)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfReassign(spark, state, cents(all, 6), "vec_id", "embedding", nBuckets = 4)
+    }
+    assert(e.getMessage.contains("ivfReassign") && e.getMessage.contains("resurrect"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state)),
+      "the refusal must not resurrect the state (retry-safe)")
+  }
+
   test("random maintenance histories: stored PQ fold == re-encode of survivors (2 seeds)") {
     for (seed <- Seq(5, 7)) {
       val rnd = new scala.util.Random(seed * 31)

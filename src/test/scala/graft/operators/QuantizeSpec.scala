@@ -132,21 +132,6 @@ class QuantizeSpec extends SparkSpec {
       (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
   }
 
-  /** (relative path -> byte length) of a state dir's data files — the
-    * fold-write-footprint probe (the SimilaritySpec convention). */
-  private def stateFiles(state: String): Map[String, Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(state), true)
-    val out = scala.collection.mutable.Map[String, Long]()
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toString.stripPrefix(
-        fs.makeQualified(new org.apache.hadoop.fs.Path(state)).toString)
-      if (!rel.contains("_SUCCESS") && !rel.contains("_applied_batch"))
-        out(rel) = st.getLen
-    }
-    out.toMap
-  }
 
   test("pqAppend: a fold over any batch split equals the whole-corpus encode") {
     val all = pqEmb(40)

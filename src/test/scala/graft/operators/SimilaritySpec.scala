@@ -230,23 +230,6 @@ class SimilaritySpec extends SparkSpec {
     assert(servedFolded == servedFresh && servedFolded.nonEmpty)
   }
 
-  /** (relative file path -> byte length) of every data file under a
-    * state dir — the fold-write-footprint probe: an UNTOUCHED bucket's
-    * files keep their exact paths and sizes across a fold, a rewritten
-    * bucket's files change names (new job UUIDs). */
-  private def stateFiles(state: String): Map[String, Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(state), true)
-    val out = scala.collection.mutable.Map[String, Long]()
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toString.stripPrefix(
-        fs.makeQualified(new org.apache.hadoop.fs.Path(state)).toString)
-      if (!rel.contains("_SUCCESS") && !rel.contains("_applied_batch"))
-        out(rel) = st.getLen
-    }
-    out.toMap
-  }
 
   test("ivfFoldInto rewrites ONLY the buckets a batch touches — write cost ~ batch") {
     val all = bigEmb(60)
