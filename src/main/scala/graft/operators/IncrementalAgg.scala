@@ -294,7 +294,7 @@ object IncrementalAgg {
     * delete fold can retire every posting) but is unreadable by
     * parquet schema inference, so the fold paths below substitute the
     * delta's empty frame for it instead of calling [[read]]. */
-  private def stateHasData(
+  private[operators] def stateHasData(
       fs: org.apache.hadoop.fs.FileSystem,
       statePath: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(statePath)
@@ -303,10 +303,16 @@ object IncrementalAgg {
   }
 
   /** Atomically (re)write the applied-batch marker INSIDE a live state
-    * dir: tmp file + delete + rename, so a crash can only leave the
-    * marker absent (replay re-applies — idempotent by the partitioned
-    * protocol's contract), never torn (a zero-length marker would make
-    * [[appliedBatchId]] throw on every subsequent entry). The flat
+    * dir: tmp file + OVERWRITE rename (FileContext — the plain
+    * FileSystem.rename refuses an existing destination, and a
+    * delete-then-rename would open a window where a crash ERASES the
+    * watermark: a lost marker reads as -1, so a stale re-delivered
+    * OLDER batch would silently re-apply over newer state instead of
+    * short-circuiting). With the overwrite rename a crash can only
+    * leave the marker at its previous value (replay of the same batch
+    * re-applies — idempotent by the partitioned protocol's contract),
+    * never torn (a zero-length marker would make [[appliedBatchId]]
+    * throw on every subsequent entry) and never absent. The flat
     * protocol doesn't need this — its marker commits with the state in
     * one dir rename. */
   private def writeMarkerAtomic(
@@ -317,10 +323,8 @@ object IncrementalAgg {
     val dst = new org.apache.hadoop.fs.Path(statePath, MarkerFile)
     val out = fs.create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst) && !fs.delete(dst, false))
-      throw new java.io.IOException(s"marker swap: failed to delete stale $dst")
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"marker swap: failed to rename $tmp -> $dst")
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Distinct bucket values of a key column under `pmod(key,
@@ -419,8 +423,7 @@ object IncrementalAgg {
         // not commit: an empty partitioned dir has no readable schema
         // and would poison the path. No state, no watermark — the
         // replay recomputes the same empty no-op.
-        if (!fs.listStatus(tmp).exists(st =>
-            st.isDirectory && st.getPath.getName.contains("="))) {
+        if (!stateHasData(fs, tmp.toString)) {
           fs.delete(tmp, true)
           return current()
         }

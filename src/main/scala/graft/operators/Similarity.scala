@@ -431,14 +431,34 @@ object Similarity {
       s"ivfReassign: stored state at $statePath was built with [${stored.getOrElse("")}] " +
         s"but this reassign uses [...$tail] — id/vec/bucket layout must match; only the " +
         "quantizer may change.")
+    val path = new org.apache.hadoop.fs.Path(statePath)
+    require(fs.exists(path) && fs.listStatus(path).nonEmpty,
+      s"ivfReassign: no state at $statePath — nothing to reassign")
     if (stored.isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"ivfReassign: no .ivf-params sidecar claims the state at $statePath — " +
           "reassigning a never-guarded state adopts the new quantizer's identity; " +
           "verify against a from-scratch rebuild if in doubt.")
-    val path = new org.apache.hadoop.fs.Path(statePath)
-    require(fs.exists(path) && fs.listStatus(path).nonEmpty,
-      s"ivfReassign: no state at $statePath — nothing to reassign")
+    def rotateSidecar(): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(statePath + ".ivf-params"), true)
+      try out.write(
+        s"quantizer=${centroidDigest(newCents)}$tail".getBytes("UTF-8")) finally out.close()
+    }
+    if (!IncrementalAgg.stateHasData(fs, statePath)) {
+      // an all-retired index (dir + marker + identity, no partition
+      // dirs — the legitimate empty shape): there are no postings to
+      // re-assign, but the identity must still rotate or every future
+      // fold against the new quantizer keeps refusing on the old
+      // digest. Marker and dir are untouched; return the empty state.
+      rotateSidecar()
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("id", LongType), StructField("vec", ArrayType(FloatType)),
+          StructField("nrm", DoubleType), StructField("cluster", LongType),
+          StructField("pbucket", IntegerType))))
+    }
     val applied = IncrementalAgg.appliedBatchId(spark, statePath)
     // one pass over the state: vectors ride along, so assignment is
     // the same broadcast argmax as a fresh prepare — corpus untouched
@@ -459,9 +479,7 @@ object Similarity {
       throw new java.io.IOException(s"ivfReassign swap: failed to rename $tmp -> $path")
     // rotate the identity last: until this write, folds refuse loudly
     // rather than merge old-cell postings into the new geometry
-    val out = fs.create(new org.apache.hadoop.fs.Path(statePath + ".ivf-params"), true)
-    try out.write(
-      s"quantizer=${centroidDigest(newCents)}$tail".getBytes("UTF-8")) finally out.close()
+    rotateSidecar()
     IncrementalAgg.read(spark, statePath)
   }
 

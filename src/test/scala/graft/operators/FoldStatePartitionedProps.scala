@@ -114,11 +114,19 @@ class FoldStatePartitionedProps extends SparkSpec {
     assert(Similarity.ivfFoldInto(spark, state, all.filter(lit(false)),
       "vec_id", "embedding", q, Some(1L), nBuckets = 4,
       deletes = Some(all.select($"vec_id"))).count() == 0)
-    // and the state refills from later folds, gate-equal to a rebuild
+    // quantizer rotation on the EMPTY state must work too (there are
+    // no postings to re-assign, but the identity must rotate or every
+    // future fold against the new quantizer keeps refusing)
+    val q6 = cents(all, 6)
+    assert(Similarity.ivfReassign(spark, state, q6, "vec_id", "embedding",
+      nBuckets = 4).count() == 0)
+    assert(IncrementalAgg.appliedBatchId(spark, state) == 1L, "marker survives rotation")
+    // and the state refills from later folds UNDER THE NEW QUANTIZER,
+    // gate-equal to a rebuild
     Similarity.ivfFoldInto(spark, state, all.filter($"vec_id" < 10),
-      "vec_id", "embedding", q, Some(2L), nBuckets = 4)
+      "vec_id", "embedding", q6, Some(2L), nBuckets = 4)
     val expect = Similarity.prepareIvfIndexWith(
-      all.filter($"vec_id" < 10), "vec_id", "embedding", q).assigned
+      all.filter($"vec_id" < 10), "vec_id", "embedding", q6).assigned
       .select("id", "cluster").as[(Long, Long)].collect().sorted.toSeq
     assert(spark.read.parquet(state).select("id", "cluster")
       .as[(Long, Long)].collect().sorted.toSeq == expect)

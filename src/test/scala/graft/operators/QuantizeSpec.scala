@@ -132,7 +132,6 @@ class QuantizeSpec extends SparkSpec {
       (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
   }
 
-
   test("pqAppend: a fold over any batch split equals the whole-corpus encode") {
     val all = pqEmb(40)
     val cb = Quantize.pqCodebook(all, "vec_id", "embedding", 2, 4, 6)

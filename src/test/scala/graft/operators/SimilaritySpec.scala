@@ -230,7 +230,6 @@ class SimilaritySpec extends SparkSpec {
     assert(servedFolded == servedFresh && servedFolded.nonEmpty)
   }
 
-
   test("ivfFoldInto rewrites ONLY the buckets a batch touches — write cost ~ batch") {
     val all = bigEmb(60)
     val q = cents(all, 4)
