@@ -916,13 +916,21 @@ object Queries {
       // The exact side rides along as the small-SF validation twin —
       // at scale only the sketch path runs (sketch once, compare many).
       val docs = Tables.documents(s, d)
-      val grams = docs.select(
+      // the exploded (corp, gram) stream feeds BOTH the sketch build
+      // and the exact validation twin — cut once so the corpus is
+      // tokenized+shingled once, not once per consumer (r21; at scale
+      // only the sketch path runs, so the cut prices the validation
+      // composite, not the production sketch)
+      val grams = Reliability.cut(docs.select(
         when(expr("CAST(substring(source, 4) AS INT) < 10"), lit("A"))
           .otherwise(lit("B")).as("corp"),
-        explode(Text.shingles(Text.tokens(lower(col("text"))), 3)).as("gram"))
+        explode(Text.shingles(Text.tokens(lower(col("text"))), 3)).as("gram")))
       val sk = Sketch.kmvMinima(grams, "gram", "corp", seed = 29, k = 256)
       val est = Sketch.kmvOverlap(sk, "corp", "A", "B", k = 256)
-      val flags = grams.distinct().groupBy("gram").agg(
+      // no distinct() ahead of the groupBy: max over 0/1 membership
+      // indicators is duplicate-proof, and the pre-distinct was a
+      // second corpus-wide shuffle of the gram text (r21, guide §2.4)
+      val flags = grams.groupBy("gram").agg(
         max(when(col("corp") === "A", 1L).otherwise(0L)).as("ia"),
         max(when(col("corp") === "B", 1L).otherwise(0L)).as("ib"))
       val exact = flags.agg(

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.{Par, Reliability}
 import graft.functions.{Hashing, Text, VectorExpressions}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,7 +101,14 @@ object Dedup {
     * short docs at corpus scale) yet can never pass exact verification.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol)
+    // the shingle table feeds THREE consumers (the signature pass and
+    // both verify join-backs); HOF-lambda subtrees never canonicalize
+    // equal, so without a cut each consumer re-tokenizes and re-shingles
+    // the corpus text from the scan (r21 plan audit: three full text
+    // scans in the d01 physical plan). One materialization, three
+    // narrow reads — guide §2.4 (fewer passes); storage is the shingle
+    // arrays, the same order as the signature pass already holds.
+    val sh = Reliability.cut(shingleTable(docs, idCol, textCol))
 
     // band path: ids + band keys only ride the self-join shuffle;
     // signatures come from one explode + min-agg pass (map-side combine)
@@ -190,8 +197,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame =
+    // the inline-prepared corpus feeds two consumers in the probe
+    // (bands read (id, sig), verify reads (id, sh)) — cut the prepared
+    // table once so the signature aggregation runs once; the
+    // production path reads the STORED artifact back instead, which is
+    // the same materialization
     minhashLshIncrementalAgainst(batch, idCol, textCol,
-      prepareDedupCorpus(corpus, idCol, textCol), threshold)
+      Reliability.cut(prepareDedupCorpus(corpus, idCol, textCol)), threshold)
 
   /** The persistable corpus-side dedup artifact: (id, sh, sig) — one
     * row per doc with its distinct 3-gram shingles and minhash
@@ -199,7 +211,10 @@ object Dedup {
     * prepared rows, and every future increment probes it without
     * re-reading corpus text ([[minhashLshIncrementalAgainst]]). */
   def prepareDedupCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol)
+    // two consumers (the row side and the signature pass) — same
+    // cut-once rationale as [[minhashLsh]]: one corpus tokenize+shingle
+    // pass instead of two
+    val sh = Reliability.cut(shingleTable(docs, idCol, textCol))
     sh.join(minhashSignatures(sh), "id")
   }
 
@@ -227,7 +242,9 @@ object Dedup {
       corpusPrep: DataFrame,
       threshold: Double,
       maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame = {
-    val shB = shingleTable(batch, idCol, textCol)
+    // the (small-by-contract) batch's shingle table feeds the signature
+    // pass and the verify join-back — cut once, same as [[minhashLsh]]
+    val shB = Reliability.cut(shingleTable(batch, idCol, textCol))
     val bB = bandTable(minhashSignatures(shB)).select(col("bk").as("bk_a"), col("id").as("batch_id"))
     val bC = bandTable(corpusPrep.select("id", "sig")).select(col("bk").as("bk_b"), col("id").as("corpus_id"))
     // pin the documented shape: the small batch bands broadcast, the
@@ -333,7 +350,13 @@ object Dedup {
   def exactJaccardJoin(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val tE6 = math.round(threshold * 1000000)
-    val withSh = jaccardShingles(docs, idCol, textCol)
+    // four consumers (the candidate build's token explode + both exact
+    // verify join-backs); without a cut each re-tokenizes and
+    // re-shingles the corpus from the scan (r21 plan audit: SIX parquet
+    // scans of the corpus in the d06 physical plan — HOF-lambda
+    // subtrees never canonicalize equal, so ReuseExchange cannot dedup
+    // them). One materialization, narrow reads after — guide §2.4.
+    val withSh = Reliability.cut(jaccardShingles(docs, idCol, textCol))
     val cand = exactJaccardCandidates(withSh, threshold)
     cand
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -369,12 +392,18 @@ object Dedup {
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("arr"))
       .select(col("id"), size(col("arr")).as("s"), col("arr"))
-    val prefix = ordered.select(
+    // the prefix table is BOTH sides of the candidate self-join; its
+    // build (token explode → df count → rarity-order sort → posexplode)
+    // would otherwise run twice (same no-reuse reason as the withSh
+    // cut). Materialized size is the prefix rows themselves,
+    // ~(1−t)·corpus tokens — strictly smaller than the exploded token
+    // table the build already shuffles.
+    val prefix = Reliability.cut(ordered.select(
       col("id"), col("s"),
       posexplode(slice(
         col("arr"), lit(1),
         (col("s") - ceil(col("s") * lit(threshold)) + 1).cast("int"))))
-      .select(col("id"), col("s"), col("pos"), col("col.tok").as("tok"))
+      .select(col("id"), col("s"), col("pos"), col("col.tok").as("tok")))
     // required overlap, exact integers: J >= t  ⇔  o*(1e6+tE6) >= tE6*(sa+sb)
     val needed = lit(tE6) * (col("sa") + col("sb"))
     def bound(o: Column) = o * lit(1000000L + tE6)
@@ -443,7 +472,10 @@ object Dedup {
       numPlanes: Int = 32,
       dim: Int = 64
   ): DataFrame = {
-    val coded = Similarity.srpCode(emb, idCol, vecCol, numPlanes, dim)
+    // three consumers (banding + both verify join-backs) — one coding
+    // pass over the vectors instead of three (the minhashLsh cut
+    // rationale, vector edition)
+    val coded = Reliability.cut(Similarity.srpCode(emb, idCol, vecCol, numPlanes, dim))
     val banded = srpBands(coded, numPlanes)
     val l = banded.select(col("ck").as("ck_a"), col("id").as("id_a"))
     val r = banded.select(col("ck").as("ck_b"), col("id").as("id_b"))
@@ -504,8 +536,12 @@ object Dedup {
       threshold: Double,
       numPlanes: Int = 32,
       dim: Int = 64): DataFrame =
+    // the inline-prepared corpus feeds two consumers in the probe
+    // (bands + verify) — cut once here; the production path reads the
+    // STORED artifact back instead, which is the same materialization
     embeddingNearDupIncrementalAgainst(batch, idCol, vecCol,
-      prepareEmbeddingCorpus(corpus, idCol, vecCol, numPlanes, dim), threshold, numPlanes, dim)
+      Reliability.cut(prepareEmbeddingCorpus(corpus, idCol, vecCol, numPlanes, dim)),
+      threshold, numPlanes, dim)
 
   /** [[embeddingNearDupIncremental]] against an already-prepared corpus
     * table ([[prepareEmbeddingCorpus]], typically read back from
@@ -525,7 +561,8 @@ object Dedup {
       numPlanes: Int = 32,
       dim: Int = 64,
       maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame = {
-    val codedB = Similarity.srpCode(batch, idCol, vecCol, numPlanes, dim)
+    // batch coded once for bands + verify (small by contract)
+    val codedB = Reliability.cut(Similarity.srpCode(batch, idCol, vecCol, numPlanes, dim))
     val bB = srpBands(codedB, numPlanes).select(col("ck").as("ck_a"), col("id").as("batch_id"))
     val bC = srpBands(corpusPrep, numPlanes).select(col("ck").as("ck_b"), col("id").as("corpus_id"))
     val limitN = math.min(maxBroadcastBatchRows + 1, Int.MaxValue.toLong).toInt
@@ -587,13 +624,20 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nlabel"))
       // old and new label side by side: ONE join per round serves both
-      // the update and the convergence test
+      // the update and the convergence test; the changed-count rides
+      // the eager cut's materialization job as an Observation (the
+      // GraphRank null-guard pattern) instead of a second per-round
+      // action re-scanning the labels — one job per round, not two
+      val obs = Observation()
       val step = labels
         .join(neigh, Seq("id"), "left")
         .select(col("id"), col("label").as("old"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .observe(obs,
+          coalesce(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)), lit(0L)).as("changed"))
+        .select(col("id"), col("label"))
         .transform(Reliability.cut)
-      converged = step.filter(col("label") =!= col("old")).isEmpty
-      labels = step.select(col("id"), col("label"))
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = step
       i += 1
     }
     // an unconverged result would silently disagree with the oracle's
