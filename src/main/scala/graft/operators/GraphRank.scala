@@ -117,6 +117,12 @@ object GraphRank {
     val und = canon.select(col("a").as("src"), col("b").as("dst"))
       .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst")))
     val deg = Reliability.cut(und.groupBy("src").agg(count(lit(1)).as("deg")))
+    // (measured, r21: pre-joining deg into a materialized adjacency —
+    // the GraphX triplet layout — REGRESSED the bench: the 2|E|-row
+    // materialization costs more than the three per-round broadcast
+    // deg joins it replaces. Kept as-is; at cluster scale the deg join
+    // rides the same exchange as the scores join, so the per-round
+    // cost is one join pass, not an extra shuffle.)
     // the node set IS deg's key set — every node in the undirected
     // view has degree >= 1 — so derive it as a narrow projection of
     // the materialized degree blocks instead of paying a second
@@ -138,8 +144,15 @@ object GraphRank {
       // passes Long.MaxValue/d (~1e17 e9-units, reachable on a
       // web-scale host graph). The oracle keeps the plain form — the
       // identity guarantees equal digits at oracle scale.
-      scores = nodes
-        .join(contrib, Seq("node"), "left")
+      //
+      // No per-round nodes join: contrib's key set IS the node set —
+      // every node appears as a dst in the undirected view (each
+      // non-loop edge emits both directions, a self-loop emits its own
+      // node), and the scores join preserves every edge row — so the
+      // old left-join-against-nodes was an identity. inflow is
+      // therefore never NULL; the coalesce stays only to keep the
+      // scoring expression textually identical to the oracle's.
+      scores = contrib
         .select(
           col("node"),
           (lit(teleport) + expr(
@@ -235,8 +248,10 @@ object GraphRank {
           expr("w * (score_e9 div wsum) + (w * (score_e9 % wsum)) div wsum").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("inflow"))
-      scores = nodes
-        .join(contrib, Seq("node"), "left")
+      // contrib covers every node (the [[pageRank]] dst-coverage
+      // argument), so the old per-round nodes left-join was an
+      // identity — dropped; coalesce kept for textual oracle parity
+      scores = contrib
         .select(
           col("node"),
           (lit(teleport) + expr(

@@ -50,9 +50,15 @@ object Retrieval {
     */
   def lexicalTopK(docs: DataFrame, idCol: String, textCol: String, nQueries: Int, k: Int,
       maxDfPermille: Int = 1000): DataFrame = {
-    val postings = Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
-      .select(col("id"), explode(Text.tokens(lower(col("txt")))).as("term"))
-      .distinct()
+    // three consumers (df counts, the query side, the candidate side)
+    // — cut the distinct posting list once so the corpus is tokenized
+    // and deduped once, not once per consumer (the r21 cut-once
+    // rationale; this IS the stored inverted index of a production
+    // retriever, materialized for the duration of the query)
+    val postings = graft.core.Reliability.cut(
+      Par.widen(docs.select(col(idCol).as("id"), col(textCol).as("txt")))
+        .select(col("id"), explode(Text.tokens(lower(col("txt")))).as("term"))
+        .distinct())
     val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_total"))
     val w = df.crossJoin(broadcast(n))

@@ -254,13 +254,20 @@ object Similarity {
         ).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), (-col("t.ncid")).as("cluster"))
+    // no candidate dedup needed: probes is unique per (query_id,
+    // cluster) by construction (one aggregated row per query, distinct
+    // cids in the top array) and the assigned table is keyed by id
+    // (prepareIvfIndexWith's groupBy; ivfAppend's keep-latest upsert
+    // preserves the key) — so each (query_id, cand_id) pair joins at
+    // most once. The old dropDuplicates was an identity that shuffled
+    // every candidate row WITH its vector (r21: 22.5 MB of the s08
+    // bench's shuffle); removed per guide §2.3/§2.4.
     val scored = probes
       .join(
         index.assigned
           .select(col("id").as("cand_id"), col("vec").as("cv"), col("nrm").as("cn"), col("cluster")),
         Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates("query_id", "cand_id")
       .join(q, Seq("query_id"))
       .withColumn(
         "cosine",
@@ -540,12 +547,16 @@ object Similarity {
     val qside = assigned
       .filter(col("id") < nQueries)
       .select(col("id").as("query_id"), col("vec").as("qv"), col("nrm").as("qn"))
+    // no candidate dedup: probes is unique per (query_id, cluster) and
+    // assigned is keyed by id (both aggregation outputs), so each
+    // (query_id, cand_id) pair joins at most once — the old
+    // dropDuplicates was an identity that shuffled candidates with
+    // their vectors (see ivfTopKIndexed)
     val scored = probes
       .join(
         assigned.select(col("id").as("cand_id"), col("vec").as("cv"), col("nrm").as("cn"), col("cluster")),
         Seq("cluster"))
       .filter(col("query_id") =!= col("cand_id"))
-      .dropDuplicates("query_id", "cand_id")
       .join(qside, Seq("query_id"))
       .withColumn(
         "cosine",
