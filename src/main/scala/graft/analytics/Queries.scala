@@ -1850,19 +1850,27 @@ object Queries {
         val ev = Tables.events(s, d)
           .select(col("event_type"), col("event_id"), col("value"))
         // ONE corpus pass: the (event_type, batch, salt, value) count
-        // is built and materialized once ([[Sketch.qsCountedBase]] +
-        // the lineage cut), and each simulated ingest batch's summary
-        // derives from a slice of the materialized blocks — a real
-        // ingest sees each batch once, and so does this plan (the
-        // pre-r17 form rescanned events once per batch)
-        val counted = Reliability.cut(Sketch.qsCountedBase(
-          ev.withColumn("batch", pmod(col("event_id"), lit(4))),
-          "value", "event_type", seed = 21, salts = 4, extraKeys = Seq("batch")))
+        // is built once ([[Sketch.qsCountedBase]]) and the per-batch
+        // LOCAL prunes run in the SAME materialization as one window
+        // partitioned by (batch, type, salt) — restricting a window to
+        // one batch value is bit-identical to pruning that batch's
+        // slice alone, so each simulated ingest batch's summary
+        // derives from a slice of the (bounded, already-pruned)
+        // materialized blocks. The pre-r21 form materialized the raw
+        // count table and paid the local-prune window once PER batch;
+        // this pays it once total, and the cut now stores ≤
+        // batches × types × salts × (k+1) rows instead of the
+        // corpus-distinct count table.
+        val local = Reliability.cut(Sketch.qsLocalPruneBatches(
+          Sketch.qsCountedBase(
+            ev.withColumn("batch", pmod(col("event_id"), lit(4))),
+            "value", "event_type", seed = 21, salts = 4, extraKeys = Seq("batch")),
+          "batch", "event_type", k))
         // single = true: the state is bounded by construction here
         // (event types x 4 salts x (k+1) rows), so the whole fold
         // chain past the distributed local prunes plans exchange-free
-        def summ(i: Int) = Sketch.qsSummarizeCounted(
-          counted.filter(col("batch") === i).drop("batch"), "event_type", k, single = true)
+        def summ(i: Int) = Sketch.qsFinalizeLocal(
+          local.filter(col("batch") === i).drop("batch"), "event_type", k, single = true)
         // chainCombine = the same foldLeft plus depth insurance: a cut
         // every 8 folds, so 4 folds stay ONE uncut lazy plan (bench
         // shape unchanged) while a long simulated chain stays bounded

@@ -196,7 +196,13 @@ object Packing {
     require(quota > 0, "quota must be positive")
     val MAX60 = 1L << 60 // md5Long is a 60-bit non-negative hash
     val h = graft.functions.Hashing.md5Long(concat(lit("cap:"), col(idCol).cast("string")), seed)
-    val withH = df.withColumn("samp_h", h)
+    // withH has three sequential consumers (the per-group count
+    // collect, the survivor recount collect, and the returned plan's
+    // own action) — without a cut each re-derives the INPUT from
+    // source, which for the kmv callers means re-running a corpus-wide
+    // distinct per consumer (r21, guide §2.4). One materialization;
+    // the retry loop's re-filters also read the cut blocks.
+    val withH = graft.core.Reliability.cut(df.withColumn("samp_h", h))
     val counts: Map[Any, Long] = withH.groupBy(col(groupCol)).count()
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     require(!counts.contains(null), s"stratifiedCap: NULL stratum in $groupCol")

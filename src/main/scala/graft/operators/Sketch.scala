@@ -650,7 +650,37 @@ object Sketch {
       single: Boolean = false): DataFrame = {
     val b = base.select(col(groupCol), col("salt"), col("value"), col("w"))
       .withColumn("carry", lit(0L))
-    val local = qsPrune(b, Seq(groupCol, "salt"), k)
+    qsFinalizeLocal(qsPrune(b, Seq(groupCol, "salt"), k), groupCol, k, single)
+  }
+
+  /** The per-batch LOCAL prunes of [[qsSummarizeCounted]] for every
+    * batch in ONE window pass — the r21 t27 shape: a [[qsCountedBase]]
+    * built with `extraKeys = Seq(batchCol)` is pruned partitioned by
+    * (batch, group, salt), and slicing the RESULT on the batch value
+    * is bit-identical to running the local prune on that batch's slice
+    * alone (windows are per-partition; the batch key separates them),
+    * while the corpus-sized window sort runs once, not once per batch.
+    * Feed each slice (batch column dropped) to [[qsFinalizeLocal]] to
+    * obtain exactly `qsSummarizeCounted(slice, groupCol, k, single)`. */
+  def qsLocalPruneBatches(
+      counted: DataFrame,
+      batchCol: String,
+      groupCol: String,
+      k: Int): DataFrame =
+    qsPrune(
+      counted.select(col(batchCol), col(groupCol), col("salt"), col("value"), col("w"))
+        .withColumn("carry", lit(0L)),
+      Seq(batchCol, groupCol, "salt"), k)
+
+  /** The pool + final-prune half of [[qsSummarizeCounted]], exposed so
+    * pre-pruned locals ([[qsLocalPruneBatches]]) can be finalized per
+    * batch. Input shape: (groupCol, salt, value, w, carry) — the local
+    * prune's output; `single` has the [[qsSummarize]] semantics. */
+  def qsFinalizeLocal(
+      local: DataFrame,
+      groupCol: String,
+      k: Int,
+      single: Boolean): DataFrame = {
     val pooled = (if (single) local.repartition(1) else local)
       .groupBy(col(groupCol), col("value"))
       .agg(sum(col("w")).as("w"), sum(col("carry")).as("carry"))
