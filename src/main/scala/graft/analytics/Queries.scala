@@ -138,7 +138,10 @@ object Queries {
       "q06_large_join",
       (s, d) =>
         Tables.orders(s, d)
-          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          // Par.widen on the probe side (r21, measured 1.2 -> 0.9 s):
+          // the broadcast-join probe + partial agg ran in the single
+          // scan task; no-op on a wide production scan
+          .join(graft.core.Par.widen(Tables.lineitem(s, d)), col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderpriority").as("priority"))
           .agg(
             count(lit(1)).as("n_items"),
@@ -275,7 +278,10 @@ object Queries {
     QueryDef(
       "q14_rollup",
       (s, d) =>
-        Tables.lineitem(s, d)
+        // Par.widen (r21, measured 1.1 -> 0.9 s): rollup's Expand +
+        // decimal partial sums ran in the single scan task; no-op on a
+        // wide production scan
+        graft.core.Par.widen(Tables.lineitem(s, d))
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
           .select(
@@ -408,7 +414,9 @@ object Queries {
     QueryDef(
       "q23_cube",
       (s, d) =>
-        Tables.lineitem(s, d)
+        // Par.widen (r21, measured 1.4 -> 0.9 s): cube's Expand(x4) +
+        // decimal partial sums ran in the single scan task
+        graft.core.Par.widen(Tables.lineitem(s, d))
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
           .select(
@@ -619,7 +627,9 @@ object Queries {
       // DuckDB's native UNPIVOT, an independent implementation of the
       // same relational operator. Sums travel through DECIMAL as usual.
       (s, d) =>
-        Tables.lineitem(s, d)
+        // Par.widen (r21, measured 1.2 -> 1.0 s): three decimal partial
+        // sums ran in the single scan task
+        graft.core.Par.widen(Tables.lineitem(s, d))
           .groupBy(col("l_returnflag").as("returnflag"))
           .agg(
             dsum(col("l_quantity")).as("qty"),
@@ -1296,13 +1306,24 @@ object Queries {
       val cents = base.filter(col("vec_id") < 8).select(
         col("vec_id").as("cid"), col("embedding").as("cvec"),
         graft.functions.VectorExpressions.normF(col("embedding")).as("cnrm"))
-      def assign(i: Int) = Similarity.prepareIvfIndexWith(
+      // each batch's assignment is CUT: the fold algebra references a
+      // delta twice (retired-ids derivation + the union), and the
+      // broadcast-argmax subtree would otherwise execute twice per
+      // batch (r21 probe: 8 concurrent assignment stage-jobs for 4
+      // batches). The cut output is bounded by the batch (id, cluster
+      // + vector columns), exactly what a real ingest materializes
+      // before folding.
+      def assign(i: Int) = Reliability.cut(Similarity.prepareIvfIndexWith(
         base.filter(col("batch") === i).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", cents).assigned
+        "vec_id", "embedding", cents).assigned)
+      // the four batch materializations are independent — submit them
+      // from a small thread pool (guide §2.6) so their jobs overlap
+      // instead of serializing four eager cuts
+      val assigns = graft.core.Par.inParallel(4)(assign)
       val dels = base.select(col("vec_id").as("id"))
         .filter(pmod(col("id"), lit(17)) === 3)
-      val upTo2 = (1 to 2).foldLeft(assign(0))((st, i) => Similarity.ivfAppend(st, assign(i)))
-      Similarity.ivfAppend(upTo2, assign(3), Some(dels))
+      val upTo2 = (1 to 2).foldLeft(assigns(0))((st, i) => Similarity.ivfAppend(st, assigns(i)))
+      Similarity.ivfAppend(upTo2, assigns(3), Some(dels))
         .select(col("id").as("vec_id"), col("cluster").cast("long").as("cluster"))
     }, Some {
       val dot = Vectors.dotSql("b.vec", "c.cvec")
@@ -1339,14 +1360,20 @@ object Queries {
         graft.core.Par.widen(Tables.embeddings(s, d)).select(
           col("vec_id"), col("embedding"), pmod(col("vec_id"), lit(4)).as("batch")))
       val codebook = Quantize.pqCodebook(base, "vec_id", "embedding", nSub = 4, subDim = 16, nCent = 8)
-      def encode(i: Int) = Quantize.pqEncodeWith(
+      // each batch's encode is CUT — the s16 rationale, codes edition:
+      // the fold references a delta twice, and the broadcast-argmin
+      // encode subtree would otherwise run twice per batch
+      def encode(i: Int) = Reliability.cut(Quantize.pqEncodeWith(
         base.filter(col("batch") === i).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", codebook, nSub = 4, subDim = 16)
-        .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+        .select(col("vec_id").as("cand_id"), col("sub"), col("code")))
+      // independent batch materializations overlap (guide §2.6 — the
+      // s16 thread-pool rationale, codes edition)
+      val encodes = graft.core.Par.inParallel(4)(encode)
       val dels = base.select(col("vec_id").as("cand_id"))
         .filter(pmod(col("cand_id"), lit(19)) === 5)
-      val upTo2 = (1 to 2).foldLeft(encode(0))((st, i) => Quantize.pqAppend(st, encode(i)))
-      Quantize.pqAppend(upTo2, encode(3), Some(dels))
+      val upTo2 = (1 to 2).foldLeft(encodes(0))((st, i) => Quantize.pqAppend(st, encodes(i)))
+      Quantize.pqAppend(upTo2, encodes(3), Some(dels))
         .select(col("cand_id").as("vec_id"), col("sub"), col("code"))
     }, Some {
       def dot(a: String, b: String) = Vectors.dotSql(a, b)
@@ -1798,7 +1825,15 @@ object Queries {
       // whole counter table is md5-derived and the oracle reproduces
       // the estimates bit-for-bit.
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        // Par.widen BEFORE the explode (r21, measured 1.9 -> 1.0 s):
+        // the counter build's 4x-depth token hashing ran in the single
+        // scan task; widening the 1-partition doc scan is a cheap
+        // round-robin of doc rows, and a no-op on a wide scan. (The
+        // same widen REGRESSED q03/q04/q22/q35 and t29 - single-task
+        // partial aggs that are as cheap as the extra exchange, or
+        // batch subtrees whose stages already overlap - so it is
+        // applied only where the clean A/B showed a win.)
+        val toks = graft.core.Par.widen(Tables.documents(s, d))
           .select(explode(Text.tokens(lower(col("text")))).as("token"))
         // materialize the bounded counter table (<= depth x width
         // rows) before serving estimates - the prepare/serve split;

@@ -28,6 +28,22 @@ object Par {
     * a redundant repartition of an already-wide scan — a second shuffle,
     * never a lost one.
     */
+  /** Evaluate `n` independent DataFrame builders concurrently and
+    * return their results in index order — the guide-§2.6 "overlap
+    * independent jobs" pattern for in-query compositions whose pieces
+    * each run eager work (an eager [[Reliability.cut]], a scalar
+    * fetch): submitted from one thread the jobs serialize, from a
+    * small pool the scheduler back-fills each job's tail with the
+    * next job's tasks. Builders MUST be independent (no shared mutable
+    * state); Spark job submission is thread-safe. */
+  def inParallel(n: Int)(build: Int => DataFrame): IndexedSeq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = (0 until n).map(i => Future(build(i)))
+    fs.map(Await.result(_, Duration.Inf))
+  }
+
   def widen(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism

@@ -259,6 +259,37 @@ class SketchProps extends SparkSpec {
     }
   }
 
+  test("qsLocalPruneBatches sliced + qsFinalizeLocal equals per-slice qsSummarizeCounted (5 seeds)") {
+    // the r21 t27 one-window restructure's correctness seam: the local
+    // ε-prune of a batch-keyed counted base, run ONCE partitioned by
+    // (batch, grp, salt) and then sliced per batch, must give
+    // BIT-identical summaries to running qsSummarizeCounted on each
+    // batch slice — windows are per-partition, so the batch key
+    // separates them exactly. Checked in both `single` placements.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(900 + seed)
+      val rows = (0 until 400).map { i =>
+        val v = if (rnd.nextInt(12) == 0) None else Some((rnd.nextInt(60) * 5).toLong)
+        (s"g${rnd.nextInt(3)}", v, (i % 3).toLong)
+      }
+      val df = rows.toDF("grp", "v", "batch")
+      val k = 8 + rnd.nextInt(16)
+      val salts = 1 + rnd.nextInt(3)
+      val single = rnd.nextBoolean()
+      val counted = Sketch.qsCountedBase(df, "v", "grp", seed, salts, extraKeys = Seq("batch"))
+      val local = Sketch.qsLocalPruneBatches(counted, "batch", "grp", k)
+      val key = (d: org.apache.spark.sql.DataFrame) =>
+        d.select("grp", "value", "w", "carry").as[(String, Long, Long, Long)].collect().sorted.toSeq
+      for (b <- 0L until 3L) {
+        val fused = Sketch.qsFinalizeLocal(
+          local.filter(col("batch") === b).drop("batch"), "grp", k, single)
+        val direct = Sketch.qsSummarizeCounted(
+          counted.filter(col("batch") === b).drop("batch"), "grp", k, single)
+        assert(key(fused) == key(direct), s"seed $seed batch $b k=$k salts=$salts single=$single")
+      }
+    }
+  }
+
   test("binary-tree fold keeps the rank guarantee with a smaller tracked err than linear") {
     // the documented qsCombine bound: B batches folded linearly
     // accumulate ≈ B·n/2k of re-prune error, a binary tree ≈ n·log(B)/k
