@@ -1635,10 +1635,14 @@ object Queries {
         val base = graft.core.Par.widen(
           Tables.documents(s, d)
             .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk")))
-        val pos = base.select(
+        // the position stream feeds THREE consumers (both count tables
+        // + the probability join) — cut once so the corpus is
+        // tokenized and bigram-exploded once, not once per consumer
+        // (r21; the minhashLsh cut rationale)
+        val pos = Reliability.cut(base.select(
             col("doc_id"),
             explode(Text.positionalGrams(col("tk"), 2)).as("bg"))
-          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .withColumn("w1", substring_index(col("bg"), " ", 1)))
         val c2 = pos.groupBy("bg").agg(count(lit(1)).as("nbg"))
         val c1 = pos.groupBy("w1").agg(count(lit(1)).as("nw1"))
         val perDoc = pos.join(c2, Seq("bg")).join(c1, Seq("w1"))
@@ -2312,10 +2316,13 @@ object Queries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val nDocs = docs.count() // bounded scalar cursor (A1-style)
-        val tf = docs
+        // tf feeds two consumers (the df count and the score join) —
+        // cut once so the tokenize+explode+count corpus pass runs
+        // once, not twice (r21; the minhashLsh cut rationale)
+        val tf = Reliability.cut(docs
           .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
           .groupBy(col("term"), col("doc_id"))
-          .agg(count(lit(1)).as("tf"))
+          .agg(count(lit(1)).as("tf")))
         val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")).filter(col("df") >= 10)
         val w = Window.partitionBy(col("term")).orderBy(col("score_e6").desc, col("doc_id").asc)
         tf.join(dfreq, "term")

@@ -727,6 +727,9 @@ object Dedup {
     * hashes identically so the gate stays exact either way. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int, seed: Int = 0): DataFrame = {
     require(k >= 2, "seed gram length must be >= 2")
+    // (r21: cutting this two-consumer gram stream was measured SLOWER
+    // than re-deriving it — codegen'd tokenize+md5 is cheaper than a
+    // corpus-sized materialization; left as two passes deliberately)
     val grams = Par.widen(
         docs.select(col(idCol), Text.tokens(lower(col(textCol))).as("tk")))
       .select(col(idCol), posexplode(Text.positionalGrams(col("tk"), k)).as(Seq("pos", "gram")))
