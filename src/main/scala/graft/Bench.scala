@@ -414,10 +414,25 @@ object Bench {
     // Loaded up front, before this run can overwrite the file.
     val priorMedians = loadPriorMedians("bench_detail.json")
     var slowVsPriorQueries = List.empty[String]
-    def timedFor(q: graft.core.QueryDef): (Double, Double) = timedWithExternal(
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") },
-      nCores)
+    def timedFor(q: graft.core.QueryDef): (Double, Double) = {
+      val t = timedWithExternal(
+        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") },
+        nCores)
+      // Measurement hygiene (r21): queries materialize bounded
+      // intermediates via eager localCheckpoint cuts; those blocks are
+      // only reclaimed when the GC-driven ContextCleaner notices the
+      // RDDs are unreachable, which lags a 25-minute sweep badly — the
+      // r21 before/after full runs showed UNTOUCHED queries drifting
+      // +7.6% / +13.5% / +17.9% across the first/middle/last third of
+      // the sweep as blocks piled up. Each run rebuilds its cuts from
+      // scratch, so dropping every persisted RDD between runs (outside
+      // the timed region) is invisible to any single measurement and
+      // keeps query N's JVM state independent of queries 1..N-1 — the
+      // protocol and reported statistics are unchanged.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      t
+    }
     // (5) two-pass pooling (r15): the r12-r14 irritant was a 65.7 ↔
     // 81.2 s spread between equally-clean runs of byte-identical code —
     // per-query medians tight WITHIN a run, totals divergent ACROSS
