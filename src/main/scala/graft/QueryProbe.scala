@@ -42,14 +42,15 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
 
-    val jobStart = new ConcurrentHashMap[Int, (Long, String)]()
+    val jobStart = new ConcurrentHashMap[Int, (Long, String, Seq[Int])]()
     val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val stageShuffle = new ConcurrentHashMap[Int, (Long, Long)]() // jobId-less; keyed stageId
+    val stageShuffle = new ConcurrentHashMap[Int, (Long, Long)]() // keyed stageId
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
-        jobStart.put(j.jobId, (System.nanoTime(), s"stages=${j.stageIds.size} $desc"))
+        jobStart.put(j.jobId,
+          (System.nanoTime(), s"stages=${j.stageIds.size} $desc", j.stageIds.map(_.toInt)))
         ()
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -60,9 +61,14 @@ object QueryProbe {
         ()
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        Option(jobStart.remove(j.jobId)).foreach { case (t0, meta) =>
+        Option(jobStart.remove(j.jobId)).foreach { case (t0, meta, stageIds) =>
           val ms = (System.nanoTime() - t0) / 1e6
-          jobLines.add(f"    job ${j.jobId}%3d  ${ms}%8.1f ms  $meta")
+          // per-job shuffle bytes summed over the job's own stages (the
+          // stage-completed events precede job end on the listener bus)
+          val (r, w) = stageIds.flatMap(s => Option(stageShuffle.get(s)))
+            .foldLeft((0L, 0L)) { case ((ar, aw), (sr, sw)) => (ar + sr, aw + sw) }
+          jobLines.add(
+            f"    job ${j.jobId}%3d  ${ms}%8.1f ms  shufR=${r / 1e6}%7.2fMB shufW=${w / 1e6}%7.2fMB  $meta")
         }
         ()
       }
@@ -81,11 +87,15 @@ object QueryProbe {
       def once(): Double = {
         val t0 = System.nanoTime()
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // the Bench hygiene rule (r21) applied to the probe too: drop
+        // persisted cut blocks between runs so later queries in a
+        // multi-query probe don't carry earlier queries' storage
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        t
       }
       once() // warm: plan compile + codegen + JIT
       once()
-      jobLines.clear()
       org.apache.spark.GraftSparkBridge.flushListeners(spark.sparkContext)
       jobLines.clear()
       val t = once()

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.core.{QueryDef, Reliability, Tables}
+import graft.core.{Par, QueryDef, Reliability, Tables}
 import graft.functions.{Hashing, Text, Vectors}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOf, BloomPrune, DateDim, Decontaminate, Dedup, GraphRank, IncrementalAgg, Packing, Quantize, RangeJoin, Retrieval, Similarity, Sketch, Skew, Tokenize, Upsert}
@@ -818,15 +818,34 @@ object Queries {
       // inside 10%), where it is deterministic. The oracle pins the
       // exact counts and expects the booleans literally TRUE, so a
       // genuinely drifting sketch still turns this row red.
-      (s, d) =>
-        Tables.lineitem(s, d).agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
-            <= countDistinct(col("l_partkey")) * 0.10).as("parts_within_10pct"),
-          (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
-            <= countDistinct(col("l_orderkey")) * 0.10).as("orders_within_10pct")
-        ),
+      (s, d) => {
+        // r22 (guide §2.3, probe-driven): mixing count(DISTINCT) with
+        // approx_count_distinct makes RewriteDistinctAggregates carry
+        // BOTH HLL sketches as partial aggregation state PER DISTINCT
+        // KEY through the Expand — the sf0.1 plan shuffled ~790k
+        // (key, gid) rows × 104 sketch columns. HLL registers are
+        // duplicate- and order-insensitive, so the sketches compute in
+        // their own single-pass aggregation (two sketches total,
+        // map-side combined) and the exact distincts keep the slim
+        // Expand-dedup plan; the two 1-row results recombine with a
+        // crossJoin. Values are identical by HLL's set-function
+        // property (registers are maxima over the hashed value SET).
+        val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_orderkey"))
+        val approx = li.agg(
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"))
+        li.agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .crossJoin(approx)
+          .select(
+            col("exact_parts"),
+            col("exact_orders"),
+            (abs(col("ap") - col("exact_parts"))
+              <= col("exact_parts") * 0.10).as("parts_within_10pct"),
+            (abs(col("ao") - col("exact_orders"))
+              <= col("exact_orders") * 0.10).as("orders_within_10pct"))
+      },
       Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
              |count(DISTINCT l_orderkey) AS exact_orders,
              |TRUE AS parts_within_10pct, TRUE AS orders_within_10pct
@@ -914,8 +933,27 @@ object Queries {
       // signal decides WHICH copy survives — keep the richest
       // high-quality member per cluster instead of naive min-id
       val docs = Tables.documents(s, d)
-      Dedup.canonicalDocs(docs, "doc_id", "text",
-        Dedup.dedupClusters(Dedup.minhashLsh(docs, "doc_id", "text", 0.5)))
+      // one corpus tokenization for both signals (r22, guide §2.4):
+      // the quality-metric pass and the minhash shingle table each
+      // re-read and re-tokenized the corpus text — the cut
+      // materializes (doc_id, quality, n_tokens, sh) once, the exact
+      // per-signal expressions computed from the two token streams
+      // (metrics from tokens(lower(text)), shingles from tokens(text))
+      val toksL = col("tkl")
+      val nStop = size(filter(toksL, t => t.isInCollection(Text.stopwords)))
+      val tokd = Reliability.cut(
+        Par.widen(docs.select(col("doc_id"),
+            Text.tokens(col("text")).as("tk"),
+            Text.tokens(lower(col("text"))).as("tkl")))
+          .select(col("doc_id"),
+            Text.qualityBucket(size(toksL), nStop).cast("long").as("quality"),
+            size(toksL).cast("long").as("n_tokens"),
+            Text.shingles(col("tk"), 3).as("sh")))
+      Dedup.canonicalDocsFromMetrics(
+        tokd.select(col("doc_id").cast("long").as("doc_id"),
+          col("quality"), col("n_tokens")),
+        Dedup.dedupClusters(Dedup.minhashLshFromShingles(
+          tokd.filter(size(col("sh")) > 0).select(col("doc_id").as("id"), col("sh")), 0.5)))
     }, Some(canonicalDocsSql(0.5))),
     QueryDef("d09_corpus_overlap", (s, d) => {
       // cross-corpus overlap from MERGEABLE KMV sketches ([[Sketch]]):
@@ -2034,18 +2072,47 @@ object Queries {
       // declared iterative exception.)
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // ONE corpus tokenization for the whole chain (r22, guide
+        // §2.4/§6): the five signals (quality gate nt, near-dup
+        // shingles, canonical-pick metrics, decontamination grams, and
+        // the mix/pack/split base) each re-tokenized the corpus text
+        // from the parquet scan — five full text passes in the r21
+        // plan. The cut materializes (doc_id, lang, tkl, sh) once:
+        // tkl = tokens(lower(text)) serves the gate count, the
+        // quality metrics and the positional eval grams; sh =
+        // shingles(tokens(text), 3) serves the minhash path — the
+        // exact per-signal expressions, computed once. Tokenize before
+        // the widen barrier, shingle after (the shingleTable rule).
+        val tokd = Reliability.cut(
+          Par.widen(docs.select(col("doc_id"), col("lang"),
+              Text.tokens(col("text")).as("tk"),
+              Text.tokens(lower(col("text"))).as("tkl")))
+            .select(col("doc_id"), col("lang"), col("tkl"),
+              Text.shingles(col("tk"), 3).as("sh")))
         // near-dup canonical pick over the full corpus (what is
-        // duplicated does not depend on the quality gate)
-        val dropIds = Dedup.canonicalDocs(docs, "doc_id", "text",
-            Dedup.dedupClusters(Dedup.minhashLsh(docs, "doc_id", "text", 0.5)))
+        // duplicated does not depend on the quality gate); empty-
+        // shingle exclusion: size(sh) > 0 ⟺ size(tk) >= 3
+        val lowToks = col("tkl")
+        val nStop = size(filter(lowToks, t => t.isInCollection(Text.stopwords)))
+        val dropIds = Dedup.canonicalDocsFromMetrics(
+            tokd.select(
+              col("doc_id").cast("long").as("doc_id"),
+              Text.qualityBucket(size(lowToks), nStop).cast("long").as("quality"),
+              size(lowToks).cast("long").as("n_tokens")),
+            Dedup.dedupClusters(Dedup.minhashLshFromShingles(
+              tokd.filter(size(col("sh")) > 0).select(col("doc_id").as("id"), col("sh")),
+              0.5)))
           .filter(!col("keep")).select("doc_id")
         // contaminated token mass per train doc (eval = doc_id % 19)
-        val contam = Decontaminate.contaminatedSpans(docs, "doc_id", "text",
-            isEval = col("doc_id") % 19 === 0, k = 5, seed = 3)
+        val contam = Decontaminate.contaminatedSpansFromTokens(
+            tokd.select(col("doc_id"),
+              coalesce(col("doc_id") % 19 === 0, lit(false)).as("is_eval"),
+              col("tkl").as("tk")),
+            "doc_id", k = 5, seed = 3)
           .groupBy("doc_id").agg(sum(col("n_tokens")).as("n_contam"))
-        val base = Reliability.cut(docs
+        val base = Reliability.cut(tokd
           .select(col("doc_id"), col("lang"),
-            size(Text.tokens(lower(col("text")))).cast("long").as("nt"))
+            size(col("tkl")).cast("long").as("nt"))
           .filter(col("nt") >= 5 && col("doc_id") % 19 =!= 0)
           .join(dropIds, Seq("doc_id"), "left_anti")
           .join(contam, Seq("doc_id"), "left")
@@ -2224,11 +2291,26 @@ object Queries {
       // against the (small) duplicate id set — the corpus streams once.
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val base = docs
-          .select(col("doc_id"), col("lang"), size(Text.tokens(lower(col("text")))).cast("long").as("nt"))
+        // one corpus tokenization for both signals (r22, guide §2.4):
+        // the gate count and the minhash shingle table each re-read and
+        // re-tokenized the corpus text — the cut materializes
+        // (doc_id, lang, nt, sh) once; nt = size(tokens(lower(text)))
+        // and sh = shingles(tokens(text), 3), the exact per-signal
+        // expressions. size(sh) > 0 ⟺ the shingleTable size(tk) >= 3
+        // empty-shingle exclusion.
+        val tokd = Reliability.cut(
+          Par.widen(docs.select(col("doc_id"), col("lang"),
+              Text.tokens(col("text")).as("tk"),
+              Text.tokens(lower(col("text"))).as("tkl")))
+            .select(col("doc_id"), col("lang"),
+              size(col("tkl")).cast("long").as("nt"),
+              Text.shingles(col("tk"), 3).as("sh")))
+        val base = tokd
+          .select(col("doc_id"), col("lang"), col("nt"))
           .filter(col("nt") >= 5)
         val dupDrop = Dedup
-          .dedupClusters(Dedup.minhashLsh(docs, "doc_id", "text", 0.5))
+          .dedupClusters(Dedup.minhashLshFromShingles(
+            tokd.filter(size(col("sh")) > 0).select(col("doc_id").as("id"), col("sh")), 0.5))
           .filter(col("doc_id") =!= col("canonical_id"))
           .select("doc_id")
         base

@@ -37,11 +37,23 @@ object Par {
     * next job's tasks. Builders MUST be independent (no shared mutable
     * state); Spark job submission is thread-safe. */
   def inParallel(n: Int)(build: Int => DataFrame): IndexedSeq[DataFrame] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContextExecutorService, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = (0 until n).map(i => Future(build(i)))
-    fs.map(Await.result(_, Duration.Inf))
+    // a dedicated fixed pool sized n (r22, advice): the builders BLOCK
+    // on Spark actions, and parking them on ExecutionContext.global
+    // would eat the shared ForkJoinPool's parallelism for any nested or
+    // wider use. The pool dies with this call; threads are daemons so
+    // an abandoned builder can never pin the JVM.
+    val pool: ExecutionContextExecutorService =
+      ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, n),
+          (r: Runnable) => { val t = new Thread(r, "graft-par"); t.setDaemon(true); t }))
+    try {
+      implicit val ec: ExecutionContext = pool
+      val fs = (0 until n).map(i => Future(build(i)))
+      fs.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   def widen(df: DataFrame): DataFrame = {

@@ -58,6 +58,41 @@ object Reliability {
     * round, so deferred materialization only moves the cost. */
   def cut(df: DataFrame): DataFrame = cut(df, eager = true)
 
+  /** [[cut]] of a plan whose OUTPUT PARTITIONING the caller needs
+    * downstream (a deliberate `repartition(joinKey)`, or an
+    * aggregation that rides one): materializes with AQE disabled for
+    * this one plan so the resulting `LogicalRDD` records the hash
+    * partitioning. With AQE on, `Dataset.checkpoint` reads the
+    * partitioning off the adaptive plan and records
+    * `UnknownPartitioning` — every downstream join keyed on the
+    * partitioning then silently re-shuffles the materialized table
+    * (r22 probe: each PageRank round re-shuffled the full undirected
+    * edge list, 10.35 MB/round at sf0.1, because of exactly this).
+    * The AQE flag is a session conf, so the flip is visible to other
+    * threads planning queries in the same moment — callers run from
+    * the driver's sequential query-construction path (the iterative
+    * operators), not from [[Par.inParallel]] builders.
+    *
+    * `eager = false` defers the block write to the first action, like
+    * [[cutLazy]]; planning (where the partitioning is captured) still
+    * happens here under the disabled flag either way. */
+  def cutPartitioned(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    // serialize concurrent flips on the same session: two interleaved
+    // set/restore pairs could otherwise restore the OTHER call's
+    // "false" and leave AQE off for the rest of the session
+    spark.synchronized {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try cut(df, eager)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** [[cut]] deferred to the FIRST ACTION on the result: the blocks
     * are written as a side effect of a job the caller was about to run
     * anyway, saving one job submission per cut. Fits iterative loops

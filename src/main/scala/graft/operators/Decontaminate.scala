@@ -211,13 +211,29 @@ object Decontaminate {
       textCol: String,
       isEval: Column,
       k: Int,
+      seed: Int = 0): DataFrame =
+    contaminatedSpansFromTokens(
+      Par.widen(
+        docs.select(col(idCol), coalesce(isEval, lit(false)).as("is_eval"),
+          Text.tokens(lower(col(textCol))).as("tk"))),
+      idCol, k, seed)
+
+  /** [[contaminatedSpans]] over a PRE-TOKENIZED corpus: `toks` carries
+    * (`idCol`, `is_eval` non-null boolean, `tk` = the doc's
+    * lowercased-token array). The entry point a composed curation chain
+    * uses to share one corpus tokenization across its signals (r22);
+    * the doc-level variant re-derives `tk` from text. The input is
+    * expected already wide/materialized — no [[Par.widen]] is applied
+    * here. */
+  def contaminatedSpansFromTokens(
+      toks: DataFrame,
+      idCol: String,
+      k: Int,
       seed: Int = 0): DataFrame = {
     require(k >= 2, "eval gram length must be >= 2")
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Hashing
-    val grams = Par.widen(
-        docs.select(col(idCol), coalesce(isEval, lit(false)).as("is_eval"),
-          Text.tokens(lower(col(textCol))).as("tk")))
+    val grams = toks
       .select(col(idCol), col("is_eval"),
         posexplode(Text.positionalGrams(col("tk"), k)).as(Seq("pos", "gram")))
       .select(col(idCol), col("is_eval"), col("pos").cast("long").as("pos"),

@@ -100,7 +100,7 @@ object Dedup {
     * share the degenerate all-P signature (an O(n²) candidate clique of
     * short docs at corpus scale) yet can never pass exact verification.
     */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
     // the shingle table feeds THREE consumers (the signature pass and
     // both verify join-backs); HOF-lambda subtrees never canonicalize
     // equal, so without a cut each consumer re-tokenizes and re-shingles
@@ -108,11 +108,35 @@ object Dedup {
     // scans in the d01 physical plan). One materialization, three
     // narrow reads — guide §2.4 (fewer passes); storage is the shingle
     // arrays, the same order as the signature pass already holds.
-    val sh = Reliability.cut(shingleTable(docs, idCol, textCol))
+    minhashLshFromShingles(Reliability.cut(shingleTable(docs, idCol, textCol)), threshold)
 
+  /** [[minhashLsh]] over a PRE-SHINGLED corpus: `sh` is an (id, sh)
+    * table of distinct 3-gram shingles per doc. The entry point a
+    * composed curation chain uses to share ONE corpus tokenization
+    * across its signals (r22 — t28/t07/d08 each re-derived the shingle
+    * table from text next to their other corpus passes).
+    *
+    * Caller contract: `sh` must be MATERIALIZED (a [[Reliability.cut]]
+    * or a stored table) — it feeds three consumers here, and a lazy
+    * HOF-lambda plan would re-run the tokenize+shingle corpus pass per
+    * consumer; and empty-shingle rows (docs shorter than one shingle)
+    * must be excluded (`size(sh) > 0`, ⟺ the [[shingleTable]]
+    * `size(tk) >= 3` gate) — they all share the degenerate all-P
+    * signature (an O(n²) candidate clique at corpus scale) yet can
+    * never pass exact verification. */
+  def minhashLshFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     // band path: ids + band keys only ride the self-join shuffle;
-    // signatures come from one explode + min-agg pass (map-side combine)
-    val banded = bandTable(minhashSignatures(sh))
+    // signatures come from one explode + min-agg pass (map-side
+    // combine). The banded table feeds BOTH sides of the band
+    // self-join, and (r22 probe) the signature aggregation executed
+    // twice — two concurrent ~450 ms jobs per minhash consumer on the
+    // sf0.1 corpus — because the cut input's LogicalRDD sides never
+    // canonicalize into a ReusedExchange. One cut of the banded table,
+    // HASH-PARTITIONED ON THE JOIN KEY (cutPartitioned): the signature
+    // pass runs once, and the candidate self-join reads co-partitioned
+    // blocks on both sides — zero join-side shuffles (§2.4).
+    val banded = Reliability.cutPartitioned(
+      bandTable(minhashSignatures(sh)).repartition(col("bk")))
     val l = banded.select(col("bk").as("bk_a"), col("id").as("id_a"))
     val r = banded.select(col("bk").as("bk_b"), col("id").as("id_b"))
     val cand = l
@@ -293,9 +317,14 @@ object Dedup {
     * in disguise at corpus scale). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming <= simhashChunks - 1, "4-chunk pigeonhole guarantees recall only for hamming <= 3")
+    // the banded view feeds both sides of the chunk self-join — without
+    // a cut the tokenize+md5+bit-counter aggregation runs twice from
+    // the corpus scan (the minhashLshFromShingles banded-table lesson,
+    // r22). One cut, hash-partitioned on the join key: the sketch pass
+    // runs once and the self-join reads co-partitioned blocks.
     val sh = simhashTable(docs, idCol, textCol)
     val keyMask = (1L << simhashChunkBits) - 1
-    val banded = sh.select(
+    val banded = Reliability.cutPartitioned(sh.select(
       col("id"),
       col("simhash"),
       explode(array((0 until simhashChunks).map { c =>
@@ -304,7 +333,7 @@ object Dedup {
           shiftright(col("simhash"), c * simhashChunkBits).bitwiseAND(lit(keyMask)).as("key")
         )
       }: _*)).as("ck")
-    )
+    ).repartition(col("ck")))
     val l = banded.select(col("ck").as("ck_a"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("ck").as("ck_b"), col("id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, col("ck_a") === col("ck_b") && col("id_a") < col("id_b"))
@@ -397,13 +426,19 @@ object Dedup {
     // would otherwise run twice (same no-reuse reason as the withSh
     // cut). Materialized size is the prefix rows themselves,
     // ~(1−t)·corpus tokens — strictly smaller than the exploded token
-    // table the build already shuffles.
-    val prefix = Reliability.cut(ordered.select(
+    // table the build already shuffles. Hash-partitioned on the join
+    // key (r22, cutPartitioned): the candidate self-join reads
+    // co-partitioned blocks on both sides instead of shuffling the
+    // prefix table twice. (Skew audit, r22: prefix-token multiplicity
+    // max 10 / median 7 on the sf0.1 corpus — rare-first ordering keeps
+    // the key histogram flat, no salting needed.)
+    val prefix = Reliability.cutPartitioned(ordered.select(
       col("id"), col("s"),
       posexplode(slice(
         col("arr"), lit(1),
         (col("s") - ceil(col("s") * lit(threshold)) + 1).cast("int"))))
-      .select(col("id"), col("s"), col("pos"), col("col.tok").as("tok")))
+      .select(col("id"), col("s"), col("pos"), col("col.tok").as("tok"))
+      .repartition(col("tok")))
     // required overlap, exact integers: J >= t  ⇔  o*(1e6+tE6) >= tE6*(sa+sb)
     val needed = lit(tE6) * (col("sa") + col("sb"))
     def bound(o: Column) = o * lit(1000000L + tE6)
@@ -476,7 +511,12 @@ object Dedup {
     // pass over the vectors instead of three (the minhashLsh cut
     // rationale, vector edition)
     val coded = Reliability.cut(Similarity.srpCode(emb, idCol, vecCol, numPlanes, dim))
-    val banded = srpBands(coded, numPlanes)
+    // banded feeds both sides of the chunk self-join: cut it hash-
+    // partitioned on the join key so the join reads co-partitioned
+    // blocks instead of shuffling each side (r22, the minhash
+    // banded-table lesson)
+    val banded = Reliability.cutPartitioned(
+      srpBands(coded, numPlanes).repartition(col("ck")))
     val l = banded.select(col("ck").as("ck_a"), col("id").as("id_a"))
     val r = banded.select(col("ck").as("ck_b"), col("id").as("id_b"))
     val cand = l
@@ -609,12 +649,15 @@ object Dedup {
     val sym = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      // hash-partition by the per-round join key BEFORE materializing:
-      // LogicalRDD preserves the physical partitioning, so every round's
-      // edges⋈labels join reshuffles only the (small) label side — the
-      // edge set crosses the wire once, not once per round
+      // hash-partition by the per-round join key BEFORE materializing,
+      // with the partitioning-preserving cut (r22: the plain cut under
+      // AQE records UnknownPartitioning on the LogicalRDD, so every
+      // round's edges⋈labels join silently re-shuffled the edge set —
+      // cutPartitioned makes the documented reuse actually hold):
+      // every round reshuffles only the (small) label side, the edge
+      // set crosses the wire once, not once per round
       .repartition(col("dst"))
-      .transform(Reliability.cut) // computed once, reused every round
+      .transform(df => Reliability.cutPartitioned(df)) // computed once, reused every round
     var labels = sym.select(col("src").as("id")).distinct().withColumn("label", col("id"))
     var converged = false
     var i = 0
@@ -679,10 +722,21 @@ object Dedup {
     val toks = Text.tokens(lower(col(textCol)))
     val nToks = size(toks)
     val nStop = size(filter(toks, t => t.isInCollection(Text.stopwords)))
-    val metrics = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      Text.qualityBucket(nToks, nStop).cast("long").as("quality"),
-      nToks.cast("long").as("n_tokens"))
+    canonicalDocsFromMetrics(
+      docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        Text.qualityBucket(nToks, nStop).cast("long").as("quality"),
+        nToks.cast("long").as("n_tokens")),
+      clusters)
+  }
+
+  /** [[canonicalDocs]] over PRE-COMPUTED per-doc quality metrics:
+    * `metrics` is a (doc_id, quality, n_tokens) table (the t02
+    * [[graft.functions.Text.qualityBucket]] signal, long-cast). The
+    * entry point for curation chains that already hold a tokenized
+    * corpus artifact (r22) — the doc-level variant re-derives the
+    * metrics from text. */
+  def canonicalDocsFromMetrics(metrics: DataFrame, clusters: DataFrame): DataFrame = {
     // scored is consumed twice (argmax + final join) and is bounded by
     // the CLUSTERED docs, not the corpus — materialize it once so the
     // corpus text scan runs once, not once per consumer

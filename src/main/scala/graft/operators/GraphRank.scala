@@ -113,10 +113,27 @@ object GraphRank {
       "GraphRank: edge endpoint is NULL (src or dst) — least/greatest would silently " +
         "canonicalize a null-endpoint edge into a self-loop")
     // a self-loop canonicalizes to (a, a): emitting its swap would
-    // double it where the doubled-list distinct kept exactly one row
-    val und = canon.select(col("a").as("src"), col("b").as("dst"))
-      .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst")))
-    val deg = Reliability.cut(und.groupBy("src").agg(count(lit(1)).as("deg")))
+    // double it where the doubled-list distinct kept exactly one row.
+    //
+    // The undirected view is materialized HASH-PARTITIONED ON THE
+    // PER-ROUND JOIN KEY (r22, the dedupClusters edge-list trick,
+    // guide §2.4): the probe showed each round's edges⋈scores join
+    // re-shuffling the full edge list (10.35 MB per round at sf0.1,
+    // ×iters) because the cut scores table's unknown stats rule out a
+    // broadcast and nothing pinned the edge partitioning. LogicalRDD
+    // preserves the physical partitioning, so with und cut on
+    // hashpartitioning(src) every round's join reshuffles only the
+    // (node-sized) score side — the edge list crosses the wire once,
+    // not once per round — and the degree aggregation below rides the
+    // same partitioning with no exchange at all.
+    val und = Reliability.cutPartitioned(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
+    // degree aggregation rides und's src-partitioning (no exchange),
+    // and keeping the partitioning on the cut lets the per-round deg
+    // join skip its shuffle too
+    val deg = Reliability.cutPartitioned(und.groupBy("src").agg(count(lit(1)).as("deg")))
     // (measured, r21: pre-joining deg into a materialized adjacency —
     // the GraphX triplet layout — REGRESSED the bench: the 2|E|-row
     // materialization costs more than the three per-round broadcast
@@ -158,7 +175,14 @@ object GraphRank {
           (lit(teleport) + expr(
             s"$dampE2 * (coalesce(inflow, 0L) div 100) + ($dampE2 * (coalesce(inflow, 0L) % 100)) div 100"))
             .as("score_e9"))
-        .transform(Reliability.cut)
+        // LAZY cut (r22, guide §2.6/§5): the round's materialization
+        // rides its single next consumer — round k+1's broadcast build
+        // of the score side (or the caller's action after the last
+        // round) — instead of submitting its own job; the probe showed
+        // the per-round job cadence, not compute, dominating at narrow
+        // scale. Blocks still persist at first compute, so every round
+        // executes exactly once, same as the eager form.
+        .transform(Reliability.cutLazy)
     }
     scores
   }
@@ -224,12 +248,23 @@ object GraphRank {
     require(badW == 0L,
       s"pageRankWeighted: edge weight must be > 0 after long cast on $badW row(s); " +
         s"smallest offending cast value: ${Option(obs.get("min_bad_w")).getOrElse("NULL")}")
-    val und = canon.select(col("a").as("src"), col("b").as("dst"),
-        when(col("a") === col("b"), col("w") * 2).otherwise(col("w")).as("w"))
-      .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst"), col("w")))
-    val ws = und.groupBy("src").agg(sum(col("w")).as("wsum")).transform(Reliability.cut)
+    // undirected view cut hash-partitioned on the per-round join key —
+    // see the unweighted path's note (r22): edges cross the wire once,
+    // each round reshuffles only the score side, and the wsum
+    // aggregation below needs no exchange
+    val und = Reliability.cutPartitioned(
+      canon.select(col("a").as("src"), col("b").as("dst"),
+          when(col("a") === col("b"), col("w") * 2).otherwise(col("w")).as("w"))
+        .union(canon.where(col("a") =!= col("b")).select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .repartition(col("src")))
+    // wsum rides und's src-partitioning (no exchange, and the
+    // per-round ws join skips its shuffle); LAZY so the
+    // materialization rides the overflow check's own scalar fetch
+    // right below — one job instead of two (r22)
+    val ws = Reliability.cutPartitioned(
+      und.groupBy("src").agg(sum(col("w")).as("wsum")), eager = false)
     // sqrt(2^63) bound on the split identity's W² intermediate; one
-    // scalar fetch off the already-materialized (cut) wsum table
+    // scalar fetch, which doubles as the cut's materializing action
     val wsumMax = ws.agg(coalesce(max(col("wsum")), lit(0L))).head.getLong(0)
     require(wsumMax <= 3037000499L,
       s"pageRankWeighted: max total incident weight $wsumMax exceeds sqrt(2^63) ~ 3.037e9 — " +
@@ -257,7 +292,9 @@ object GraphRank {
           (lit(teleport) + expr(
             s"$dampE2 * (coalesce(inflow, 0L) div 100) + ($dampE2 * (coalesce(inflow, 0L) % 100)) div 100"))
             .as("score_e9"))
-        .transform(Reliability.cut)
+        // lazy cut — rides the next round's broadcast build (see the
+        // unweighted loop's note)
+        .transform(Reliability.cutLazy)
     }
     scores
   }

@@ -186,7 +186,15 @@ object Packing {
     *
     * Strata values must be non-null and driver-small in number (they
     * are sources/languages/domains by construction — the same bound
-    * [[weightedSample]]'s rate map assumes). */
+    * [[weightedSample]]'s rate map assumes).
+    *
+    * Input-size contract (r22, advice): the input is eagerly
+    * MATERIALIZED once (three sequential consumers — see the cut note
+    * in the body), so callers should feed a bounded/deduplicated
+    * table (the kmv callers pass a distinct (group, elem) stream); a
+    * raw corpus-sized input would turn three streamed scans into an
+    * input-sized executor-storage materialization — prune or
+    * pre-aggregate first. */
   def stratifiedCap(
       df: DataFrame,
       idCol: String,

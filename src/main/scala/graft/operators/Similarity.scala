@@ -199,7 +199,15 @@ object Similarity {
   /** [[prepareIvfIndex]] against an externally supplied quantizer:
     * one broadcast-assignment pass over the corpus (the map-side
     * `max_by` argmax — N×C scored rows collapse to N before any
-    * shuffle) builds the inverted file. */
+    * shuffle) builds the inverted file.
+    *
+    * Input contract: embedding ids must be UNIQUE. The assignment's
+    * groupBy(id, vec, nrm) keeps duplicate ids with DIFFERING vectors
+    * as separate index rows, and the serve paths
+    * ([[ivfTopKIndexed]]/[[ivfTopK]]) rely on id-keyed uniqueness to
+    * skip candidate dedup — duplicate ids would surface as duplicate
+    * candidate rows in the top-k window instead of being arbitrarily
+    * deduped. */
   def prepareIvfIndexWith(emb: DataFrame, idCol: String, vecCol: String, cents: DataFrame): IvfIndex = {
     val base = Par.widen(emb).select(
       col(idCol).as("id"),

@@ -56,9 +56,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d01 minhash: one fused signature aggregate, not 64 min-aggs") {
-    val p = plan("d01_minhash_lsh")
+    // r22: the signature pass materializes inside the banded
+    // cutPartitioned, so the final d01 frame only reads the cut — the
+    // fused-aggregate assertion checks the signature subplan at its
+    // source (the exact plan the cut executes)
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val sh = docs
+      .select(col("doc_id").as("id"), graft.functions.Text.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("id"), graft.functions.Text.shingles(col("tk"), 3).as("sh"))
+    val p = graft.operators.Dedup.minhashSignatures(sh).queryExecution.executedPlan.toString
     assert(p.contains("minhashsig") || p.contains("MinHashSig"), "fused TypedImperativeAggregate missing")
     assert(!p.contains("m63"), "the 64-column min-agg shape is back")
+    // and the final frame reads materialized blocks, not re-derived text
+    assert(plan("d01_minhash_lsh").contains("ExistingRDD"),
+      "d01's candidate/verify frame must read the cut blocks")
   }
 
   test("t27: one corpus pass — batch summaries slice the materialized count, never rescan events") {
