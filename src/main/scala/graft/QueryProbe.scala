@@ -40,6 +40,10 @@ object QueryProbe {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session confs for probing variant arms, e.g.
+    // SPARK_GRAFT_PROBE_CONF="spark.graft.probe.tokshare=off"
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(",").map(_.trim).filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
 
     val jobStart = new ConcurrentHashMap[Int, (Long, String, Seq[Int])]()

@@ -108,14 +108,25 @@ object Queries {
     ),
     QueryDef(
       "q04_count_distinct",
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .groupBy(col("l_returnflag").as("returnflag"))
+      // r22 (guide §2.1/§2.3, probe-driven): dedup (flag, pk, sk)
+      // FIRST — all three distinct counts are invariant under it (the
+      // keys are non-null, so count(DISTINCT pk, sk) = count(*) of the
+      // deduped triples), and the RewriteDistinctAggregates Expand(×3)
+      // then runs over distinct triples instead of every lineitem row.
+      // The pre-dedup is one map-side-combinable aggregation; the
+      // expand-side hash aggregate shrinks by the (flag, pk, sk)
+      // duplication factor (interleaved in-JVM A/B: 1.78 → 1.40 s
+      // median at sf0.1).
+      (s, d) => {
+        val dd = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("returnflag"), col("l_partkey"), col("l_suppkey"))
+          .distinct()
+        dd.groupBy(col("returnflag"))
           .agg(
             countDistinct(col("l_partkey")).as("n_parts"),
             countDistinct(col("l_suppkey")).as("n_supps"),
-            countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp")
-          ),
+            count(lit(1)).as("n_part_supp"))
+      },
       Some("""SELECT l_returnflag AS returnflag,
              |count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
              |count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
@@ -2072,6 +2083,13 @@ object Queries {
       // declared iterative exception.)
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // (r22 three-arm in-JVM A/B: this one-derivation shape, the
+        // r21 per-signal shape, and a compact-cut variant without the
+        // stored token arrays all measure within ±0.2 s of each other
+        // at sf0.1 — the decision is made on the 100 TB I/O bill,
+        // where this shape reads the corpus text once instead of 4–5
+        // times.)
+        //
         // ONE corpus tokenization for the whole chain (r22, guide
         // §2.4/§6): the five signals (quality gate nt, near-dup
         // shingles, canonical-pick metrics, decontamination grams, and
@@ -2291,26 +2309,20 @@ object Queries {
       // against the (small) duplicate id set — the corpus streams once.
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // one corpus tokenization for both signals (r22, guide §2.4):
-        // the gate count and the minhash shingle table each re-read and
-        // re-tokenized the corpus text — the cut materializes
-        // (doc_id, lang, nt, sh) once; nt = size(tokens(lower(text)))
-        // and sh = shingles(tokens(text), 3), the exact per-signal
-        // expressions. size(sh) > 0 ⟺ the shingleTable size(tk) >= 3
-        // empty-shingle exclusion.
-        val tokd = Reliability.cut(
-          Par.widen(docs.select(col("doc_id"), col("lang"),
-              Text.tokens(col("text")).as("tk"),
-              Text.tokens(lower(col("text"))).as("tkl")))
-            .select(col("doc_id"), col("lang"),
-              size(col("tkl")).cast("long").as("nt"),
-              Text.shingles(col("tk"), 3).as("sh")))
-        val base = tokd
-          .select(col("doc_id"), col("lang"), col("nt"))
+        // per-signal tokenization KEPT (r22, measured): sharing one
+        // (doc_id, lang, nt, sh) cut between the gate count and the
+        // minhash shingles was a consistent ~10% regression on the
+        // rotated in-JVM A/B (2.28 vs 2.06 s median, twice) — the
+        // shared cut moves a second tokenize pass onto the eager
+        // critical path, while this shape's nt scan is pipelined into
+        // the final anti-join job at zero extra jobs. The d08/t28
+        // chains, whose shared cut replaces 2–4 extra corpus scans,
+        // keep the share; here it replaces only one.
+        val base = docs
+          .select(col("doc_id"), col("lang"), size(Text.tokens(lower(col("text")))).cast("long").as("nt"))
           .filter(col("nt") >= 5)
         val dupDrop = Dedup
-          .dedupClusters(Dedup.minhashLshFromShingles(
-            tokd.filter(size(col("sh")) > 0).select(col("doc_id").as("id"), col("sh")), 0.5))
+          .dedupClusters(Dedup.minhashLsh(docs, "doc_id", "text", 0.5))
           .filter(col("doc_id") =!= col("canonical_id"))
           .select("doc_id")
         base

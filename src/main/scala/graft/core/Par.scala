@@ -56,13 +56,45 @@ object Par {
     } finally pool.shutdown()
   }
 
+  /** Require at least this parallelism multiple before widening: the
+    * round-robin exchange re-shuffles the whole input, so it only pays
+    * when it unlocks a LARGE factor of extra cores. Measured (r22,
+    * interleaved in-JVM A/B on an 8-file copy of the sf0.1 tables):
+    * widening an already-8-way scan to 32 REGRESSED every site that
+    * wins from 1→32 (q06 0.78→0.91, q14 0.55→0.87, q23 0.54→0.70,
+    * q31 0.63→0.79, t26 1.45→1.71 s) — a 4× deficit is the observed
+    * break-even. */
+  private val WidenMinGain = 4L
+
   def widen(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // A/B kill-switch (measurement harness only; default on)
+    if (spark.conf.getOption("spark.graft.probe.widen").contains("off")) return df
     val target = spark.sparkContext.defaultParallelism
     val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val estimated = df.queryExecution.analyzed.collectLeaves()
-      .map(l => (l.stats.sizeInBytes / maxPartBytes).toLong + 1L)
-      .sum
-    if (estimated >= target) df else df.repartition(target)
+    // width estimate per leaf (r22: FILE-AWARE, not just bytes — the
+    // bytes-only estimate said "1" for any sub-128MB table regardless
+    // of file count, so a multi-file mid-size input was re-shuffled
+    // even though its scan is already parallel; at full scale both
+    // estimates agree on a no-op):
+    //  - file scans: max(file count, size/maxPartitionBytes) — files
+    //    under maxPartitionBytes each get their own split (open cost),
+    //    bigger ones split further; over-estimating only SKIPS a
+    //    widen, the safe direction;
+    //  - materialized cuts (LogicalRDD): the actual block count;
+    //  - anything else: the bytes estimate.
+    val estimated = df.queryExecution.analyzed.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        val bytesW = (lr.relation.sizeInBytes / maxPartBytes) + 1L
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            math.max(fs.location.inputFiles.length.toLong, bytesW)
+          case _ => bytesW
+        }
+      case lrdd: org.apache.spark.sql.execution.LogicalRDD =>
+        lrdd.rdd.getNumPartitions.toLong
+      case l => (l.stats.sizeInBytes / maxPartBytes).toLong + 1L
+    }.sum
+    if (estimated * WidenMinGain >= target) df else df.repartition(target)
   }
 }

@@ -93,6 +93,47 @@ object Reliability {
     }
   }
 
+  /** Eager [[cut]] plus the ACTUAL stored byte size of the
+    * materialized blocks, read back from the block manager after the
+    * write. This is ground truth where plan statistics are not: a
+    * post-join/post-aggregation subtree's `sizeInBytes` estimate is
+    * off by orders of magnitude, but the blocks just written have an
+    * exact size. `None` when the blocks are not in executor storage
+    * (the reliable-checkpoint-to-files policy) — callers fall back to
+    * the configured shuffle width. */
+  def cutSized(df: DataFrame): (DataFrame, Option[Long]) = {
+    val c = cut(df, eager = true)
+    val sc = df.sparkSession.sparkContext
+    val rddId = c.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    val bytes = rddId.flatMap(id => sc.getRDDStorageInfo.find(_.id == id))
+      .map(i => i.memSize + i.diskSize)
+    (c, bytes)
+  }
+
+  /** SCALE-ADAPTIVE partition count for a keyed materialization
+    * holding `bytes` of (deserialized) rows:
+    * `ceil(bytes / advisoryPartitionSizeInBytes)` clamped to
+    * `[1, spark.sql.shuffle.partitions]`. A deliberate
+    * `repartition(key)` that feeds [[cutPartitioned]] is planned with
+    * AQE off, so nothing coalesces it — a tiny table would otherwise
+    * be pinned at the full shuffle width and every downstream
+    * per-round join would pay mostly-empty tasks, while a constant
+    * small width would serialize the cluster-scale case. Deriving the
+    * width from the measured input size keeps both ends honest (the
+    * same arithmetic AQE coalescing applies, done statically). */
+  def keyedPartitions(spark: org.apache.spark.sql.SparkSession, bytes: Option[Long]): Int = {
+    val conf = spark.sessionState.conf
+    val max = conf.numShufflePartitions
+    bytes match {
+      case Some(b) =>
+        val adv = conf.getConf(org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+        math.max(1L, math.min(max.toLong, (b + adv - 1) / math.max(1L, adv))).toInt
+      case None => max
+    }
+  }
+
   /** [[cut]] deferred to the FIRST ACTION on the result: the blocks
     * are written as a side effect of a job the caller was about to run
     * anyway, saving one job submission per cut. Fits iterative loops

@@ -127,16 +127,20 @@ object Dedup {
   def minhashLshFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     // band path: ids + band keys only ride the self-join shuffle;
     // signatures come from one explode + min-agg pass (map-side
-    // combine). The banded table feeds BOTH sides of the band
-    // self-join, and (r22 probe) the signature aggregation executed
-    // twice — two concurrent ~450 ms jobs per minhash consumer on the
-    // sf0.1 corpus — because the cut input's LogicalRDD sides never
-    // canonicalize into a ReusedExchange. One cut of the banded table,
-    // HASH-PARTITIONED ON THE JOIN KEY (cutPartitioned): the signature
-    // pass runs once, and the candidate self-join reads co-partitioned
-    // blocks on both sides — zero join-side shuffles (§2.4).
-    val banded = Reliability.cutPartitioned(
-      bandTable(minhashSignatures(sh)).repartition(col("bk")))
+    // combine). The SIGNATURE table is cut once (r22): it feeds both
+    // sides of the band self-join, and without a cut the whole
+    // explode + 128-perm min aggregation executed once PER SIDE
+    // (LogicalRDD-rooted subtrees never canonicalize into a
+    // ReusedExchange). The cut is the plain AQE-on one and the band
+    // explode stays lazy on top — a measured r22 revision: cutting the
+    // BANDED table pre-repartitioned on the join key (cutPartitioned)
+    // planned the signature pass with AQE off and serialized it behind
+    // an extra band-sized materialization, a net loss at every scale
+    // tested, while the band explode itself is a cheap projection of
+    // the signature blocks. The self-join stays adaptive: AQE
+    // broadcasts the band table when it fits and shuffles only
+    // (id, band-key) pairs when it does not (§2.4/§3.1).
+    val banded = bandTable(Reliability.cut(minhashSignatures(sh)))
     val l = banded.select(col("bk").as("bk_a"), col("id").as("id_a"))
     val r = banded.select(col("bk").as("bk_b"), col("id").as("id_b"))
     val cand = l
@@ -317,14 +321,21 @@ object Dedup {
     * in disguise at corpus scale). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming <= simhashChunks - 1, "4-chunk pigeonhole guarantees recall only for hamming <= 3")
-    // the banded view feeds both sides of the chunk self-join — without
-    // a cut the tokenize+md5+bit-counter aggregation runs twice from
-    // the corpus scan (the minhashLshFromShingles banded-table lesson,
-    // r22). One cut, hash-partitioned on the join key: the sketch pass
-    // runs once and the self-join reads co-partitioned blocks.
-    val sh = simhashTable(docs, idCol, textCol)
+    // the SKETCH table is cut once (r22): the banded view feeds both
+    // sides of the chunk self-join, and without a cut the
+    // tokenize+md5+bit-counter aggregation ran once PER SIDE from the
+    // corpus scan. The cut is the plain AQE-on one — (id, simhash) is
+    // one narrow row per doc — and the 4-chunk band explode stays lazy
+    // on top (a cheap projection of the sketch blocks, per side). A
+    // measured r22 revision: cutting the BANDED view pre-repartitioned
+    // on the join key (cutPartitioned) planned the sketch pass with AQE
+    // off and serialized it behind a band-sized materialization —
+    // slower than even the duplicated-sketch r21 shape. The self-join
+    // stays adaptive (broadcast when the sketch table fits, (id, key)
+    // shuffle when it does not).
+    val sh = Reliability.cut(simhashTable(docs, idCol, textCol))
     val keyMask = (1L << simhashChunkBits) - 1
-    val banded = Reliability.cutPartitioned(sh.select(
+    val banded = sh.select(
       col("id"),
       col("simhash"),
       explode(array((0 until simhashChunks).map { c =>
@@ -333,7 +344,7 @@ object Dedup {
           shiftright(col("simhash"), c * simhashChunkBits).bitwiseAND(lit(keyMask)).as("key")
         )
       }: _*)).as("ck")
-    ).repartition(col("ck")))
+    )
     val l = banded.select(col("ck").as("ck_a"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("ck").as("ck_b"), col("id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, col("ck_a") === col("ck_b") && col("id_a") < col("id_b"))
@@ -511,12 +522,13 @@ object Dedup {
     // pass over the vectors instead of three (the minhashLsh cut
     // rationale, vector edition)
     val coded = Reliability.cut(Similarity.srpCode(emb, idCol, vecCol, numPlanes, dim))
-    // banded feeds both sides of the chunk self-join: cut it hash-
-    // partitioned on the join key so the join reads co-partitioned
-    // blocks instead of shuffling each side (r22, the minhash
-    // banded-table lesson)
-    val banded = Reliability.cutPartitioned(
-      srpBands(coded, numPlanes).repartition(col("ck")))
+    // banded stays a LAZY projection of the cut coded blocks: the band
+    // explode is a cheap per-side read, and (measured, r22) cutting it
+    // pre-repartitioned on the join key planned the band derivation
+    // with AQE off behind an extra materialization — a net loss. The
+    // chunk self-join stays adaptive (broadcast when the band table
+    // fits, (id, key) shuffle when it does not).
+    val banded = srpBands(coded, numPlanes)
     val l = banded.select(col("ck").as("ck_a"), col("id").as("id_a"))
     val r = banded.select(col("ck").as("ck_b"), col("id").as("id_b"))
     val cand = l
@@ -646,17 +658,32 @@ object Dedup {
     * (min reachable id) is independent of partitioning and iteration
     * order. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      // hash-partition by the per-round join key BEFORE materializing,
-      // with the partitioning-preserving cut (r22: the plain cut under
-      // AQE records UnknownPartitioning on the LogicalRDD, so every
-      // round's edges⋈labels join silently re-shuffled the edge set —
-      // cutPartitioned makes the documented reuse actually hold):
-      // every round reshuffles only the (small) label side, the edge
-      // set crosses the wire once, not once per round
-      .repartition(col("dst"))
+    // TWO-STEP materialization of the symmetric edge list (r22).
+    // Step 1: the pair pipeline (typically a full LSH build + exact
+    // verify) materializes under the normal ADAPTIVE planner — a
+    // cutPartitioned of the whole subtree would plan its joins with
+    // AQE off (static size estimates → sort-merge everywhere, no
+    // runtime coalescing; the r22 probe measured exactly that
+    // regression). Step 2: the symmetric union + hash-partition on the
+    // per-round join key is a cheap blocks→shuffle→blocks job, and
+    // cutPartitioned there records the partitioning on the LogicalRDD
+    // (the plain cut under AQE records UnknownPartitioning), so every
+    // round's edges⋈labels join reshuffles only the (small) label
+    // side — the edge set crosses the wire once, not once per round.
+    // The keyed width is derived from the MEASURED pair bytes
+    // ([[Reliability.keyedPartitions]]): the AQE-off repartition would
+    // otherwise pin a tiny edge list at the full shuffle width (every
+    // round paying mostly-empty tasks) or a constant small width would
+    // serialize the cluster-scale case. (Interleaved in-JVM A/B, r22:
+    // sized ≈ the r21 plain-cut shape at sf0.1 — within noise on
+    // d05/d08, faster on t07 — and a fixed-width variant without the
+    // sizing was the worst of the three on all four consumers.)
+    val spark = pairs.sparkSession
+    val (p, pBytes) = Reliability.cutSized(pairs.select(col("id_a"), col("id_b")))
+    val n = Reliability.keyedPartitions(spark, pBytes.map(_ * 2))
+    val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(n, col("dst"))
       .transform(df => Reliability.cutPartitioned(df)) // computed once, reused every round
     var labels = sym.select(col("src").as("id")).distinct().withColumn("label", col("id"))
     var converged = false
