@@ -224,14 +224,23 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
     // the inline-prepared corpus feeds two consumers in the probe
     // (bands read (id, sig), verify reads (id, sh)) — cut the prepared
     // table once so the signature aggregation runs once; the
     // production path reads the STORED artifact back instead, which is
-    // the same materialization
-    minhashLshIncrementalAgainst(batch, idCol, textCol,
-      Reliability.cut(prepareDedupCorpus(corpus, idCol, textCol)), threshold)
+    // the same materialization. The corpus-prep cut and the batch
+    // shingle cut are INDEPENDENT eager materializations — overlap
+    // them (r22, guide §2.6, the s16/s17 pattern): submitted
+    // sequentially the second job idles the cluster through the
+    // first's tail. Both are plain AQE-on cuts, so there is no
+    // cutPartitioned conf-flip race across the two builder threads.
+    val parts = Par.inParallel(2) { i =>
+      if (i == 0) Reliability.cut(prepareDedupCorpus(corpus, idCol, textCol))
+      else Reliability.cut(shingleTable(batch, idCol, textCol))
+    }
+    minhashLshIncrementalAgainstPrepared(batch, idCol, parts(1), parts(0), threshold)
+  }
 
   /** The persistable corpus-side dedup artifact: (id, sh, sig) — one
     * row per doc with its distinct 3-gram shingles and minhash
@@ -269,10 +278,23 @@ object Dedup {
       textCol: String,
       corpusPrep: DataFrame,
       threshold: Double,
-      maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame = {
+      maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame =
     // the (small-by-contract) batch's shingle table feeds the signature
     // pass and the verify join-back — cut once, same as [[minhashLsh]]
-    val shB = Reliability.cut(shingleTable(batch, idCol, textCol))
+    minhashLshIncrementalAgainstPrepared(batch, idCol,
+      Reliability.cut(shingleTable(batch, idCol, textCol)), corpusPrep,
+      threshold, maxBroadcastBatchRows)
+
+  /** [[minhashLshIncrementalAgainst]] with the batch shingle table
+    * already cut — the seam that lets the inline overload overlap the
+    * two independent materializations. */
+  private def minhashLshIncrementalAgainstPrepared(
+      batch: DataFrame,
+      idCol: String,
+      shB: DataFrame,
+      corpusPrep: DataFrame,
+      threshold: Double,
+      maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame = {
     val bB = bandTable(minhashSignatures(shB)).select(col("bk").as("bk_a"), col("id").as("batch_id"))
     val bC = bandTable(corpusPrep.select("id", "sig")).select(col("bk").as("bk_b"), col("id").as("corpus_id"))
     // pin the documented shape: the small batch bands broadcast, the
@@ -587,13 +609,19 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       numPlanes: Int = 32,
-      dim: Int = 64): DataFrame =
+      dim: Int = 64): DataFrame = {
     // the inline-prepared corpus feeds two consumers in the probe
     // (bands + verify) — cut once here; the production path reads the
-    // STORED artifact back instead, which is the same materialization
-    embeddingNearDupIncrementalAgainst(batch, idCol, vecCol,
-      Reliability.cut(prepareEmbeddingCorpus(corpus, idCol, vecCol, numPlanes, dim)),
+    // STORED artifact back instead, which is the same materialization.
+    // Corpus coding and batch coding are independent eager cuts —
+    // overlapped, same as the text twin (r22, guide §2.6).
+    val parts = Par.inParallel(2) { i =>
+      if (i == 0) Reliability.cut(prepareEmbeddingCorpus(corpus, idCol, vecCol, numPlanes, dim))
+      else Reliability.cut(Similarity.srpCode(batch, idCol, vecCol, numPlanes, dim))
+    }
+    embeddingNearDupIncrementalAgainstPrepared(batch, idCol, parts(1), parts(0),
       threshold, numPlanes, dim)
+  }
 
   /** [[embeddingNearDupIncremental]] against an already-prepared corpus
     * table ([[prepareEmbeddingCorpus]], typically read back from
@@ -612,9 +640,24 @@ object Dedup {
       threshold: Double,
       numPlanes: Int = 32,
       dim: Int = 64,
-      maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame = {
+      maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame =
     // batch coded once for bands + verify (small by contract)
-    val codedB = Reliability.cut(Similarity.srpCode(batch, idCol, vecCol, numPlanes, dim))
+    embeddingNearDupIncrementalAgainstPrepared(batch, idCol,
+      Reliability.cut(Similarity.srpCode(batch, idCol, vecCol, numPlanes, dim)),
+      corpusPrep, threshold, numPlanes, dim, maxBroadcastBatchRows)
+
+  /** [[embeddingNearDupIncrementalAgainst]] with the batch coding
+    * already cut — the seam that lets the inline overload overlap the
+    * two independent materializations. */
+  private def embeddingNearDupIncrementalAgainstPrepared(
+      batch: DataFrame,
+      idCol: String,
+      codedB: DataFrame,
+      corpusPrep: DataFrame,
+      threshold: Double,
+      numPlanes: Int,
+      dim: Int,
+      maxBroadcastBatchRows: Long = IncrementalBroadcastMaxBatchRows): DataFrame = {
     val bB = srpBands(codedB, numPlanes).select(col("ck").as("ck_a"), col("id").as("batch_id"))
     val bC = srpBands(corpusPrep, numPlanes).select(col("ck").as("ck_b"), col("id").as("corpus_id"))
     val limitN = math.min(maxBroadcastBatchRows + 1, Int.MaxValue.toLong).toInt
